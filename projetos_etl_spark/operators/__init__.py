@@ -1,0 +1,5 @@
+"""Custom operators Spark lacks natively (SURVEY.md §4.3).
+
+Each is a composition of built-in DataFrame ops — no custom Catalyst
+rules, no RDDs — so Catalyst/AQE still plan the physical execution.
+"""

@@ -1,0 +1,32 @@
+"""Master query registry: merges every family module.
+
+``__spark_entry__.py`` (the driver contract) delegates here. Family
+modules are imported lazily inside :func:`all_queries` so an optional
+dependency failing in one family can't take down the whole registry.
+"""
+
+from __future__ import annotations
+
+from projetos_etl_spark.registry._core import QueryFn, Registry
+
+_FAMILIES = [
+    "relational",
+]
+
+
+def build() -> Registry:
+    import importlib
+
+    master = Registry()
+    for mod_name in _FAMILIES:
+        mod = importlib.import_module(f"projetos_etl_spark.registry.{mod_name}")
+        master.merge(mod.REG)
+    return master
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return build().queries
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return build().oracle

@@ -1,0 +1,486 @@
+"""Relational core: scans, filters, projections, joins, gold marts.
+
+Covers SURVEY.md §2B rows: ``scan_parquet``, ``filter_pred``,
+``project_rename`` (ref op #13, ``silver:85-104``), ``join_*``, plus the
+TPC-H-shaped headline queries (q1/q3/q5) and the gold sales mart the
+reference's gold layer (``dags/gold/dag_gold_financial_sample.py`` — an
+unimplemented stub) was meant to provide.
+
+Scale notes per operator are in each docstring; the common themes:
+- dimension joins broadcast (region/nation/part/supplier are small by
+  construction in a star schema — at 100 TB the fact table scales, the
+  dims don't);
+- fact-fact joins (lineitem-orders) shuffle on the join key and rely on
+  AQE for skew splitting;
+- aggregates are partial (map-side combine) by Spark's hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.operators.asof import asof_join
+from projetos_etl_spark.registry._core import (
+    DATE_FMT_DUCK,
+    DATE_FMT_SPARK,
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
+    Registry,
+)
+from projetos_etl_spark.sources.io import load_table
+
+REG = Registry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1 shape (scan -> filter -> hash agg -> sort).
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                          AS sum_qty,
+           round(sum(l_extendedprice), 0)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 0)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0)    AS sum_charge,
+           round(avg(l_quantity), 6)                                          AS avg_qty,
+           round(avg(l_extendedprice), 6)                                     AS avg_price,
+           round(avg(l_discount), 6)                                          AS avg_disc,
+           count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape; SURVEY.md §7 Phase 1 flagship).
+
+    Whole pipeline in one query: parquet scan with the shipdate predicate
+    pushed down, column pruning to 7 of 11 columns, partial+final hash
+    aggregation on two low-cardinality keys (no skew possible), tiny sort.
+    At 100 TB this is a single pass over lineitem — the optimal plan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 0).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 0).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@REG.add(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '{DATE_FMT_DUCK}')          AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped high-revenue orders (TPC-H Q3 shape).
+
+    customer is a filtered small dim -> broadcast into orders; the
+    orders-lineitem join shuffles on orderkey; final top-k plans as
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            ).select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", DATE_FMT_SPARK).alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@REG.add(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume (TPC-H Q5 shape): 6-way star join.
+
+    region/nation/supplier/customer are dims -> broadcast; the only
+    shuffles are lineitem-orders on orderkey. AQE may further reorder.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter primitives (ref ops #13 / silver filter semantics).
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount < 0.02
+      AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate + projection; all three predicates and the
+    4-column projection reach the parquet scan (PushedFilters/ReadSchema)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") > 45)
+            & (F.col("l_discount") < 0.02)
+            & (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@REG.add(
+    "project_rename",
+    oracle="""
+    SELECT c_custkey   AS customer_key,
+           c_name      AS customer_name,
+           c_mktsegment AS market_segment,
+           round(c_acctbal, 2) AS account_balance
+    FROM customer
+    """,
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk rename-to-snake_case projection (ref op #13, ``silver:85-104``,
+    with the reference's ``gross_sale``/``gocs`` typos NOT reproduced —
+    SURVEY.md §1.2). Pure projection: zero shuffle, column-pruned scan."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_key"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("market_segment"),
+        F.round(F.col("c_acctbal"), 2).alias("account_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family.
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "join_inner_hash",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 0) AS total_sales
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join + aggregate. Spark/AQE picks broadcast-hash here
+    (customer is small); at 100 TB with a huge dim it degrades gracefully
+    to sort-merge on the shuffled key."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("total_sales"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@REG.add(
+    "join_left",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                        AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@REG.add(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one finished order.
+    Semi joins never duplicate the left side — no fan-out at scale."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@REG.add(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no in-progress order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@REG.add(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: part is a bounded dim, so the fact
+    scan streams through a map-side hash join — zero shuffle for the join
+    itself even at 100 TB of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@REG.add(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey,
+           count(*) AS n_richer_customers
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: same-nation customers richer than the
+    supplier. The equi key carries the shuffle/broadcast; the range
+    predicate evaluates inside the join — never a cartesian product."""
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        supp.join(
+            cust,
+            (supp.s_nationkey == cust.c_nationkey) & (cust.c_acctbal > supp.s_acctbal),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+@REG.add(
+    "join_asof_events",
+    oracle=f"""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           strftime(e.ts, '{TS_FMT_DUCK}') AS last_error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND e.ts <= p.ts
+    """,
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (DuckDB ``ASOF JOIN`` equivalent; SURVEY.md §4.3): each
+    purchase gets the user's most recent error at-or-before it. See
+    ``operators/asof.py`` for the single-shuffle window emulation."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        errors.withColumn("error_ts", F.col("ts")).select("user_id", "ts", "error_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["error_ts"],
+        suffix="",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("error_ts", TS_FMT_SPARK).alias("last_error_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gold mart (the layer the reference never built — ``gold:1-31`` stub).
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "gold_sales_mart",
+    oracle="""
+    SELECT r_name AS region_name,
+           n_name AS nation_name,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name, year(o_orderdate)
+    ORDER BY region_name, nation_name, order_year
+    """,
+)
+def gold_sales_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-layer BI mart: revenue by region/nation/year. This is the shape
+    the reference's README promises to Power BI (``README.md:23-24``) but
+    never implements (``gold:1-31``). Dims broadcast; one shuffle for the
+    fact-fact join, one for the final aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("region_name", "nation_name", "order_year")
+    )

@@ -1,0 +1,144 @@
+"""Core scan/sink helpers over the engine's layer layout.
+
+Scale notes (100 TB design point):
+- Parquet is the canonical at-rest format (columnar, splittable, predicate
+  pushdown + column pruning reach the scan via Catalyst).
+- Layer writes go through ``sink_partitioned`` so downstream reads get
+  static/dynamic partition pruning.
+- JDBC writes are batched and parallel per partition — the reference's
+  one-INSERT-per-row loop (``bronze:165-177``) is O(n) network round trips
+  and is the single biggest scan-path fix this engine makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Fixture tables of the driver corpus (TESTDATA.md / FIXTURES.md §B).
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+#: reader rejects (PARQUET_TYPE_ILLEGAL). We read them as raw int64 nanos
+#: (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
+#: — exactly what DuckDB's scan does, so oracle comparisons stay aligned.
+NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def scan_parquet(
+    spark: SparkSession, path: str, nano_ts_cols: list[str] | None = None
+) -> DataFrame:
+    """Scan a parquet path. Pushdown/pruning are Catalyst's job.
+
+    ``nano_ts_cols``: columns written as TIMESTAMP(NANOS) to surface as
+    microsecond TimestampType (floor-truncated, matching DuckDB).
+    """
+    # Pin timestamp rendering regardless of how the caller's session was
+    # built — timestamp->string output must be engine- and host-TZ-neutral.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if not nano_ts_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_ts_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from an sf directory."""
+    return scan_parquet(spark, f"{sf_dir}/{name}.parquet", NANO_TS_COLS.get(name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register fixture tables as temp views so gold marts are plain SQL."""
+    for t in tables or TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with an explicit schema (never inferSchema in production —
+    inference is a full extra pass over 100 TB)."""
+    return spark.read.csv(path, schema=schema, header=header, sep=sep)
+
+
+def scan_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partitioned JDBC scan (replaces the reference's single-connection
+    Postgres access, ``bronze:161-179``). With a numeric
+    ``partition_column`` Spark issues ``num_partitions`` range-bounded
+    queries in parallel."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
+
+
+def sink_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Parquet sink (ref op #15, ``silver:138-151`` — BytesIO + MinIO PUT
+    becomes a distributed parallel write)."""
+    df.write.mode(mode).parquet(path)
+
+
+def sink_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Layer write partitioned by (usually date-derived) columns so later
+    scans prune partitions instead of listing 100 TB."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def sink_jdbc_batch(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Batched, partition-parallel JDBC sink — the fix for the reference's
+    per-row INSERT loop (``bronze:165-177``)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
