@@ -11,6 +11,9 @@ from projetos_etl_spark.registry._core import QueryFn, Registry
 
 _FAMILIES = [
     "relational",
+    "aggregates",
+    "windows",
+    "setops",
 ]
 
 

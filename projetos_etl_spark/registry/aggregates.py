@@ -1,0 +1,206 @@
+"""Aggregation family (SURVEY.md §2B "Aggregation").
+
+All aggregates here are hash aggregations with map-side partials; the
+multi-dimensional ones (rollup/cube/grouping sets) expand grouping keys
+*before* the shuffle, so the cost at 100 TB is (#grouping sets x) one
+pass — Spark's Expand operator — not multiple scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.sources.io import load_table
+
+REG = Registry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@REG.add(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark plans this as a two-phase expand+agg; at
+    scale prefer approx_count_distinct (below) when exactness is optional."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@REG.add("agg_count_distinct_approx")  # approximate => rows-only check
+def agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path for cardinality
+    (single pass, fixed-size sketch, no expand shuffle). Approximate, so
+    no value-level oracle; the driver does a rows-only check and unit
+    tests bound the relative error vs the exact count."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@REG.add(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name AS region_name,
+           n_name AS nation_name,
+           round(sum(c_acctbal), 2) AS total_balance,
+           count(*)                 AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals region -> nation -> grand total."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"), "c_acctbal")
+        .rollup("region_name", "nation_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy(F.col("region_name").asc_nulls_first(), F.col("nation_name").asc_nulls_first())
+    )
+
+
+@REG.add(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one Expand pass."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+@REG.add(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 0) AS total_price,
+           count(*)                    AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Catalyst Expand as
+    rollup/cube, arbitrary set list)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("pes_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 0) AS total_price,
+               count(*)                    AS n_orders
+        FROM pes_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@REG.add(
+    "agg_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           round(min(o_totalprice), 2)          AS min_price,
+           round(max(o_totalprice), 2)          AS max_price,
+           round(stddev_samp(o_totalprice), 4)  AS stddev_price,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           count(*)                             AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact interpolated median. At 100 TB
+    the exact percentile becomes approx_percentile (t-digest sketch)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("stddev_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@REG.add(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status. Pinned pivot values => single-pass
+    plan with no value-discovery pre-query (required at scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )

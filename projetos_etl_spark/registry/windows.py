@@ -1,0 +1,220 @@
+"""Window-function family + sort/limit (SURVEY.md §2B "Window",
+"Sort/limit").
+
+Window ops shuffle once on the partition key then sort within partitions
+(spillable). Every ordering carries an explicit unique tie-break key so
+results are deterministic across engines and partition layouts. The
+global top-k queries deliberately use ``orderBy().limit(k)`` so Catalyst
+plans TakeOrderedAndProject — per-partition heaps + driver merge, never a
+full global sort (the difference between seconds and hours at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.operators.sessionize import sessionize
+from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
+from projetos_etl_spark.sources.io import load_table
+
+REG = Registry()
+
+SESSION_GAP_SECONDS = 4 * 3600
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@REG.add(
+    "win_rank_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 2) AS totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def win_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical top-k-per-group window."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@REG.add(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend, explicit ROWS frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@REG.add(
+    "win_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+               AS delta
+    FROM events
+    """,
+)
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta vs previous event of the same user (NULL on first)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@REG.add(
+    "win_moving_avg_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM events
+    """,
+)
+def win_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-event moving average (explicit ROWS frame)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+    )
+
+
+@REG.add(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+    FROM orders
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile assignment. NOTE: an un-partitioned window is a
+    single-reducer sort — acceptable for rank-into-k buckets on bounded
+    outputs; at 100 TB use approx quantile cutoffs + a broadcast range
+    join instead."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@REG.add(
+    "sessionize_events",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM gaps)
+    SELECT user_id, session_id,
+           count(*)                              AS n_events,
+           strftime(min(ts), '{TS_FMT_DUCK}')    AS session_start,
+           strftime(max(ts), '{TS_FMT_DUCK}')    AS session_end,
+           round(sum(value), 6)                  AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 4h starts a new session) — the batch
+    twin of streaming ``session_window``; see operators/sessionize.py."""
+    ev = sessionize(
+        _t(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        gap_seconds=SESSION_GAP_SECONDS,
+    )
+    return ev.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+@REG.add(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 — plans as TakeOrderedAndProject (heap per partition,
+    merge on driver): no full sort, no full shuffle, 100 TB-safe."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "o_orderpriority",
+        )
+    )
+
+
+@REG.add(
+    "sort_multi",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    ORDER BY c_nationkey DESC, c_acctbal ASC, c_custkey
+    LIMIT 100
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key mixed-direction sort with deterministic tie-break."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy(F.col("c_nationkey").desc(), F.col("c_acctbal").asc(), F.col("c_custkey"))
+        .limit(100)
+        .select("c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal"))
+    )
