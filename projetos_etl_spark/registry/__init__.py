@@ -14,6 +14,8 @@ _FAMILIES = [
     "aggregates",
     "windows",
     "setops",
+    "scalars",
+    "text",
 ]
 
 

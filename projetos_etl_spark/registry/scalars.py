@@ -1,0 +1,308 @@
+"""Scalar-function packs + the UDF surface (SURVEY.md §2B "Scalar fns",
+"UDF surface").
+
+Everything except the three ``udf_*`` entries is built-in functions only
+— JVM-side, inside whole-stage codegen, eligible for pushdown/pruning.
+The ``udf_*`` entries exist to cover the declared UDF surface and are
+deliberately compared against built-in oracles so the slow path is still
+correctness-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.functions.currency import clean_currency
+from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.sources.io import load_table
+
+REG = Registry()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@REG.add(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                       AS name_upper,
+           substr(c_name, 1, 8)                AS name_prefix,
+           concat_ws('|', c_mktsegment, c_name) AS seg_name,
+           CAST(length(c_name) AS INTEGER)     AS name_len,
+           replace(c_name, 'Customer', 'Cust') AS name_short
+    FROM customer
+    WHERE c_name LIKE '%7'
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack: upper/substr/concat_ws/length/literal-replace/LIKE."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_name").like("%7"))
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+            F.length("c_name").alias("name_len"),
+            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+                "name_short"
+            ),
+        )
+    )
+
+
+@REG.add(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)    AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)   AS order_month,
+           CAST(day(o_orderdate) AS INTEGER)     AS order_day,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS weekday_num,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+               AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date pack: parts extraction, trunc, day arithmetic. (Spark weekday:
+    0=Monday == DuckDB isodow-1.)"""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.weekday("o_orderdate").alias("weekday_num"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("days_since_epoch_start"),
+        )
+    )
+
+
+@REG.add(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 0.1, 2)        AS price_tithe,
+           round(abs(l_discount - 0.05), 6)       AS disc_dev,
+           round(ln(l_extendedprice), 6)          AS price_ln,
+           round(sqrt(l_quantity), 6)             AS qty_sqrt,
+           round(pow(l_quantity, 2), 2)           AS qty_sq,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           CAST(floor(l_tax * 100) AS BIGINT)     AS tax_pct_floor,
+           CAST(l_linenumber % 3 AS INTEGER)      AS line_mod
+    FROM lineitem
+    WHERE l_orderkey % 200 = 0
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack: round/abs/ln/sqrt/pow/ceil/floor/mod."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 200 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 0.1, 2).alias("price_tithe"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+            F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+            F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+            F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+            F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+            F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+            (F.col("l_linenumber") % 3).alias("line_mod"),
+        )
+    )
+
+
+@REG.add(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events ``props`` column
+    (``get_json_object`` — no UDF, no full JSON parse of untouched keys)."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", k.alias("k_val"))
+        .filter(F.col("k_val") >= 50)
+    )
+
+
+@REG.add(
+    "fn_array_map",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)            AS n_tokens,
+           string_split(text, ' ')[1]                              AS first_token,
+           string_split(text, ' ')[-1]                             AS last_token,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT)
+               AS sum_token_len
+    FROM documents
+    """,
+)
+def fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions: split/element_at/array_distinct/
+    transform/aggregate — all JVM-side, no explode shuffle."""
+    tokens = F.split(F.col("text"), " ")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.element_at(tokens, 1).alias("first_token"),
+        F.element_at(tokens, -1).alias("last_token"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_distinct_tokens"),
+        F.aggregate(
+            F.transform(tokens, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("sum_token_len"),
+    )
+
+
+_CURRENCY_SAMPLES = [
+    (1, "R$1,234.56"),
+    (2, "$99.99"),
+    (3, "R$0.00"),
+    (4, "R$12,345,678.90"),
+    (5, "1000.01"),
+    (6, "R$ 42.00"),
+    (7, "R$7,000"),
+    (8, "-R$15.25"),
+]
+
+
+@REG.add(
+    "clean_currency",
+    oracle="""
+    SELECT id, raw,
+           CAST(regexp_replace(raw, '[R$,\\s]', '', 'g') AS DOUBLE) AS amount
+    FROM (VALUES
+        (1, 'R$1,234.56'), (2, '$99.99'), (3, 'R$0.00'), (4, 'R$12,345,678.90'),
+        (5, '1000.01'), (6, 'R$ 42.00'), (7, 'R$7,000'), (8, '-R$15.25')
+    ) t(id, raw)
+    """,
+)
+def clean_currency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference silver currency scrub (ops #11+#12, ``silver:76-82``) on a
+    fixed sample battery covering every decoration the reference strips —
+    including the ``Manufacturing Price`` case it forgets to cast back
+    (``silver:76`` bug, fixed here)."""
+    df = spark.createDataFrame(_CURRENCY_SAMPLES, "id int, raw string")
+    return df.select("id", "raw", clean_currency("raw").alias("amount"))
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (the declared slow path; SURVEY.md §2B "UDF surface").
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "udf_pandas_vec",
+    oracle="""
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-value / 100.0)), 6) AS sigmoid_value
+    FROM events
+    """,
+)
+def udf_pandas_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow-batched) pandas UDF — the acceptable Python path:
+    one serde per batch, not per row. Oracle = the closed-form SQL twin."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def sigmoid(v: pd.Series) -> pd.Series:
+        return 1.0 / (1.0 + np.exp(-v / 100.0))
+
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.round(sigmoid(F.col("value")), 6).alias("sigmoid_value")
+    )
+
+
+@REG.add(
+    "udf_scalar",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value >= 300 THEN 'high'
+                WHEN value >= 100 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM events
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — registered to cover the surface, kept out
+    of every other query's hot path on purpose (per-row serde; ~10-100x
+    slower than the pandas UDF above at scale)."""
+
+    @F.udf("string")
+    def tier(v: float) -> str:
+        return "high" if v >= 300 else ("mid" if v >= 100 else "low")
+
+    return _t(spark, sf_dir, "events").select(
+        "event_id", tier(F.col("value")).alias("tier")
+    )
+
+
+@REG.add(
+    "udaf_grouped",
+    oracle="""
+    SELECT event_type,
+           round(exp(avg(ln(value))), 6) AS geomean_value,
+           count(*)                      AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via ``applyInPandas``: per-group geometric mean.
+    Each group arrives as one pandas DataFrame (group must fit in executor
+    memory — fine for bounded group counts; for unbounded keys prefer a
+    two-level algebraic decomposition like the oracle's exp(avg(ln)))."""
+    import numpy as np
+
+    def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "geomean_value": [float(np.exp(np.log(pdf["value"]).mean()))],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .applyInPandas(geomean, "event_type string, geomean_value double, n_events bigint")
+        .select(
+            "event_type",
+            F.round("geomean_value", 6).alias("geomean_value"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
