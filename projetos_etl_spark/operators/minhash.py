@@ -1,0 +1,165 @@
+"""MinHash + banded LSH near-duplicate detection (BASELINE.json north
+star: "MinHash+LSH (shingle->minhash->band->bucket-join)").
+
+Engine-portable construction: the k hash functions are
+``md5('mh<i>|' || shingle)`` and the MinHash signature is the
+*lexicographic minimum digest* per (doc, i) — md5 hex strings order
+identically everywhere, so a DuckDB oracle can reproduce the exact
+signatures (no reliance on Spark's murmur3 vs DuckDB's internal hash).
+
+Scale shape (the whole point of LSH at 100 TB):
+- one explode of shingles + one groupBy(doc) computes all k mins in a
+  single shuffle;
+- banding turns all-pairs similarity into an equi-join on
+  (band_id, band_key) — candidate pairs only ever meet inside a bucket,
+  so cost tracks true-duplicate density, not n^2;
+- signatures are k fixed-width digests per doc regardless of doc size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 16
+BAND_SIZE = 4
+SHINGLE_WORDS = 3
+
+
+def shingles(text_col: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Word n-gram shingles of a whitespace-tokenized text column; a doc
+    shorter than n words contributes its full text as one shingle."""
+    tokens = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + off) for off in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) < n, F.array(text_col)).otherwise(grams)
+
+
+def _hash_digest(i: int, col: Column) -> Column:
+    return F.md5(F.concat(F.lit(f"mh{i}|"), col).cast("binary"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """One row per doc: ``sig_0..sig_{k-1}`` minimum digests."""
+    exploded = df.select(id_col, F.explode(shingles(F.col(text_col))).alias("shingle"))
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(_hash_digest(i, F.col("shingle"))).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band key become a candidate pair;
+    output (doc_a, doc_b, est_jaccard) with est = matching-signature
+    fraction, doc_a < doc_b."""
+    n_bands = num_hashes // band_size
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[f"sig_{i}" for i in range(b * band_size, (b + 1) * band_size)],
+                    ).cast("binary")
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select(id_col, F.explode(band_entries).alias("b")).select(
+        id_col, "b.band_id", "b.band_key"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def exact_ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard via an inverted shingle index join —
+    pairs only form where a shingle is shared (and, optionally, within a
+    blocking key), never a cross join."""
+    cols = [id_col] + ([block_col] if block_col else [])
+    sh = df.select(
+        *cols, F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.sh") == F.col("b.sh")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -16,6 +16,8 @@ _FAMILIES = [
     "setops",
     "scalars",
     "text",
+    "dedup",
+    "similarity",
 ]
 
 

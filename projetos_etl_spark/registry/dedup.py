@@ -1,0 +1,199 @@
+"""Deduplication family (BASELINE.json north star: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+The oracle SQL strings are *generated* from the same constants as the
+Spark operators (hash count, band size, shingle width, bit count) so the
+two can't drift. All hashing is md5-digest based — identical bytes in
+both engines — which is what makes these oracle-checkable at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.operators.cosine import as_double_array, cosine
+from projetos_etl_spark.operators.minhash import (
+    BAND_SIZE,
+    NUM_HASHES,
+    SHINGLE_WORDS,
+    exact_ngram_jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from projetos_etl_spark.operators.simhash import NUM_BITS, simhash_signatures
+from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.sources.io import load_table
+
+REG = Registry()
+
+NGRAM_JACCARD_THRESHOLD = 0.2
+COSINE_DUP_THRESHOLD = 0.45
+
+_TOKS = "string_split(text, ' ')"
+_SHINGLES_SQL = (
+    f"CASE WHEN len({_TOKS}) < {SHINGLE_WORDS} THEN [text] "
+    f"ELSE list_transform(generate_series(1, len({_TOKS}) - {SHINGLE_WORDS - 1}), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]) END"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n               ".join(
+        f"min(md5('mh{i}|' || shingle)) AS sig_{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band_id, md5({expr}) AS band_key FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"sig_{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        {band_selects}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(({match_sum}) / {float(NUM_HASHES)}, 4) AS est_jaccard
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = pairs.doc_a
+    JOIN sig sb ON sb.doc_id = pairs.doc_b
+    """
+
+
+@REG.add("dedup_near_minhash", oracle=_minhash_oracle())
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 md5-min signatures over 3-word shingles) + 4x4 banded
+    LSH candidate pairs with estimated Jaccard. See operators/minhash.py
+    for the scale analysis."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    return lsh_candidate_pairs(sigs, "doc_id")
+
+
+def _ngram_oracle() -> str:
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, source, unnest(list_distinct({_SHINGLES_SQL})) AS sh
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT doc_a, doc_b,
+               round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+    ) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+    """
+
+
+@REG.add("dedup_ngram_jaccard", oracle=_ngram_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard over an inverted index, blocked by
+    ``source`` — the verify stage that LSH candidates feed at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="source", threshold=NGRAM_JACCARD_THRESHOLD
+    )
+
+
+def _simhash_oracle() -> str:
+    high = ", ".join(f"'{h}'" for h in ["8", "9", "a", "b", "c", "d", "e", "f"])
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN substr(digest, {i + 1}, 1) IN ({high}) THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(NUM_BITS)
+    )
+    bits = ", ".join(
+        f"CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END" for i in range(NUM_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), d AS (
+        SELECT doc_id, md5('sh|' || tok) AS digest FROM tok
+    ), v AS (
+        SELECT doc_id,
+               {votes}
+        FROM d GROUP BY doc_id
+    )
+    SELECT doc_id, concat({bits}) AS simhash FROM v
+    """
+
+
+@REG.add("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (near-dups land at small Hamming
+    distance; distance join tested in tests/test_dedup.py)."""
+    return simhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _cosine_pairs_oracle() -> str:
+    def _dot(x: str, y: str) -> str:
+        return f"list_sum(list_transform(generate_series(1, len({x})), i -> {x}[i] * {y}[i]))"
+
+    def _norm(x: str) -> str:
+        return f"sqrt(list_sum(list_transform({x}, t -> t * t)))"
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_dot("a.v", "b.v")} / ({_norm("a.v")} * {_norm("b.v")}), 6)
+                   AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@REG.add("dedup_embedding_cosine", oracle=_cosine_pairs_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold. All-pairs
+    here (correctness tier; fixture vectors are few); the 100 TB path is
+    the SRP-LSH bucketed variant in similarity.py which only scores
+    within-bucket pairs."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
+    )

@@ -1,0 +1,67 @@
+"""Similarity-search family (BASELINE.json north star): exact cosine
+top-k baseline + SRP-LSH bucketed scale path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.operators.cosine import brute_force_topk, srp_lsh_topk
+from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.sources.io import load_table
+
+REG = Registry()
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _topk_oracle() -> str:
+    def _dot(x: str, y: str) -> str:
+        return f"list_sum(list_transform(generate_series(1, len({x})), i -> {x}[i] * {y}[i]))"
+
+    def _norm(x: str) -> str:
+        return f"sqrt(list_sum(list_transform({x}, t -> t * t)))"
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_dot("q.v", "c.v")} / ({_norm("q.v")} * {_norm("c.v")}), 6)
+                   AS cosine_sim
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@REG.add("sim_search_topk", oracle=_topk_oracle())
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 query vectors —
+    broadcast queries against all candidates, rank on the rounded score
+    with id tie-break (deterministic across engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(queries, emb, k=TOP_K)
+
+
+@REG.add("sim_search_lsh_bucketed")  # approximate => rows-only check
+def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-k — the 100 TB plan: queries meet
+    candidates via an equi-join on (table, bucket) instead of a full
+    scan. Recall vs the exact operator is asserted on clustered synthetic
+    vectors in tests/test_dedup.py (the fixture vectors are isotropic
+    random, where *no* sublinear method can have high recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return srp_lsh_topk(queries, emb, k=TOP_K)

@@ -1,0 +1,108 @@
+"""Behavioral tests for the dedup/similarity operators on *planted*
+duplicates and clustered vectors (the driver fixtures are uniform-random,
+which exercises plumbing but not detection power)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.operators.cosine import brute_force_topk, srp_lsh_topk
+from projetos_etl_spark.operators.minhash import (
+    exact_ngram_jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from projetos_etl_spark.operators.simhash import hamming_distance, simhash_signatures
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen sleepy "
+    "badgers carry heavy copper kettles across the narrow wooden bridge "
+    "under a pale winter moon and nobody notices the quiet parade at all"
+)
+NEAR_DUP = BASE.replace("copper", "silver").replace("winter", "summer")
+UNRELATED = (
+    "completely different content about distributed query engines shuffling "
+    "columnar batches through adaptive execution plans with broadcast hash "
+    "joins and partition pruning at petabyte scale every single night"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE, "s0"), (2, NEAR_DUP, "s0"), (3, UNRELATED, "s0")],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_ngram_jaccard(docs):
+    rows = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in exact_ngram_jaccard_pairs(docs, "doc_id", "text", "source").collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)] > 0.5
+    assert (1, 3) not in rows
+
+
+def test_simhash_hamming_orders_similarity(docs, spark):
+    sigs = simhash_signatures(docs, "doc_id", "text").collect()
+    by_id = {r.doc_id: r.simhash for r in sigs}
+    pairs = spark.createDataFrame(
+        [(by_id[1], by_id[2]), (by_id[1], by_id[3])], "a string, b string"
+    )
+    d_dup, d_far = [r.hamming for r in pairs.select(hamming_distance("a", "b")).collect()]
+    assert d_dup < d_far
+    assert d_dup <= 4
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(5, 64)) * 4
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(20):
+            v = c + rng.normal(size=64) * 0.3
+            rows.append((vid, [float(x) for x in v], ci))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_srp_lsh_recall_on_clustered_data(clustered_vectors):
+    queries = clustered_vectors.filter(F.col("vec_id") % 20 == 0)  # one per cluster
+    exact = brute_force_topk(queries, clustered_vectors, k=5)
+    approx = srp_lsh_topk(queries, clustered_vectors, k=5, n_bits=4, n_tables=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_brute_force_topk_is_exact(clustered_vectors):
+    """Cross-check the Spark operator against numpy on the same vectors."""
+    pdf = clustered_vectors.toPandas().sort_values("vec_id")
+    M = np.stack(pdf["embedding"].to_numpy())
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -2)
+    top1_np = S[0].argmax()
+    got = (
+        brute_force_topk(
+            clustered_vectors.filter(F.col("vec_id") == 0), clustered_vectors, k=1
+        )
+        .collect()[0]
+        .neighbor_id
+    )
+    assert got == top1_np
