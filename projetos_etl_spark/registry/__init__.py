@@ -18,6 +18,7 @@ _FAMILIES = [
     "text",
     "dedup",
     "similarity",
+    "streams",
 ]
 
 

@@ -1,0 +1,176 @@
+"""Streaming family (SURVEY.md §2B "Streaming").
+
+Unlike typical "streaming demos", these registry entries *actually run*
+Structured Streaming: each callable starts a streaming query over the
+events parquet as a file source, drives it to completion, and returns
+the sink table — so the driver's oracle checks real streaming output
+against batch SQL (exact batch/stream equivalence on finite input).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
+from projetos_etl_spark.streaming.jobs import (
+    read_events_stream,
+    run_foreach_batch_parquet,
+    run_to_memory,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+REG = Registry()
+
+HOUR_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+HOUR_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+SESSION_GAP = "4 hours"
+SESSION_GAP_SECONDS = 4 * 3600
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@REG.add(
+    "stream_tumbling_count",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{HOUR_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*)              AS n,
+           round(sum(value), 6)  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts per event type, computed by a real
+    streaming query (complete mode memory sink) — oracle is the exact
+    batch equivalent."""
+    agg = tumbling_agg(_events_stream(spark, sf_dir).withWatermark("ts", "2 hours"))
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format("w.start", HOUR_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@REG.add(
+    "stream_sliding_agg",
+    oracle=f"""
+    SELECT window_start, event_type, count(*) AS n FROM (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{HOUR_FMT_DUCK}')
+                   AS window_start, event_type
+        FROM events
+        UNION ALL
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes'),
+                        '{HOUR_FMT_DUCK}'), event_type
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in two
+    windows; the oracle reproduces that as two offset time_buckets)."""
+    agg = sliding_agg(_events_stream(spark, sf_dir))
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format("w.start", HOUR_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@REG.add(
+    "stream_session_window",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps)
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           count(*)                           AS n_events,
+           round(sum(value), 6)               AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming ``session_window`` (4h gap); the oracle is the
+    gaps-and-islands batch formulation (new session when gap >= 4h,
+    matching session_window's event-strictly-inside-gap merge rule)."""
+    agg = session_agg(_events_stream(spark, sf_dir), SESSION_GAP)
+    out = run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+@REG.add(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type): first-seen rows
+    pass, later duplicates are dropped against the state store. Output is
+    projected to the key columns so it is deterministic (which *row*
+    survives first-seen dedup is arrival-order-dependent)."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(deduped, "append")
+
+
+@REG.add(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet sink: per-epoch idempotent write (epoch id
+    stamped on every row), read back keeping only the final epoch —
+    the standard exactly-once-style custom-sink pattern."""
+    out_dir = tempfile.mkdtemp(prefix="pes_febatch_")
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    result = spark.read.parquet(out_dir)
+    last = result.agg(F.max("epoch_id")).collect()[0][0]
+    return result.filter(F.col("epoch_id") == last).select("event_type", "n", "sum_value")

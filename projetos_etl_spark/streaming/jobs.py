@@ -1,0 +1,111 @@
+"""Streaming building blocks + a synchronous local runner.
+
+``read_events_stream`` treats the fixture ``events.parquet`` as a file
+source; transformations are plain DataFrame functions (usable unchanged
+in batch); ``run_to_memory`` drives a finite stream to completion with a
+memory sink (``processAllAvailable`` — the documented local pattern for
+deterministic streaming tests).
+
+Scale notes: state stores back the windowed aggs and dedup — watermarks
+bound that state (without one, streaming dedup state grows forever); at
+100 TB/day the watermark delay is the knob trading late-data tolerance
+for state size. ``foreachBatch`` gives exactly-once-style idempotent
+batch sinks (here: parquet per epoch).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_COUNTER = itertools.count()
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet (ns timestamps normalized to
+    microseconds exactly like the batch reader in sources/io.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # File-stream sources want a *directory* to watch; the fixture is a
+    # single file, so watch its parent with a glob filter (this is also
+    # the right shape at scale: a drop-directory of event files).
+    parent, fname = os.path.dirname(path), os.path.basename(path)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", fname)
+        .load(parent)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "4 hours") -> DataFrame:
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a finite stream to completion into a memory sink; return the
+    sink table as a DataFrame."""
+    name = name or f"pes_stream_{next(_COUNTER)}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def run_foreach_batch_parquet(stream_df: DataFrame, out_dir: str) -> None:
+    """Drive a stream through a ``foreachBatch`` parquet sink (idempotent
+    per-epoch append — the standard exactly-once-style custom sink)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = stream_df.writeStream.outputMode("update").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
