@@ -1,0 +1,176 @@
+"""Medallion family: the reference's bronze->silver->gold pipeline run
+end-to-end over fixture data (SURVEY.md §7 Phase 2).
+
+The reference processes one xlsx with currency-string measure columns
+("R$1,234.56" — ``silver:76-82``). The fixtures have no such file, so each
+entry *synthesizes* the raw layer deterministically from ``lineitem``:
+measures are derived in exact integer cents (floor products of the fixture
+doubles), rendered as "R$<th>,<unit>.<cc>" strings, then pushed through the
+real silver transform (scrub -> cast -> rename, ``medallion.silver_conform``).
+The DuckDB oracle computes the same cents arithmetic numerically — so the
+compare proves the string-scrub path reproduces the exact doubles.
+
+Integer-cents discipline: every derived measure is a BIGINT cents value
+(< 2^53), so both engines perform identical IEEE ops and the final
+``cents/100`` doubles are bit-equal between the scrub path and the oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.medallion import gold_profit_mart, run_pipeline, silver_conform
+from projetos_etl_spark.registry._core import DATE_FMT_DUCK, DATE_FMT_SPARK, Registry
+from projetos_etl_spark.sources.io import load_table
+
+REG = Registry()
+
+
+def _brl(cents: Column) -> Column:
+    """Render integer cents as the reference's currency-string shape,
+    'R$<thousands>,<units>.<cents>' (e.g. 123456789 -> 'R$1234,567.89'),
+    exercising both literal scrubs ('R$' and ',') of ``silver:77-82``."""
+    dollars = F.floor(cents / 100)
+    rem = cents - dollars * 100
+    th = F.floor(dollars / 1000)
+    un = dollars - th * 1000
+    return F.concat(
+        F.lit("R$"),
+        th.cast("string"),
+        F.lit(","),
+        F.lpad(un.cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad(rem.cast("string"), 2, "0"),
+    )
+
+
+def _synth_financial_raw(li: DataFrame) -> DataFrame:
+    """Deterministic 'Financial Sample'-shaped raw layer from lineitem,
+    headers matching the xlsx (``bronze:112-127``) including whitespace
+    that the conform step must strip (``silver:71``)."""
+    sale_cents = F.floor(F.col("l_extendedprice") * 100)
+    qty = F.col("l_quantity").cast("long")
+    gross_cents = sale_cents * qty
+    disc_cents = F.floor(F.col("l_discount") * 10000)
+    sales_cents = gross_cents - disc_cents
+    cogs_cents = F.floor(gross_cents.cast("double") * 0.6)
+    profit_cents = sales_cents - cogs_cents
+    band = (
+        F.when(disc_cents >= 500, "High")
+        .when(disc_cents >= 200, "Medium")
+        .when(disc_cents > 0, "Low")
+        .otherwise("None")
+    )
+    mfg = (F.col("l_partkey") % 500 + 1).cast("string")
+    return li.select(
+        F.col("l_returnflag").alias("Segment"),
+        F.col("l_linestatus").alias("Country"),
+        F.concat(F.lit("P-"), F.col("l_partkey").cast("string")).alias("Product"),
+        band.alias("Discount Band"),
+        F.col("l_quantity").alias("  Units Sold "),
+        F.concat(F.lit("$"), mfg).alias("Manufacturing Price"),
+        _brl(sale_cents).alias("Sale Price"),
+        _brl(gross_cents).alias("Gross Sales"),
+        _brl(disc_cents).alias("Discounts"),
+        _brl(sales_cents).alias("Sales"),
+        _brl(cogs_cents).alias("COGS"),
+        _brl(profit_cents).alias("Profit"),
+        F.col("l_shipdate").alias("Date"),
+        F.month("l_shipdate").alias("Month Number"),
+        F.date_format("l_shipdate", "MMMM").alias("Month Name"),
+        F.year("l_shipdate").alias("Year"),
+    )
+
+
+#: Shared oracle CTE: the same cents arithmetic, numerically.
+_ORACLE_CENTS = """
+    WITH m AS (
+        SELECT l_returnflag, l_linestatus, l_partkey, l_quantity, l_shipdate,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS sale_cents,
+               CAST(l_quantity AS BIGINT)                   AS qty,
+               CAST(floor(l_discount * 10000) AS BIGINT)    AS disc_cents
+        FROM lineitem
+    ), mm AS (
+        SELECT *,
+               sale_cents * qty AS gross_cents,
+               CAST(floor((sale_cents * qty) * 0.6) AS BIGINT) AS cogs_cents
+        FROM m
+    )
+"""
+
+
+@REG.add(
+    "medallion_silver_conform",
+    oracle=_ORACLE_CENTS
+    + f"""
+    SELECT l_returnflag                              AS segment,
+           l_linestatus                              AS country,
+           concat('P-', CAST(l_partkey AS VARCHAR))  AS product,
+           CASE WHEN disc_cents >= 500 THEN 'High'
+                WHEN disc_cents >= 200 THEN 'Medium'
+                WHEN disc_cents > 0    THEN 'Low'
+                ELSE 'None' END                      AS discount_band,
+           l_quantity                                AS units_sold,
+           CAST(l_partkey % 500 + 1 AS DOUBLE)       AS manufacturing_price,
+           sale_cents / 100.0                        AS sale_price,
+           gross_cents / 100.0                       AS gross_sales,
+           disc_cents / 100.0                        AS discounts,
+           (gross_cents - disc_cents) / 100.0        AS sales,
+           cogs_cents / 100.0                        AS cogs,
+           (gross_cents - disc_cents - cogs_cents) / 100.0 AS profit,
+           strftime(l_shipdate, '{DATE_FMT_DUCK}')   AS date,
+           CAST(month(l_shipdate) AS INTEGER)        AS month_number,
+           monthname(l_shipdate)                     AS month_name,
+           CAST(year(l_shipdate) AS INTEGER)         AS year
+    FROM mm
+    """,
+)
+def medallion_silver_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver conform (ref ops #5, #10-#13 — ``silver:65-110``) over the
+    synthesized raw layer. Bug fixes asserted by the oracle itself:
+    ``manufacturing_price`` arrives as a parsed double (the reference left
+    it a string, ``silver:76``) and the output names are ``gross_sales``/
+    ``cogs`` (not the reference's ``gross_sale``/``gocs`` typos).
+
+    Pure narrow transform — zero shuffle at any scale."""
+    raw = _synth_financial_raw(load_table(spark, sf_dir, "lineitem"))
+    silver = silver_conform(raw, with_ingestion_ts=False)
+    return silver.withColumn("date", F.date_format("date", DATE_FMT_SPARK))
+
+
+@REG.add(
+    "medallion_gold_profit_mart",
+    oracle=_ORACLE_CENTS
+    + """
+    , s AS (
+        SELECT l_returnflag AS segment,
+               CAST(year(l_shipdate) AS INTEGER)              AS year,
+               (gross_cents - disc_cents) / 100.0              AS sales,
+               (gross_cents - disc_cents - cogs_cents) / 100.0 AS profit
+        FROM mm
+    )
+    SELECT coalesce(segment, 'ALL')   AS segment,
+           coalesce(year, -1)         AS year,
+           round(sum(sales), 2)       AS total_sales,
+           round(sum(profit), 2)      AS total_profit,
+           count(*)                   AS n_rows
+    FROM s
+    GROUP BY ROLLUP(segment, year)
+    """,
+)
+def medallion_gold_profit_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pipeline with real layer writes: synth raw -> bronze
+    parquet -> silver conform -> partitioned silver write (by year) ->
+    re-read -> gold ROLLUP mart (``medallion.run_pipeline`` +
+    ``gold_profit_mart``). This is the end-to-end shape the reference's
+    three DAGs sketch but never complete (gold stub ``gold:1-31``).
+
+    At scale the silver layer is partitioned on the rollup's date axis,
+    so the gold scan reads only the partitions it aggregates."""
+    raw = _synth_financial_raw(load_table(spark, sf_dir, "lineitem"))
+    base = tempfile.mkdtemp(prefix="pes_medallion_")
+    silver = run_pipeline(spark, raw, base, partition_cols=["year"])
+    return gold_profit_mart(silver)
