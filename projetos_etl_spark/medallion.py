@@ -115,15 +115,15 @@ def bronze_ingest_excel(spark: SparkSession, path: str) -> DataFrame:
     non-splittable file by nature, so driver-bound parse is the right
     call; everything downstream is distributed. Gated on openpyxl."""
     try:
-        import pandas as pd
-
-        pdf = pd.read_excel(path)  # needs openpyxl for .xlsx
-    except ImportError as exc:  # pragma: no cover - env-dependent
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
+    except ImportError as exc:
         raise NotImplementedError(
             "scan_excel requires openpyxl, which is not installed in this "
             "environment; ingest via CSV/parquet instead"
         ) from exc
-    return strip_headers(spark.createDataFrame(pdf))
+    import pandas as pd
+
+    return strip_headers(spark.createDataFrame(pd.read_excel(path)))
 
 
 def source_http(spark: SparkSession, url: str, out_path: str, fmt: str = "parquet") -> DataFrame:

@@ -12,6 +12,7 @@ from projetos_etl_spark.registry._core import QueryFn, Registry
 _FAMILIES = [
     "relational",
     "medallion",
+    "sources",
     "aggregates",
     "windows",
     "setops",

@@ -1,0 +1,124 @@
+"""Sources/sinks family (SURVEY.md §2B "Scans/sources" + "Sinks").
+
+Each entry exercises a real scan or sink path end-to-end against fixture
+data, hermetically (no network, no external DB):
+
+- ``scan_parquet``      — full-schema columnar scan (ref op #3).
+- ``scan_csv_schema``   — CSV with an explicit schema, round-tripped
+  through a Spark CSV write (never ``inferSchema``: inference is a full
+  extra pass over 100 TB).
+- ``source_http``       — the reference's HTTP fetch (ref op #1,
+  ``bronze:40-94``) via stdlib urllib over a ``file://`` URL: same
+  driver-spool-then-distributed-scan shape, deterministic in CI.
+- ``sink_partitioned_prune`` — partitioned layer write + pruned
+  read-back (ref op #15 upgraded with ``partitionBy``): the filter on
+  the partition column prunes directories, not rows.
+
+``scan_excel`` (ref op #4) and ``scan_jdbc``/``sink_jdbc_batch`` (ref
+ops #7/#17) live in ``sources/io.py`` / ``medallion.py`` but have no
+registry entry: openpyxl and a JDBC endpoint are unavailable in this
+environment (they're unit-tested for their gating behavior instead).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from projetos_etl_spark.medallion import source_http
+from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.sources.io import load_table, scan_csv, sink_partitioned
+
+REG = Registry()
+
+
+@REG.add(
+    "scan_parquet",
+    oracle="SELECT p_partkey, p_name, p_brand, p_type, p_size, round(p_retailprice, 2) AS p_retailprice FROM part",
+)
+def scan_parquet_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain columnar scan, full declared schema. At scale: splittable
+    row groups, column pruning and predicate pushdown all come free from
+    the parquet source (SURVEY.md §4.2)."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+    )
+
+
+CUSTOMER_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@REG.add(
+    "scan_csv_schema",
+    oracle="SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer",
+)
+def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with explicit schema (ref ingests xlsx; CSV is the
+    splittable text-format equivalent). Round-trips customer through a
+    quoted CSV write, then scans it back with the declared StructType —
+    doubles survive because Spark writes shortest-round-trip literals."""
+    out = tempfile.mkdtemp(prefix="pes_csv_")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    return scan_csv(spark, out, CUSTOMER_CSV_SCHEMA)
+
+
+@REG.add("source_http", oracle="SELECT * FROM region")
+def source_http_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP source (ref op #1): urllib GET -> driver spool -> distributed
+    scan. Uses a file:// URL for hermetic CI; the code path is identical
+    for http(s)://. Only the bounded fetch is driver-side — never on the
+    100 TB path (SURVEY.md §7 'Hard parts')."""
+    spool = tempfile.mktemp(prefix="pes_http_", suffix=".parquet")
+    return source_http(spark, f"file://{sf_dir}/region.parquet", spool)
+
+
+@REG.add(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 0) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned layer write + pruned read-back: orders written
+    ``partitionBy(o_orderstatus)``, then scanned with a filter on the
+    partition column — Spark prunes to the one matching directory
+    (PartitionFilters in the plan), so the 100 TB version reads only the
+    'F' slice. This is the layer-write discipline sources/io.py
+    prescribes for every silver/gold output."""
+    out = tempfile.mkdtemp(prefix="pes_part_")
+    orders = load_table(spark, sf_dir, "orders")
+    sink_partitioned(orders, out, ["o_orderstatus"])
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
