@@ -20,6 +20,7 @@ _FAMILIES = [
     "text",
     "dedup",
     "similarity",
+    "multimodal",
     "streams",
 ]
 

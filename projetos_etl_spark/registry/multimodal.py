@@ -1,0 +1,86 @@
+"""Multimodal family (BASELINE.json north star: "multimodal columns").
+
+Three entries over ``documents``, treating text bytes as stand-in media
+payloads (see ``operators/multimodal.py`` for the stubbing contract):
+
+- ``multimodal_bundle``          — binary payload + typed metadata struct
+  + content digest, all JVM-side.
+- ``multimodal_decode_features`` — Arrow-batched ``mapInPandas`` decode
+  (deterministic fake kernel, SQL-reproducible so the oracle verifies the
+  Python batch path bit-for-bit).
+- ``multimodal_frame_sample``    — per-frame explode from metadata
+  (sequence/explode, zero Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.operators.multimodal import (
+    bundle_media,
+    decode_features,
+    frame_sample,
+)
+from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.sources.io import load_table
+
+REG = Registry()
+
+
+@REG.add(
+    "multimodal_bundle",
+    oracle="""
+    SELECT doc_id,
+           'text/plain'                     AS mime,
+           octet_length(encode(text))       AS n_bytes,
+           octet_length(encode(text)) * 40  AS duration_ms,
+           md5(text)                        AS digest
+    FROM documents
+    """,
+)
+def multimodal_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media bundling: payload digest + flattened metadata. The struct
+    column itself isn't hashable by the driver compare, so the entry
+    projects its fields; the binary payload is verified via md5."""
+    bundled = bundle_media(load_table(spark, sf_dir, "documents"))
+    return bundled.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.md5("media").alias("digest"),
+    )
+
+
+@REG.add(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 512 AS INTEGER)       AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) // 1000 + 1 AS INTEGER)      AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-stub features through the real ``mapInPandas`` path: the
+    oracle recomputes the fake kernel in SQL, proving the Arrow batch
+    round-trip (binary in, features out) is lossless and deterministic."""
+    bundled = bundle_media(load_table(spark, sf_dir, "documents"))
+    return decode_features(bundled)
+
+
+@REG.add(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(generate_series(0, octet_length(encode(text)) * 40, 5000)) AS frame_ms
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling every 5 s of fake duration; inclusive bounds match
+    DuckDB ``generate_series``."""
+    bundled = bundle_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(bundled, every_ms=5000)

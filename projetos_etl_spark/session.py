@@ -51,3 +51,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``projetos_etl_spark`` importable on executors.
+
+    Python workers don't inherit the driver's ``sys.path``, so any UDF
+    that references a module-level symbol (pickled by reference) needs
+    the package shipped. This zips the package once per SparkContext and
+    ``addPyFile``s it — the same mechanism used to deploy this engine's
+    code to a real 1000-executor cluster (``spark-submit --py-files``).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_pes_package_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import projetos_etl_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(projetos_etl_spark.__file__))
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="pes_pyfiles_"), "projetos_etl_spark.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._pes_package_shipped = True
