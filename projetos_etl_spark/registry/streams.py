@@ -142,6 +142,95 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "stream_late_data",
+    oracle=f"""
+    WITH cut AS (
+        SELECT time_bucket(INTERVAL '1 hour', max(ts) - INTERVAL '3 hours') AS cutoff
+        FROM events
+    )
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{HOUR_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events, cut
+    WHERE ts >= cutoff
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP, observed for real across two micro-batches:
+
+    batch 1 delivers every event from the last ~3 hours of the fixture,
+    advancing the watermark to ``max_ts - 1h``; batch 2 then delivers all
+    OLDER events — every one falls in a window that ended before the
+    watermark, so streaming discards them all. The sink therefore holds
+    exactly the batch-1 aggregates, which is what the oracle computes
+    (events at or after the hour-truncated ``max_ts - 3h`` cutoff).
+
+    At scale this is the knob that bounds state: watermark delay trades
+    late-data tolerance for state-store size (SURVEY.md §2B Streaming).
+    """
+    import tempfile
+
+    from projetos_etl_spark.streaming.jobs import stage_files
+
+    from projetos_etl_spark.sources.io import load_table
+
+    ev_all = load_table(spark, sf_dir, "events")
+    cutoff = ev_all.agg(
+        F.date_trunc("hour", F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("c")
+    ).collect()[0][0]
+    on_time = ev_all.filter(F.col("ts") >= F.lit(cutoff))
+    late = ev_all.filter(F.col("ts") < F.lit(cutoff))
+
+    watch = tempfile.mkdtemp(prefix="pes_late_")
+    stage_files(on_time, watch, "batch1")
+
+    stream = (
+        spark.readStream.format("parquet").schema(ev_all.schema).load(watch)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "pes_late_sink"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: establishes the watermark
+        stage_files(late, watch, "batch2")
+        q.processAllAvailable()  # batch 2: every row late -> dropped
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format("w.start", HOUR_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
+@REG.add(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (§2B ``stream_dedup_stateful``):
+    unlike plain streaming ``dropDuplicates`` (whose key state grows
+    forever), state for a key is evicted once the watermark passes it —
+    the only sane variant at 100 TB/day. On this finite input every
+    duplicate pair is within the watermark, so output = DISTINCT keys."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(deduped, "append")
+
+
+@REG.add(
     "stream_foreach_batch_sink",
     oracle="""
     SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value

@@ -95,6 +95,25 @@ def run_to_memory(
     return spark.table(name)
 
 
+def stage_files(df: DataFrame, watch_dir: str, tag: str) -> None:
+    """Materialize ``df`` as parquet part-files inside ``watch_dir`` (the
+    directory a file-source stream watches) — the unit of arrival for a
+    file stream is a file, so dropping a new batch of files IS the event
+    of new data arriving. Used to pin micro-batch boundaries in tests
+    (SURVEY.md §5.2 'streaming determinism')."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="pes_stage_")
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(watch_dir, exist_ok=True)
+    for i, part in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
+        shutil.move(part, os.path.join(watch_dir, f"{tag}-{i:05d}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def run_foreach_batch_parquet(stream_df: DataFrame, out_dir: str) -> None:
     """Drive a stream through a ``foreachBatch`` parquet sink (idempotent
     per-epoch append — the standard exactly-once-style custom sink)."""
