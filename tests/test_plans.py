@@ -1,0 +1,92 @@
+"""Plan-shape assertions: the properties that make the headline queries
+scale (pushdown, pruning, broadcast, top-k, codegen) are pinned here so a
+regression in query construction fails CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.plans import (
+    codegen_stage_count,
+    has_operator,
+    pushed_filters,
+    read_schemas,
+)
+from projetos_etl_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    (cols,) = read_schemas(df)
+    # 7 needed columns, not all 11.
+    assert cols == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+
+
+def test_filter_pred_all_predicates_pushed(spark, queries):
+    df = queries["filter_pred"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_quantity", "l_discount", "l_shipdate"):
+        assert col in pushed
+
+
+def test_join_broadcast_plans_broadcast_hash(spark, queries):
+    df = queries["join_broadcast"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "SortMergeJoin")
+
+
+def test_limit_topk_plans_take_ordered(spark, queries):
+    df = queries["limit_topk"](spark, SF)
+    assert has_operator(df, "TakeOrderedAndProject")
+    # No global sort materialization for a top-k.
+    assert not has_operator(df, "GlobalLimit")
+
+
+def test_partition_pruned_readback(spark, tmp_path):
+    from projetos_etl_spark.sources.io import sink_partitioned
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = str(tmp_path / "layer")
+    sink_partitioned(orders, out, ["o_orderstatus"])
+    scan = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    from projetos_etl_spark.plans import explain_str
+
+    plan = explain_str(scan)
+    # The filter lands on the partition column -> directory pruning
+    # (PartitionFilters), NOT a data filter (no PushedFilters needed),
+    # and the data columns read exclude the partition column itself.
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1)
+    assert all("o_orderstatus" not in s for s in read_schemas(scan))
+
+
+def test_q1_wholestage_codegen_present(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_medallion_conform_is_narrow(spark, queries):
+    # The silver transform must be shuffle-free: no Exchange in the plan.
+    df = queries["medallion_silver_conform"](spark, SF)
+    from projetos_etl_spark.plans import explain_str
+
+    assert "Exchange" not in explain_str(df)
