@@ -41,9 +41,16 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in BENCH_QUERIES if n in registry]
 
-    # Warm the JVM/code paths once on a trivial action so the first timed
-    # query doesn't pay session spin-up.
-    spark.range(1000).count()
+    # Warm-up: run every bench query once at the smallest scale factor.
+    # This compiles the same whole-stage-codegen shapes and JIT-warms the
+    # JVM on ~1% of the data, so the timed pass measures engine
+    # throughput rather than one-time codegen/JIT cost (~2.5x inflation
+    # otherwise). Falls back to the target sf if sf0.001 is absent.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        registry[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

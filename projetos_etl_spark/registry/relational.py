@@ -466,8 +466,16 @@ def gold_sales_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # Pre-aggregate lineitem to one row per order BEFORE the fact-fact
+    # join: o_orderkey is unique in orders, so COUNT(DISTINCT o_orderkey)
+    # per group becomes a plain COUNT(*) and the join input shrinks from
+    # line-item to order granularity (~4x fewer rows through the shuffle,
+    # and no Expand node for the distinct) — same result, cheaper plan.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("order_rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -477,10 +485,8 @@ def gold_sales_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("order_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
-                "revenue"
-            ),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), 0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("region_name", "nation_name", "order_year")
     )
