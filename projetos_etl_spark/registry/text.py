@@ -151,6 +151,86 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-2-style pre-tokenizer shape, ASCII-simplified so Java regex (Spark)
+#: and RE2 (DuckDB) agree exactly: word / number / punctuation-run tokens,
+#: each optionally absorbing one leading space.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@REG.add(
+    "text_tokens_bpe_regex",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER)           AS n_ws_tokens,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_tokens_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-shaped pre-tokenizer regex (word /
+    number / punct runs with leading-space absorption) beside the plain
+    whitespace count — chars-per-token is the standard budget estimator
+    for LLM training corpora. Pure regexp built-ins, zero shuffle."""
+    bpe = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(_tokens()).alias("n_ws_tokens"),
+        F.round(F.length("text").cast("double") / F.size(bpe), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+#: Rolling-hash parameters (Rabin-Karp base / Mersenne-ish modulus, k=8).
+_RH_K, _RH_BASE, _RH_MOD = 8, 131, 2147483647
+
+
+@REG.add(
+    "text_rolling_hash",
+    oracle=f"""
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ord(text[i]) AS BIGINT)) AS cs,
+               length(text) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(range(1, n - {_RH_K} + 2),
+               i -> list_reduce(cs[i : i + {_RH_K} - 1],
+                                (h, c) -> (h * {_RH_BASE} + c) % {_RH_MOD})))
+               AS min_rolling_hash
+    FROM codes
+    WHERE n >= {_RH_K}
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: polynomial Rabin-Karp hash of
+    every 8-gram, keep the minimum (one stable shingle survives edits
+    elsewhere in the document). Engine-portable arithmetic (base-131 poly
+    mod 2^31-1 over character codes) so DuckDB reproduces the exact
+    values; all higher-order array functions, no UDF, no shuffle."""
+    expr = f"""
+        aggregate(
+            transform(sequence(1, length(text) - {_RH_K} + 1),
+                i -> aggregate(
+                        transform(sequence(i, i + {_RH_K} - 1),
+                                  j -> ascii(substring(text, j, 1))),
+                        cast(0 as bigint),
+                        (h, c) -> (h * {_RH_BASE} + c) % {_RH_MOD})),
+            cast({_RH_MOD} as bigint) + 1,
+            (acc, x) -> least(acc, x))
+    """
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _RH_K)
+        .select("doc_id", F.expr(expr).alias("min_rolling_hash"))
+    )
+
+
 @REG.add("text_langid")  # heuristic detector => rows-only (see langid.py)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword/CJK-heuristic language detection applied to documents.
