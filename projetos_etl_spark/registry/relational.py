@@ -434,6 +434,39 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@REG.add(
+    "join_salted_skew",
+    oracle="""
+    SELECT s_nationkey,
+           count(*)                    AS n_items,
+           round(sum(l_quantity), 2)   AS total_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (``operators/salt.py``): the join key becomes
+    (l_suppkey, salt) so a hypothetical celebrity supplier's rows spread
+    over 16 shuffle partitions instead of one straggler task. The oracle
+    is the PLAIN join — salting must be result-invisible."""
+    from projetos_etl_spark.operators.salt import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, on=["l_suppkey"], n_salts=16)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gold mart (the layer the reference never built — ``gold:1-31`` stub).
 # ---------------------------------------------------------------------------

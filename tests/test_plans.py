@@ -79,6 +79,63 @@ def test_partition_pruned_readback(spark, tmp_path):
     assert all("o_orderstatus" not in s for s in read_schemas(scan))
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing both fact tables on the join key pre-partitions the data
+    at write time — the co-located sort-merge join then needs NO Exchange
+    (at 100 TB this converts the biggest shuffle in the pipeline into a
+    local merge)."""
+    from projetos_etl_spark.plans import explain_str
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("pes_orders_b")
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("pes_lineitem_b")
+        )
+        joined = spark.table("pes_lineitem_b").join(
+            spark.table("pes_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # And the join result is right.
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pes_orders_b")
+        spark.sql("DROP TABLE IF EXISTS pes_lineitem_b")
+
+
+def test_salted_join_spreads_key_and_matches_plain(spark):
+    from projetos_etl_spark.operators.salt import salted_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_suppkey", "l_quantity")
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    salted = salted_join(li, supp, on=["l_suppkey"], n_salts=8)
+    plain = li.join(supp, on="l_suppkey")
+    assert salted.count() == plain.count()
+    # The physical join key includes the salt column.
+    from projetos_etl_spark.plans import explain_str
+
+    assert "__salt" in explain_str(salted)
+
+
 def test_q1_wholestage_codegen_present(spark, queries):
     df = queries["q1_pricing_summary"](spark, SF)
     assert codegen_stage_count(df) >= 1
