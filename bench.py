@@ -23,6 +23,7 @@ from projetos_etl_spark.session import get_spark
 
 #: Headline queries: one per major operator family, heaviest variants.
 BENCH_QUERIES = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -30,6 +31,19 @@ BENCH_QUERIES = [
     "join_broadcast",
     "join_asof_events",
     "join_left",
+    # aggregation / window / scalar families
+    "agg_rollup",
+    "win_running_sum",
+    "fn_json_extract",
+    # LLM-data ops
+    "dedup_exact",
+    "dedup_near_minhash",
+    "text_rolling_hash",
+    "sim_search_topk",
+    # end-to-end medallion with real layer writes
+    "medallion_gold_profit_mart",
+    # structured streaming (windowed agg through a real streaming query)
+    "stream_tumbling_count",
 ]
 
 

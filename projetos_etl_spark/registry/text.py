@@ -213,20 +213,26 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     elsewhere in the document). Engine-portable arithmetic (base-131 poly
     mod 2^31-1 over character codes) so DuckDB reproduces the exact
     values; all higher-order array functions, no UDF, no shuffle."""
+    # Materialize the per-document code array once, then hash 8-gram
+    # slices of it — computing ascii(substring(...)) inside the inner
+    # fold would rescan the string 8x per position (measured ~20x slower).
+    codes = f"""
+        transform(sequence(1, length(text)),
+                  i -> cast(ascii(substring(text, i, 1)) as bigint))
+    """
     expr = f"""
         aggregate(
-            transform(sequence(1, length(text) - {_RH_K} + 1),
-                i -> aggregate(
-                        transform(sequence(i, i + {_RH_K} - 1),
-                                  j -> ascii(substring(text, j, 1))),
-                        cast(0 as bigint),
-                        (h, c) -> (h * {_RH_BASE} + c) % {_RH_MOD})),
+            transform(sequence(1, size(cs) - {_RH_K} + 1),
+                i -> aggregate(slice(cs, i, {_RH_K}),
+                               cast(0 as bigint),
+                               (h, c) -> (h * {_RH_BASE} + c) % {_RH_MOD})),
             cast({_RH_MOD} as bigint) + 1,
             (acc, x) -> least(acc, x))
     """
     return (
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _RH_K)
+        .select("doc_id", F.expr(codes).alias("cs"))
         .select("doc_id", F.expr(expr).alias("min_rolling_hash"))
     )
 

@@ -41,6 +41,13 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     microseconds exactly like the batch reader in sources/io.py)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Streaming aggregations allocate one state store per shuffle
+    # partition; the stock 200 means 200 state stores per windowed agg in
+    # local mode. Pin to a local-friendly count (the value is baked into
+    # a query's checkpoint at first start; these registry streams are
+    # ephemeral, so setting it per-session is safe).
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     # File-stream sources want a *directory* to watch; the fixture is a
     # single file, so watch its parent with a glob filter (this is also
     # the right shape at scale: a drop-directory of event files).
