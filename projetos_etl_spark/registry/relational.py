@@ -435,6 +435,67 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "subquery_scalar",
+    oracle="""
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS retail
+    FROM part
+    WHERE p_retailprice > 1.02 * (SELECT avg(p_retailprice) FROM part)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (parts priced >2% above the global average),
+    decorrelated as a broadcast of the 1-row aggregate — the scalar is
+    computed once and shipped to every executor, never a driver
+    collect()."""
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("__avg"))
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > 1.02 * F.col("__avg"))
+        .select(
+            "p_partkey", "p_brand", F.round("p_retailprice", 2).alias("retail")
+        )
+    )
+
+
+@REG.add(
+    "subquery_correlated",
+    oracle="""
+    SELECT l.l_partkey,
+           count(*)                   AS n_small,
+           round(sum(l.l_quantity), 2) AS small_qty
+    FROM lineitem l
+    WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    ORDER BY l.l_partkey
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape: lineitems under half
+    the part's average quantity), decorrelated into a per-part aggregate
+    joined back to the fact — one shuffle on l_partkey instead of a
+    subquery per row. This is the rewrite Catalyst itself applies to
+    correlated scalar subqueries; spelling it out keeps the join
+    broadcastable when the key side is bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("__half_avg")
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_quantity"), 2).alias("small_qty"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+@REG.add(
     "join_salted_skew",
     oracle="""
     SELECT s_nationkey,

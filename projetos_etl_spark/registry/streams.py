@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
@@ -228,6 +228,69 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", "event_type"
     )
     return run_to_memory(deduped, "append")
+
+
+@REG.add(
+    "stream_custom_stateful_profile",
+    oracle="""
+    SELECT user_id,
+           count(*)              AS n_events,
+           round(sum(value), 6)  AS total_value,
+           round(max(value), 6)  AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_custom_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``, see
+    ``streaming/stateful.py``) driven across TWO micro-batches: the
+    second batch's emissions must CONTINUE from state built in the first
+    (not restart), so the final per-user profile equals the batch
+    aggregate over all events — which is exactly the oracle. The sink
+    keeps every update; the final row per user is the one with the
+    highest running count."""
+    import tempfile
+
+    from projetos_etl_spark.sources.io import load_table
+    from projetos_etl_spark.streaming.jobs import stage_files
+    from projetos_etl_spark.streaming.stateful import running_user_profile
+
+    ev_all = load_table(spark, sf_dir, "events")
+    median_ts = ev_all.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("m")
+    ).collect()[0][0]
+
+    watch = tempfile.mkdtemp(prefix="pes_state_")
+    stage_files(ev_all.filter(F.col("ts") <= F.lit(median_ts)), watch, "batch1")
+
+    stream = spark.readStream.format("parquet").schema(ev_all.schema).load(watch)
+    profile = running_user_profile(stream)
+    name = "pes_stateful_sink"
+    q = (
+        profile.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stage_files(ev_all.filter(F.col("ts") > F.lit(median_ts)), watch, "batch2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+    )
 
 
 @REG.add(

