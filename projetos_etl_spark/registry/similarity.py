@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projetos_etl_spark.operators.cosine import brute_force_topk, srp_lsh_topk
+from projetos_etl_spark.operators.cosine import brute_force_topk, ivf_topk, srp_lsh_topk
 from projetos_etl_spark.registry._core import Registry
 from projetos_etl_spark.sources.io import load_table
 
@@ -53,6 +53,18 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return brute_force_topk(queries, emb, k=TOP_K)
+
+
+@REG.add("sim_search_ivf")  # approximate => rows-only check
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (``operators/cosine.ivf_topk``): a
+    distributed-Lloyd coarse quantizer partitions the corpus into
+    inverted lists; queries probe their 4 nearest of 16 cells. Touches
+    ~25% of the corpus per query instead of 100% — recall asserted on
+    clustered vectors in tests/test_dedup.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(queries, emb, k=TOP_K)
 
 
 @REG.add("sim_search_lsh_bucketed")  # approximate => rows-only check

@@ -90,6 +90,20 @@ def test_srp_lsh_recall_on_clustered_data(clustered_vectors):
     assert recall >= 0.8, f"recall {recall}"
 
 
+def test_ivf_recall_on_clustered_data(clustered_vectors):
+    from projetos_etl_spark.operators.cosine import ivf_topk
+
+    queries = clustered_vectors.filter(F.col("vec_id") % 20 == 0)  # one per cluster
+    exact = brute_force_topk(queries, clustered_vectors, k=5)
+    # 8 cells over 5 true clusters, probing 3: near-neighbors share the
+    # query's cell (or an adjacent probed one) on clustered data.
+    approx = ivf_topk(queries, clustered_vectors, k=5, n_cells=8, n_probe=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"recall {recall}"
+
+
 def test_brute_force_topk_is_exact(clustered_vectors):
     """Cross-check the Spark operator against numpy on the same vectors."""
     pdf = clustered_vectors.toPandas().sort_values("vec_id")
