@@ -91,6 +91,43 @@ def source_http_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "source_http_datasource",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_http_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reusable ``httpfile`` Python Data Source (``sources/httpds.py``,
+    SURVEY.md §2A op #1's scale-path variant): each partition's URL is
+    fetched ON AN EXECUTOR — a manifest of N shard URLs scans N-wide with
+    the driver never touching bytes. Here the nation table round-trips
+    through two CSV shards served as file:// URLs (hermetic http stand-in)."""
+    import glob
+    import tempfile
+
+    from projetos_etl_spark.session import ship_package
+    from projetos_etl_spark.sources.httpds import HttpFileDataSource
+
+    ship_package(spark)
+    spark.dataSource.register(HttpFileDataSource)
+
+    out = tempfile.mkdtemp(prefix="pes_httpds_")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.repartition(2).write.mode("overwrite").option("header", True).csv(out)
+    urls = ",".join(f"file://{p}" for p in sorted(glob.glob(f"{out}/part-*.csv")))
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    return (
+        spark.read.format("httpfile").schema(schema).option("url", urls).load()
+    )
+
+
+@REG.add(
     "sink_partitioned_prune",
     oracle="""
     SELECT o_orderpriority,
