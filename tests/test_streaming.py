@@ -1,0 +1,107 @@
+"""Deterministic streaming-semantics tests on tiny synthetic event sets:
+watermark late-data drop, cross-batch state continuation, session-window
+gap merging. Micro-batch boundaries are pinned with stage_files (one
+file drop per batch) + processAllAvailable between drops."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from projetos_etl_spark.streaming.jobs import session_agg, stage_files
+from projetos_etl_spark.streaming.stateful import running_user_profile
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, f"2024-01-01 {h:02d}:{m:02d}:00", v) for u, h, m, v in rows],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_two_batches(spark, agg_builder, batch1, batch2, mode="update"):
+    watch = tempfile.mkdtemp(prefix="pes_stest_")
+    stage_files(batch1, watch, "b1")
+    stream = spark.readStream.format("parquet").schema(batch1.schema).load(watch)
+    out = agg_builder(stream)
+    name = f"pes_stest_{abs(hash(watch)) % 10**8}"
+    q = out.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        after_b1 = [tuple(r) for r in spark.table(name).collect()]
+        stage_files(batch2, watch, "b2")
+        q.processAllAvailable()
+        after_b2 = [tuple(r) for r in spark.table(name).collect()]
+    finally:
+        q.stop()
+    return after_b1, after_b2
+
+
+def test_watermark_drops_late_window(spark):
+    # batch1 reaches 12:00 -> watermark 11:00 (1h delay); batch2's 08:30
+    # event lands in window [08:00,09:00) which ended before the watermark
+    # -> dropped; its 11:30 event is within the watermark -> counted.
+    batch1 = _events(spark, [(1, 10, 0, 1.0), (1, 12, 0, 1.0)])
+    batch2 = _events(spark, [(1, 8, 30, 1.0), (1, 11, 30, 1.0)])
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.hour("w.start").alias("h"), "n")
+        )
+
+    after_b1, after_b2 = _run_two_batches(spark, agg, batch1, batch2)
+    assert sorted(after_b1) == [(10, 1), (12, 1)]
+    emitted_b2 = sorted(set(after_b2) - set(after_b1))
+    assert emitted_b2 == [(11, 1)]  # the 08:30 event vanished
+
+
+def test_stateful_profile_continues_across_batches(spark):
+    batch1 = _events(spark, [(1, 9, 0, 2.0), (1, 9, 30, 3.0), (2, 9, 0, 7.0)])
+    batch2 = _events(spark, [(1, 10, 0, 5.0)])
+    after_b1, after_b2 = _run_two_batches(
+        spark, running_user_profile, batch1, batch2
+    )
+    assert (1, 2, 5.0, 3.0) in after_b1  # user 1: 2 events, sum 5, max 3
+    assert (2, 1, 7.0, 7.0) in after_b1
+    # batch 2 must CONTINUE user 1's state, not restart it.
+    assert (1, 3, 10.0, 5.0) in after_b2
+
+
+def test_session_window_merges_within_gap(spark):
+    ev = _events(
+        spark,
+        [(1, 9, 0, 1.0), (1, 9, 20, 1.0), (1, 12, 0, 1.0), (2, 9, 5, 1.0)],
+    )
+    watch = tempfile.mkdtemp(prefix="pes_sess_")
+    stage_files(ev, watch, "b1")
+    stream = spark.readStream.format("parquet").schema(ev.schema).load(watch)
+    out = session_agg(stream, gap="30 minutes")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("pes_sess_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r.user_id, r.n_events) for r in spark.table("pes_sess_sink").collect()
+        }
+    finally:
+        q.stop()
+    # user 1: 09:00+09:20 merge (gap < 30m), 12:00 is its own session.
+    assert rows == {(1, 2), (1, 1), (2, 1)}
