@@ -120,6 +120,48 @@ def win_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "win_range_frame",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+               o_totalprice
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER w, 2)   AS spend_30d,
+           round(min(o_totalprice) OVER w, 2) AS min_in_window
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the row-count frames elsewhere in
+    this family): per customer, total spend over the trailing 30 days of
+    each order. Range frames bound state by *value distance*, so a burst
+    of same-day orders stays in one frame — the semantics row frames
+    can't express. One shuffle on the customer key.
+
+    All frame aggregates here (sum/min) are peer-order-insensitive —
+    positional functions like first_value would be nondeterministic when
+    several orders share the frame-start day."""
+    orders = _t(spark, sf_dir, "orders")
+    day = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.round(F.min("o_totalprice").over(w), 2).alias("min_in_window"),
+    )
+
+
+@REG.add(
     "win_ntile",
     oracle="""
     SELECT o_orderkey,
