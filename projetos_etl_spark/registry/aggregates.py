@@ -204,3 +204,33 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["F", "O", "P"])
         .orderBy("o_orderpriority")
     )
+
+
+@REG.add(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5)  AS median_price,
+           quantile_cont(o_totalprice, 0.9)  AS p90_price,
+           quantile_cont(o_totalprice, 0.99) AS p99_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, bit-identical — verified, no rounding needed).
+    Exact percentile sorts per group; at 100 TB switch to
+    ``percentile_approx`` (t-digest, mergeable map-side) and accept
+    bounded error — the same trade as count-distinct vs HLL."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

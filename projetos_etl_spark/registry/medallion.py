@@ -23,7 +23,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projetos_etl_spark.medallion import gold_profit_mart, run_pipeline, silver_conform
-from projetos_etl_spark.registry._core import DATE_FMT_DUCK, DATE_FMT_SPARK, Registry
+from projetos_etl_spark.operators.scd2 import scd2_apply
+from projetos_etl_spark.registry._core import (
+    DATE_FMT_DUCK,
+    DATE_FMT_SPARK,
+    TS_FMT_DUCK,
+    TS_FMT_SPARK,
+    Registry,
+)
 from projetos_etl_spark.sources.io import load_table
 
 REG = Registry()
@@ -174,3 +181,72 @@ def medallion_gold_profit_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="pes_medallion_")
     silver = run_pipeline(spark, raw, base, partition_cols=["year"])
     return gold_profit_mart(silver)
+
+
+SCD2_BATCH_TS = "2020-06-01 00:00:00"
+
+
+@REG.add(
+    "scd2_dimension_upsert",
+    oracle=f"""
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey,
+               TIMESTAMP '1990-01-01 00:00:00' AS vf
+        FROM customer
+    ), chg AS (SELECT * FROM cur WHERE c_custkey % 3 = 0 AND c_mktsegment <> 'MACHINERY')
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           strftime(vf, '{TS_FMT_DUCK}') AS valid_from,
+           CAST(NULL AS VARCHAR)         AS valid_to
+    FROM cur WHERE NOT (c_custkey % 3 = 0 AND c_mktsegment <> 'MACHINERY')
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           strftime(vf, '{TS_FMT_DUCK}'),
+           strftime(TIMESTAMP '{SCD2_BATCH_TS}', '{TS_FMT_DUCK}')
+    FROM chg
+    UNION ALL
+    SELECT c_custkey, 'MACHINERY', c_nationkey,
+           strftime(TIMESTAMP '{SCD2_BATCH_TS}', '{TS_FMT_DUCK}'), NULL
+    FROM chg
+    UNION ALL
+    SELECT c_custkey + 100000, 'NEW', 0,
+           strftime(TIMESTAMP '{SCD2_BATCH_TS}', '{TS_FMT_DUCK}'), NULL
+    FROM cur WHERE c_custkey % 1000 = 0
+    """,
+)
+def scd2_dimension_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 upsert (``operators/scd2.py``) on a customer dimension
+    snapshot: every third customer switches segment to MACHINERY (a no-op
+    where it already is — change detection must see that), and a few
+    brand-new keys arrive. The oracle enumerates the exact expected
+    unchanged/closed/reopened/new row sets."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.lit("MACHINERY").alias("c_mktsegment"), "c_nationkey"
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 1000 == 0).select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"),
+            F.lit("NEW").alias("c_mktsegment"),
+            F.lit(0).cast("long").alias("c_nationkey"),
+        )
+    )
+    out = scd2_apply(
+        dim,
+        updates,
+        key="c_custkey",
+        attrs=["c_mktsegment", "c_nationkey"],
+        batch_ts=SCD2_BATCH_TS,
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT_SPARK).alias("valid_to"),
+    )
