@@ -9,7 +9,7 @@ both engines — which is what makes these oracle-checkable at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projetos_etl_spark.operators.cosine import as_double_array, cosine
@@ -196,4 +196,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+NEAR_DUP_THRESHOLD = 0.5
+MIN_QUALITY_CHARS = 100
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _training_corpus_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+    WITH ex AS (
+        SELECT doc_id, lang, n_chars, text,
+               row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ), removed AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM ({_minhash_oracle()}) p
+        WHERE p.est_jaccard >= {NEAR_DUP_THRESHOLD}
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ex
+    WHERE rn = 1
+      AND doc_id NOT IN (SELECT doc_id FROM removed)
+      AND length(text) >= {MIN_QUALITY_CHARS}
+      AND len(list_filter(string_split(text, ' '), t -> t IN ({stop_list}))) > 0
+    """
+
+
+@REG.add("pipeline_training_corpus", oracle=_training_corpus_oracle())
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data pipeline (BASELINE.json north star),
+    end-to-end in one lazy plan: exact dedup (first doc per normalized
+    md5) -> MinHash-LSH near-dup removal (drop the higher doc_id of any
+    pair with estimated Jaccard >= 0.5) -> quality gate (length +
+    stopword-density). Each stage is the same operator the standalone
+    entries verify; this entry verifies their COMPOSITION against one
+    DuckDB oracle.
+
+    Scale: stage order matters — exact dedup (cheap hash shuffle) runs
+    before MinHash (16 digests/shingle), and the near-dup *pair* set
+    drives cost, not corpus size. The whole pipeline is one lineage: no
+    intermediate materialization unless a layer write is asked for."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")).cast("binary"))).orderBy(
+        "doc_id"
+    )
+    exact_kept = (
+        docs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    removed = (
+        lsh_candidate_pairs(sigs, "doc_id")
+        .filter(F.col("est_jaccard") >= NEAR_DUP_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    stop_hits = F.size(F.filter(F.split("text", " "), lambda t: t.isin(*_STOPWORDS)))
+    return (
+        exact_kept.join(removed, "doc_id", "left_anti")
+        .filter((F.length("text") >= MIN_QUALITY_CHARS) & (stop_hits > 0))
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
     )
