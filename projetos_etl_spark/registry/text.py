@@ -248,3 +248,41 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("declared_lang"),
         detect_language(F.col("text")).alias("detected_lang"),
     )
+
+
+#: Per-language sampling rates (percent) for the stratified sample.
+SAMPLE_RATES = {"en": 50, "zh": 30}
+SAMPLE_DEFAULT_RATE = 10
+#: Knuth multiplicative hash constants — pure BIGINT arithmetic, identical
+#: in Spark and DuckDB (unlike engine hash functions or Bernoulli
+#: sample(), whose RNG streams differ or depend on partitioning).
+_KNUTH, _MOD32 = 2654435761, 4294967296
+
+
+@REG.add(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % {_MOD32} % 100 <
+          CASE lang WHEN 'en' THEN {SAMPLE_RATES['en']}
+                    WHEN 'zh' THEN {SAMPLE_RATES['zh']}
+                    ELSE {SAMPLE_DEFAULT_RATE} END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by deterministic key hash: language strata get
+    different rates (en 50%, zh 30%, rest 10%). Hash-mod sampling is the
+    training-data-pipeline standard at scale: reproducible across runs,
+    partitionings and engines (a row's fate depends only on its key), and
+    the sample can be widened monotonically by raising the threshold —
+    properties Bernoulli ``df.sample()`` cannot give."""
+    rate = (
+        F.when(F.col("lang") == "en", SAMPLE_RATES["en"])
+        .when(F.col("lang") == "zh", SAMPLE_RATES["zh"])
+        .otherwise(SAMPLE_DEFAULT_RATE)
+    )
+    bucket = (F.col("doc_id") * _KNUTH) % _MOD32 % 100
+    return (
+        _t(spark, sf_dir, "documents").filter(bucket < rate).select("doc_id", "lang")
+    )
