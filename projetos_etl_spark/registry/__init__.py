@@ -11,6 +11,7 @@ from projetos_etl_spark.registry._core import QueryFn, Registry
 
 _FAMILIES = [
     "relational",
+    "tpch_breadth",
     "medallion",
     "sources",
     "aggregates",
