@@ -19,6 +19,7 @@ _FAMILIES = [
     "setops",
     "scalars",
     "text",
+    "corpus",
     "dedup",
     "similarity",
     "multimodal",

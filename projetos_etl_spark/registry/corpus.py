@@ -1,0 +1,275 @@
+"""Training-corpus pipeline family over ``documents`` (BASELINE.json
+north star): chunking, PII redaction, benchmark-contamination checks,
+within-document repetition scoring, and source-mix resample weights.
+
+These are the operations an LLM training-data pipeline runs after the
+per-document featurization in ``text.py`` and the dedup family. All are
+built-in-expression pipelines; the only shuffles are the contamination
+shingle join (broadcast on the benchmark side — the benchmark set is
+bounded by construction) and the bounded-cardinality mix aggregation.
+At 100 TB: chunking and redaction stream through the scan (flatMap-
+shaped, no state); contamination joins a 100 TB corpus against a
+fixed-size benchmark — classic broadcast semi-join territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.sources.io import load_table
+
+REG = Registry()
+
+#: Chunking geometry: 40-token chunks every 30 tokens (10-token overlap).
+CHUNK_TOKENS, CHUNK_STRIDE = 40, 30
+
+#: Contamination shingle width (4-gram: non-trivial overlap on fixture).
+CONTAM_K = 4
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"555-[0-9]+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@REG.add(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(text, ' ')      AS ts,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, ts, n, unnest(range(1, n + 1, {CHUNK_STRIDE})) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_STRIDE} AS INTEGER)                     AS chunk_idx,
+           CAST(len(ts[s : least(s + {CHUNK_TOKENS} - 1, n)]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(ts[s : least(s + {CHUNK_TOKENS} - 1, n)], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (40-token chunks, 30-token
+    stride): the standard context-window packing step before tokenizing
+    a corpus. One row fans out to ceil(n/stride) rows via posexplode of
+    a start-offset sequence — flatMap-shaped, stateless, no shuffle, so
+    it scales linearly with corpus bytes."""
+    toks = F.split(F.col("text"), " ")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("ts"), F.size(toks).alias("n"))
+        .select(
+            "doc_id",
+            "ts",
+            "n",
+            F.posexplode(
+                F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+            ).alias("chunk_idx", "s"),
+        )
+    )
+    chunk = F.slice(F.col("ts"), F.col("s"), CHUNK_TOKENS)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@REG.add(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call 555-0' || doc_id || ' today'
+                       ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g'))            AS redacted_md5
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone-shaped tokens): count
+    matches and emit the digest of the redacted text. The fixture corpus
+    is synthetic word soup with no PII, so a deterministic injection
+    step (keyed on doc_id) plants known emails/phones first — the
+    redaction regexes and the injection are both oracle-mirrored, so
+    the check verifies the actual scrub, not a no-op. Pure per-row
+    regexp built-ins: zero shuffle, streams at scan speed."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-0"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+@REG.add(
+    "text_contamination_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split(text, ' ')      AS ts,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, n - {CONTAM_K} + 2),
+                      i -> array_to_string(ts[i : i + {CONTAM_K} - 1], ' '))) AS g
+        FROM toks WHERE n >= {CONTAM_K}
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+    corp  AS (SELECT DISTINCT doc_id, g FROM sh WHERE source <> 'src0')
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM corp c JOIN bench USING (g)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing any 4-gram
+    word shingle with the held-out benchmark set (source ``src0`` stands
+    in for an eval suite). The benchmark shingle set is DISTINCT-ed and
+    broadcast — at 100 TB the corpus side streams through a map-side
+    hash join keyed on the shingle, and per-doc dedup of shingles
+    happens before the join so a repeated shingle can't double-count."""
+    toks = F.split(F.col("text"), " ")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", toks.alias("ts"), F.size(toks).alias("n")
+    ).filter(F.col("n") >= CONTAM_K)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.col("n") - (CONTAM_K - 1)),
+        lambda i: F.array_join(F.slice(F.col("ts"), i, CONTAM_K), " "),
+    )
+    sh = d.select("doc_id", "source", F.explode(shingles).alias("g"))
+    bench = sh.filter(F.col("source") == "src0").select("g").distinct()
+    corp = (
+        sh.filter(F.col("source") != "src0").select("doc_id", "g").distinct()
+    )
+    return (
+        corp.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy("doc_id")
+    )
+
+
+@REG.add(
+    "text_repetition_ngram",
+    oracle="""
+    WITH tris AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) - 2 AS n_trigrams,
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string(string_split(text, ' ')[i : i + 2], ' ')))
+                   AS dis
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT doc_id,
+           CAST(n_trigrams AS INTEGER)                              AS n_trigrams,
+           CAST(len(dis) AS INTEGER)                                AS n_distinct,
+           round(1.0 - len(dis) / CAST(n_trigrams AS DOUBLE), 6)    AS repetition_ratio
+    FROM tris
+    """,
+)
+def text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score: 1 - (distinct trigrams / total
+    trigrams). High values flag boilerplate/looped generations — a
+    standard quality gate for LLM training data. Higher-order array
+    functions only; per-row cost O(doc length), no shuffle."""
+    toks = F.split(F.col("text"), " ")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("ts"), F.size(toks).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    tris = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 2),
+        lambda i: F.array_join(F.slice(F.col("ts"), i, 3), " "),
+    )
+    dis = F.array_distinct(tris)
+    return d.select(
+        "doc_id",
+        (F.col("n") - 2).cast("int").alias("n_trigrams"),
+        F.size(dis).alias("n_distinct"),
+        F.round(
+            1.0 - F.size(dis) / (F.col("n") - 2).cast("double"), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+@REG.add(
+    "corpus_mix_weights",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+    SELECT source,
+           CAST(n AS BIGINT)                                        AS n_docs,
+           round(n / sum(n) OVER (), 6)                             AS share,
+           round((1.0 / 20) / (n / sum(n) OVER ()), 6)              AS resample_weight
+    FROM c
+    ORDER BY source
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix resampling weights: per-source share of the corpus and
+    the weight that rebalances to a uniform 20-way target mix (the
+    domain-mixture step of corpus assembly). The window runs over the
+    ALREADY-aggregated per-source counts — bounded cardinality — so the
+    single-partition window is a 20-row operation regardless of corpus
+    size."""
+    c = _t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    share = F.col("n") / total
+    return c.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(share, 6).alias("share"),
+        F.round(F.lit(1.0 / 20) / share, 6).alias("resample_weight"),
+    ).orderBy("source")
