@@ -260,3 +260,81 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.length("text") >= MIN_QUALITY_CHARS) & (stop_hits > 0))
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assignment: connected components over blocking edges.
+# ---------------------------------------------------------------------------
+
+#: Two overlapping token-window blocking keys (tokens 1-6 and 4-9): a doc
+#: pair sharing either window becomes an edge, and the OVERLAP between the
+#: two windows lets clusters chain transitively (A~B on window 1, B~C on
+#: window 2 -> one cluster), which is what makes connected components
+#: necessary at all (single-key blocking would be a plain groupBy).
+_CC_WINDOWS = ((1, 6), (4, 9))
+
+
+def _cc_oracle() -> str:
+    key_selects = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, array_to_string(ts[{lo}:{hi}], ' ') AS k FROM toks"
+        for lo, hi in _CC_WINDOWS
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    keys AS (
+        {key_selects}
+    ),
+    edges AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM keys a JOIN keys b USING (k)
+        WHERE a.doc_id <> b.doc_id
+    ),
+    reach(src, lbl) AS (
+        SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM documents)
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+    )
+    SELECT src AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach
+    GROUP BY src
+    ORDER BY doc_id
+    """
+
+
+@REG.add("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment via distributed connected components
+    (``operators/components.py``): union two overlapping token-window
+    blocking passes into an edge list, then iterate min-label
+    propagation to a fixpoint. component = min doc_id of the cluster =
+    the canonical survivor id near-dup removal would keep. The DuckDB
+    twin computes the same transitive closure with a recursive CTE —
+    the iterative Spark loop and the recursive oracle must agree
+    exactly, which pins the convergence logic."""
+    from projetos_etl_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", toks.alias("ts"))
+    keys = None
+    for lo, hi in _CC_WINDOWS:
+        part = d.select(
+            "doc_id",
+            F.array_join(F.slice("ts", lo, hi - lo + 1), " ").alias("k"),
+        )
+        keys = part if keys is None else keys.union(part)
+    edges = (
+        keys.alias("a")
+        .join(keys.alias("b"), "k")
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    verts = docs.select(F.col("doc_id").alias("id")).distinct()
+    return (
+        connected_components(verts, edges)
+        .select(F.col("id").alias("doc_id"), F.col("component").cast("long"))
+        .orderBy("doc_id")
+    )

@@ -120,3 +120,31 @@ def test_brute_force_topk_is_exact(clustered_vectors):
         .neighbor_id
     )
     assert got == top1_np
+
+
+def test_connected_components_chain(spark):
+    """A 5-vertex chain (0-1-2-3-4) plus an isolated vertex: min-label
+    propagation needs multiple rounds to carry 0 to the chain's far end,
+    so this exercises the loop + convergence check, not just one hop."""
+    from projetos_etl_spark.operators.components import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {
+        r.id: r.component for r in connected_components(verts, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5}
+
+
+def test_connected_components_two_clusters(spark):
+    from projetos_etl_spark.operators.components import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11]], ["id"])
+    # asymmetric input edges on purpose: operator must symmetrize
+    edges = spark.createDataFrame([(3, 1), (2, 3), (11, 10)], ["src", "dst"])
+    got = {
+        r.id: r.component for r in connected_components(verts, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
