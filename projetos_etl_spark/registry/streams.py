@@ -326,3 +326,104 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.read.parquet(out_dir)
     last = result.agg(F.max("epoch_id")).collect()[0][0]
     return result.filter(F.col("epoch_id") == last).select("event_type", "n", "sum_value")
+
+
+@REG.add(
+    "stream_static_join_enrich",
+    oracle="""
+    WITH tiers AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN user_id % 3 = 0 THEN 'gold'
+                    WHEN user_id % 3 = 1 THEN 'silver'
+                    ELSE 'bronze' END AS tier
+        FROM events
+    )
+    SELECT t.tier, e.event_type,
+           count(*)             AS n,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e JOIN tiers t ON e.user_id = t.user_id
+    GROUP BY t.tier, e.event_type
+    """,
+)
+def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriches each row against a
+    static dimension table (user tiers) then aggregates per tier. The
+    static side is a plain batch DataFrame — Spark re-plans it into
+    every micro-batch as a broadcast hash join, the canonical pattern
+    for dimension enrichment at 100 TB/day stream scale (the dim is
+    bounded; the stream never shuffles for the join)."""
+    from projetos_etl_spark.sources.io import load_table
+
+    tiers = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze"),
+        )
+    )
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.join(F.broadcast(tiers), "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+@REG.add(
+    "stream_stream_interval_join",
+    oracle=f"""
+    SELECT p.event_id                      AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           strftime(e.ts, '{TS_FMT_DUCK}') AS error_ts
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND e.ts >= p.ts - INTERVAL '2 hours' AND e.ts <= p.ts
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user errors
+    in the 2 hours leading up to the purchase. Both sides are streaming
+    with watermarks; the time-range condition bounds the join state on
+    each side (rows age out once the other side's watermark passes the
+    interval) — without it, stream-stream join state grows forever.
+    Inner join in append mode; on finite input the emitted pairs equal
+    the batch interval join, which is the oracle."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "2 hours")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    )
+    out = run_to_memory(joined, "append")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("e_ts", TS_FMT_SPARK).alias("error_ts"),
+    )
