@@ -77,3 +77,32 @@ def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return srp_lsh_topk(queries, emb, k=TOP_K)
+
+
+@REG.add(
+    "emb_centroid_per_label",
+    oracle="""
+    SELECT label,
+           CAST(i AS INTEGER)                              AS dim,
+           round(avg(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the 64-d embeddings in LONG form
+    (label, dim, value): posexplode fans each vector into 64 rows, then
+    a plain hash aggregate averages per (label, dim). Long form keeps
+    the whole computation in Tungsten codegen (no Python, no vector
+    UDAF) and shuffles rows of 3 scalars — at 100 TB this is the
+    map-side-combinable formulation of k-means' M-step / class-prototype
+    computation. The IVF quantizer (``operators/cosine.py``) uses the
+    same shape internally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )

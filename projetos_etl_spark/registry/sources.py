@@ -159,3 +159,59 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@REG.add(
+    "scan_json_lines",
+    oracle="SELECT event_id, user_id, event_type, round(value, 6) AS value, props FROM events",
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with explicit schema: events round-trip through a
+    Spark JSON write then scan back with the declared StructType. JSON
+    lines are splittable (one record per line) so the scan parallelizes
+    like CSV; schema is always declared — ``inferSchema`` on 100 TB of
+    JSON is a full extra pass. Doubles survive because Spark writes
+    shortest-round-trip literals; the nested ``props`` payload stays an
+    opaque string here (``fn_json_extract`` covers extraction)."""
+    out = tempfile.mkdtemp(prefix="pes_json_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").json(out)
+    return (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .json(out)
+        .withColumn("value", F.round("value", 6))
+    )
+
+
+@REG.add(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (the other columnar format Spark ships natively):
+    supplier written as ORC, scanned back. Same pushdown/pruning story
+    as parquet (ORC has its own stripe statistics); exists so a
+    reference user on an ORC warehouse can switch without a format
+    migration."""
+    out = tempfile.mkdtemp(prefix="pes_orc_")
+    supp = load_table(spark, sf_dir, "supplier")
+    supp.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )

@@ -260,3 +260,62 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal"))
     )
+
+
+@REG.add(
+    "win_percent_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume_d
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_percent_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) per
+    market segment — the rank-normalization step behind percentile
+    cutoffs (e.g. "top 5% balances per segment"). One shuffle on the
+    partition key; the unique tie-break (c_custkey) pins both engines
+    to identical ranks."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
+
+
+@REG.add(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS latest_order,
+           round(o_totalprice - first_value(o_totalprice) OVER w, 2) AS delta_vs_first
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an explicit full-partition frame:
+    each order beside the customer's first and latest order. The
+    UNBOUNDED..UNBOUNDED frame is spelled out because last_value's
+    default frame (ending CURRENT ROW) silently returns the current
+    row — the classic window-frame footgun, pinned here by the oracle."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.round(
+            F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
+        ).alias("delta_vs_first"),
+    )
