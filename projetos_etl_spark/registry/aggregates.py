@@ -234,3 +234,79 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@REG.add(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT)                               AS n,
+           round(sum(o_totalprice), 0)                            AS bucket_total
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (10 x 50k buckets, top
+    bucket open-ended): the bucket id is explicit floor arithmetic
+    rather than width_bucket so both engines compute the identical
+    boundary math (DuckDB floor() returns DOUBLE, Spark LONG — the cast
+    pins it). Bucketing before the shuffle means the aggregation moves
+    10 rows per partition regardless of table size."""
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 0).alias("bucket_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@REG.add(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    )
+    WHERE rn = 1
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with an explicit tie-break:
+    count-then-rank instead of a native mode() aggregate, because
+    engines disagree on which tied value mode() returns — spelled out,
+    the result is engine-invariant and the plan is still just one
+    aggregation plus a window over the (tiny) per-group value counts."""
+    from pyspark.sql import Window
+
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+        .orderBy("c_mktsegment")
+    )

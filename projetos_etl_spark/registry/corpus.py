@@ -273,3 +273,46 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("share"),
         F.round(F.lit(1.0 / 20) / share, 6).alias("resample_weight"),
     ).orderBy("source")
+
+
+@REG.add(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)                      AS n_tokens,
+           round(avg(-ln(v.c / n)), 6)                   AS avg_neg_logprob
+    FROM toks t JOIN vocab v USING (tok), tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document average negative log
+    probability under the corpus's own unigram distribution — the
+    cheapest member of the perplexity-filter family used to rank
+    training documents (fluent/common text scores low, noise scores
+    high). Two passes: one aggregation builds the vocabulary (bounded:
+    vocab size, not corpus size), which then BROADCASTS back onto the
+    token stream — at 100 TB the second pass is a map-side join, and
+    the per-doc average is an ordinary hash aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

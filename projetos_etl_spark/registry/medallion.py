@@ -250,3 +250,82 @@ def scd2_dimension_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
         F.date_format("valid_to", TS_FMT_SPARK).alias("valid_to"),
     )
+
+
+@REG.add(
+    "cdc_apply_changes",
+    oracle="""
+    WITH chg AS (
+        SELECT o_orderkey AS k, 'U' AS op, o_custkey, o_orderstatus,
+               round(o_totalprice, 2) + 10.0 AS price, 1 AS seq
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', o_custkey, o_orderstatus,
+               round(o_totalprice, 2) + 25.0, 2
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', o_custkey, o_orderstatus, 0.0, 1
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'I', o_custkey, 'N', 100.0, 1
+        FROM orders WHERE o_orderkey % 10 = 2
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT chg.*, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+            FROM chg)
+        WHERE rn = 1
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT k FROM latest)
+    UNION ALL
+    SELECT k, o_custkey, o_orderstatus, price
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply (``operators/cdc.py``): a synthetic change
+    stream against the orders snapshot — two successive updates for every
+    %10==0 key (latest must win), deletes for %10==1, fresh inserts for
+    %10==2. The oracle enumerates the same change set in SQL and merges
+    it with window + anti-join, so both the latest-change-wins ordering
+    and the I/U/D semantics are value-checked."""
+    from projetos_etl_spark.operators.cdc import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+    def chg(filter_mod, op, price_col, seq):
+        return (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == filter_mod)
+            .select(
+                (
+                    F.col("o_orderkey") + (10000000 if op == "I" else 0)
+                ).alias("o_orderkey"),
+                "o_custkey",
+                (F.lit("N") if op == "I" else F.col("o_orderstatus")).alias(
+                    "o_orderstatus"
+                ),
+                price_col.alias("totalprice"),
+                F.lit(op).alias("op"),
+                F.lit(seq).alias("seq"),
+            )
+        )
+
+    # updated prices are exact additions to the ALREADY-rounded value:
+    # round(x * 1.05, 2) lands on half-cent boundaries where Spark
+    # (BigDecimal HALF_UP) and DuckDB (float rounding) disagree.
+    changes = (
+        chg(0, "U", F.round("o_totalprice", 2) + 10.0, 1)
+        .unionByName(chg(0, "U", F.round("o_totalprice", 2) + 25.0, 2))
+        .unionByName(chg(1, "D", F.lit(0.0), 1))
+        .unionByName(chg(2, "I", F.lit(100.0), 1))
+    )
+    return apply_cdc(orders, changes, key="o_orderkey")
