@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q9_product_profit",
     "gold_sales_mart",
     "join_broadcast",
     "join_asof_events",
@@ -38,8 +39,13 @@ BENCH_QUERIES = [
     # LLM-data ops
     "dedup_exact",
     "dedup_near_minhash",
+    "dedup_connected_components",
     "text_rolling_hash",
+    "text_contamination_ngram",
+    "text_unigram_logprob",
     "sim_search_topk",
+    # warehouse maintenance
+    "cdc_apply_changes",
     # end-to-end medallion with real layer writes
     "medallion_gold_profit_mart",
     # structured streaming (windowed agg through a real streaming query)
