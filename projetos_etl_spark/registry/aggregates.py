@@ -310,3 +310,32 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@REG.add(
+    "agg_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice)        AS biggest_order,
+           round(max(o_totalprice), 2)              AS biggest_total
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max / max_by aggregation: each customer's highest-value order
+    in ONE aggregation pass — no self-join back onto the max, no window.
+    (o_custkey, o_totalprice) pairs are unique in the fixture so the
+    argmax is well-defined; with tie-prone data you'd max_by on a
+    (value, unique-key) struct instead. Combinable partial aggregate:
+    the cheapest formulation of "row of the max" at any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("biggest_total"),
+        )
+        .orderBy("o_custkey")
+    )

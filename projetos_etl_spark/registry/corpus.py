@@ -316,3 +316,71 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Vocabulary size for the top-k token table.
+VOCAB_K = 50
+
+
+@REG.add(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT tok, CAST(c AS BIGINT) AS n_occurrences
+    FROM (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    )
+    ORDER BY c DESC, tok
+    LIMIT {VOCAB_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary building: the top-50 tokens by corpus
+    frequency (count desc, token asc tie-break) — the seed step of any
+    frequency-based tokenizer (BPE starts from exactly this table).
+    explode -> combinable hash aggregate -> TakeOrderedAndProject: the
+    top-k never materializes a global sort, so vocab extraction over
+    100 TB is one pass + a k-row driver merge."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "tok")
+        .limit(VOCAB_K)
+    )
+
+
+#: Per-stratum sample size for the deterministic k-per-group sample.
+STRATUM_K = 5
+
+
+@REG.add(
+    "sample_topk_per_stratum",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    WHERE rn <= {STRATUM_K}
+    """,
+)
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: rank rows inside each language by
+    the md5 of their key and keep the first 5 — a deterministic,
+    engine-portable stand-in for per-group reservoir sampling (the hash
+    IS the random draw, so the sample is reproducible across runs,
+    engines and partitionings, unlike rand()-based reservoirs). One
+    shuffle on the stratum key; the per-group sort is k-bounded."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATUM_K)
+        .select("doc_id", "lang")
+    )
