@@ -147,3 +147,35 @@ def test_medallion_conform_is_narrow(spark, queries):
     from projetos_etl_spark.plans import explain_str
 
     assert "Exchange" not in explain_str(df)
+
+
+def test_q9_dims_broadcast_one_fact_shuffle(spark, queries):
+    """Q9: part/supplier/nation broadcast; only lineitem-orders shuffles."""
+    df = queries["q9_product_profit"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+    # the LIKE filter on part must prune before the join (scan-level)
+    assert any("p_name" in f for f in pushed_filters(df))
+
+
+def test_contamination_benchmark_side_broadcast(spark, queries):
+    """Contamination check: the benchmark shingle set must broadcast —
+    a sort-merge join here would shuffle the full corpus shingle stream."""
+    df = queries["text_contamination_ngram"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_vocab_topk_plans_take_ordered(spark, queries):
+    df = queries["text_vocab_topk"](spark, SF)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_unigram_logprob_vocab_broadcast(spark, queries):
+    df = queries["text_unigram_logprob"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark, queries):
+    df = queries["q16_supplier_count"](spark, SF)
+    # NOT IN complaint list must plan as a broadcast anti join
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "SortMergeJoin")
