@@ -145,3 +145,101 @@ def test_asof_join_matches_naive(spark, left_rows, right_rows):
             (ts for k, ts in right_rows if k == lk and ts <= lts), default=None
         )
         assert got[(lk, lts)] == best
+
+
+def _cc_reference(n_vertices, edges):
+    """Union-find reference for connected components."""
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then label = min id of the set
+    comp = {}
+    for v in range(n_vertices):
+        r = find(v)
+        comp.setdefault(r, min(r, v))
+    return {v: min(w for w in range(n_vertices) if find(w) == find(v)) for v in range(n_vertices)}
+
+
+@PROP
+@given(
+    st.integers(2, 12).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                max_size=18,
+            ),
+        )
+    )
+)
+def test_connected_components_matches_union_find(spark, case):
+    from projetos_etl_spark.operators.components import connected_components
+
+    n, edges = case
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    if edges:
+        edf = spark.createDataFrame(edges, ["src", "dst"])
+    else:
+        edf = spark.createDataFrame([], "src INT, dst INT")
+    got = {r.id: r.component for r in connected_components(verts, edf).collect()}
+    assert got == _cc_reference(n, edges)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 15),              # key
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(1, 5),               # seq
+            st.integers(0, 999),             # payload
+        ),
+        max_size=20,
+    )
+)
+def test_cdc_apply_matches_reference(spark, changes):
+    """apply_cdc vs a dict-based reference: latest seq wins per key;
+    ties on (key, seq) are excluded by construction (dedup below)."""
+    from projetos_etl_spark.operators.cdc import apply_cdc
+
+    seen = set()
+    uniq = []
+    for k, op, seq, val in changes:
+        if (k, seq) not in seen:
+            seen.add((k, seq))
+            uniq.append((k, op, seq, val))
+    base_rows = [(k, k * 10) for k in range(8)]
+
+    ref = {k: v for k, v in base_rows}
+    latest = {}
+    for k, op, seq, val in uniq:
+        if k not in latest or seq > latest[k][0]:
+            latest[k] = (seq, op, val)
+    for k, (seq, op, val) in latest.items():
+        if op == "D":
+            ref.pop(k, None)
+        else:
+            ref[k] = val
+
+    base = spark.createDataFrame(base_rows, "key INT, payload INT")
+    if uniq:
+        chg = spark.createDataFrame(
+            [(k, op, seq, v) for k, op, seq, v in uniq],
+            "key INT, op STRING, seq INT, payload INT",
+        )
+    else:
+        chg = spark.createDataFrame([], "key INT, op STRING, seq INT, payload INT")
+    got = {
+        r.key: r.payload
+        for r in apply_cdc(base, chg, key="key").collect()
+    }
+    assert got == ref
