@@ -675,3 +675,39 @@ def gold_sales_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_name", "nation_name", "order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL gateway (SURVEY.md §3.5 entry point 2: plain SQL over layer views).
+# ---------------------------------------------------------------------------
+
+SQL_REPORT = """
+    WITH rev AS (
+        SELECT c_mktsegment AS segment,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               sum(o_totalprice) AS revenue,
+               count(*)          AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, yr,
+           round(revenue, 0) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(revenue / sum(revenue) OVER (PARTITION BY yr), 6) AS share_of_year
+    FROM rev
+    ORDER BY segment, yr
+"""
+
+
+@REG.add("sql_gateway_report", oracle=SQL_REPORT)
+def sql_gateway_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (SURVEY.md §3.5): layer outputs are
+    registered as temp views and the report is EXECUTED AS SQL TEXT via
+    ``spark.sql`` — parser -> analyzer -> Catalyst -> same physical
+    engine as the DataFrame API. The oracle is the *identical string*
+    (dialect-portable subset), so this also pins that our SQL surface
+    stays ANSI enough for a reference user to bring their queries
+    unchanged."""
+    for t in ("orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_REPORT)
