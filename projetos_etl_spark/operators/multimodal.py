@@ -119,3 +119,34 @@ def resize_media(bundled: DataFrame, width: int, height: int) -> DataFrame:
         "resize_media needs an image codec (PIL/opencv), unavailable in this "
         "environment; the mapInPandas plumbing pattern is decode_features()"
     )
+
+
+TRANSCODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_media", T.BinaryType()),
+    ]
+)
+
+
+def transcode_stub(bundled: DataFrame, max_bytes: int = 64) -> DataFrame:
+    """Binary -> binary media transform through the real Arrow path (the
+    resize/transcode shape: payload in, new payload out). The kernel is a
+    deterministic truncation STUB — a real resize/transcode replaces the
+    one-line kernel; the ``mapInPandas`` plumbing (binary columns both
+    directions, batch iteration, column pruning to doc_id+media) is the
+    part that matters and is exactly what a codec kernel would ride."""
+    from projetos_etl_spark.session import ship_package
+
+    ship_package(bundled.sparkSession)
+
+    def transcode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_media": [bytes(b)[:max_bytes] for b in pdf["media"]],
+                }
+            )
+
+    return bundled.select("doc_id", "media").mapInPandas(transcode, TRANSCODE_SCHEMA)

@@ -84,3 +84,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ``generate_series``."""
     bundled = bundle_media(load_table(spark, sf_dir, "documents"))
     return frame_sample(bundled, every_ms=5000)
+
+
+@REG.add(
+    "multimodal_transcode_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           least(octet_length(encode(text)), 64) AS out_bytes,
+           md5(substr(text, 1, 64))              AS out_md5
+    FROM documents
+    """,
+)
+def multimodal_transcode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary->binary transform (the resize/transcode shape) through the
+    real Arrow ``mapInPandas`` round-trip: payloads go INTO Python as
+    binary batches and come back OUT as binary. The stub kernel
+    truncates to 64 bytes; the oracle reproduces it on the (ASCII)
+    stand-in text, so the byte-level round-trip is verified exactly.
+    ``operators/multimodal.py:transcode_stub`` is where a real codec
+    kernel drops in."""
+    from projetos_etl_spark.operators.multimodal import bundle_media, transcode_stub
+
+    out = transcode_stub(bundle_media(load_table(spark, sf_dir, "documents")))
+    return out.select(
+        "doc_id",
+        F.octet_length("out_media").cast("long").alias("out_bytes"),
+        F.md5("out_media").alias("out_md5"),
+    )

@@ -319,3 +319,30 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") - F.first("o_totalprice").over(w), 2
         ).alias("delta_vs_first"),
     )
+
+
+@REG.add(
+    "sort_paginate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (ORDER BY + OFFSET/LIMIT) on a unique sort
+    key — page 3 of 50. Spark plans the offset+limit together (the
+    driver takes offset+limit rows then drops the prefix); for deep
+    pages at scale prefer keyset pagination (WHERE key > last_seen),
+    which ``filter_pred``'s pushdown pattern covers — this entry pins
+    the OFFSET surface a reference BI user expects to exist."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+        )
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
