@@ -339,3 +339,37 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@REG.add(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                              AS n_events,
+           md5(array_to_string(list(event_type ORDER BY ts, event_id), ',')) AS seq_md5
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each user's event-type *sequence* (time
+    order, event_id tie-break), digested for comparison. Spark's
+    collect_list is partition-order-dependent, so the deterministic
+    formulation collects (ts, event_id, type) structs and sort_array's
+    them AFTER the aggregate — the sequence signature is then engine-
+    and partitioning-invariant. This is the behavioral-sequence
+    extraction step of session/funnel mining."""
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.md5(F.array_join(seq, ",").cast("binary")).alias("seq_md5"),
+        )
+        .orderBy("user_id")
+    )

@@ -711,3 +711,56 @@ def sql_gateway_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(SQL_REPORT)
+
+
+@REG.add(
+    "join_full_outer",
+    oracle="""
+    WITH profiles AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000
+    ),
+    spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS total_1997
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_custkey
+    )
+    SELECT coalesce(c_custkey, o_custkey)          AS custkey,
+           CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_profile,
+           CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS has_spend,
+           round(coalesce(c_acctbal, 0), 2)        AS acctbal,
+           round(coalesce(total_1997, 0), 2)       AS total_1997
+    FROM profiles FULL OUTER JOIN spend ON c_custkey = o_custkey
+    ORDER BY custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the reconciliation shape: rows present on either
+    side survive, with null indicators): high-balance customer profiles
+    against 1997 spend. Full outer can never broadcast (both sides must
+    be preserved) — it is always a shuffle join on the key, which is
+    why reconciliation jobs at 100 TB pre-aggregate both sides first,
+    as here (spend is one row per customer before the join)."""
+    profiles = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_acctbal")
+    )
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("total_1997"))
+    )
+    j = profiles.join(spend, profiles.c_custkey == spend.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias("has_profile"),
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("has_spend"),
+        F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
+        F.round(F.coalesce("total_1997", F.lit(0.0)), 2).alias("total_1997"),
+    ).orderBy("custkey")

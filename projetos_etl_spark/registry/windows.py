@@ -346,3 +346,33 @@ def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+@REG.add(
+    "win_rolling_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+               AS n_types_so_far
+    FROM events
+    """,
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per user (how many distinct event types has
+    this user produced up to now): Spark has no DISTINCT window
+    aggregate, so the portable formulation is ``size(collect_set())``
+    over the running frame — set state is bounded by the type
+    cardinality, so the frame never grows the way a naive
+    collect_list would."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
+    )
