@@ -161,11 +161,19 @@ def gold_profit_mart(silver: DataFrame) -> DataFrame:
     the reference's README promises to Power BI (``README.md:23-24``) but
     whose DAG is an unloadable stub (``gold:26`` typo). Rollup nulls are
     labeled so the output is join-/BI-friendly."""
+    # Currency measures are 2dp: accumulate EXACT integer cents (round to
+    # cents per row, sum as long) and divide once at the end. Float
+    # accumulation would drift with partition order once per-group sums
+    # pass ~1e10 (observed at sf0.1), making the 2dp result
+    # non-deterministic across engines and partitionings.
+    def cents(col: str):
+        return F.sum(F.round(F.col(col) * 100).cast("long"))
+
     return (
         silver.rollup("segment", "year")
         .agg(
-            F.round(F.sum("sales"), 2).alias("total_sales"),
-            F.round(F.sum("profit"), 2).alias("total_profit"),
+            (cents("sales") / 100.0).alias("total_sales"),
+            (cents("profit") / 100.0).alias("total_profit"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select(

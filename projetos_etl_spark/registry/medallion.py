@@ -154,15 +154,15 @@ def medallion_silver_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     , s AS (
         SELECT l_returnflag AS segment,
-               CAST(year(l_shipdate) AS INTEGER)              AS year,
-               (gross_cents - disc_cents) / 100.0              AS sales,
-               (gross_cents - disc_cents - cogs_cents) / 100.0 AS profit
+               CAST(year(l_shipdate) AS INTEGER)                       AS year,
+               CAST(gross_cents - disc_cents AS BIGINT)                AS sales_cents,
+               CAST(gross_cents - disc_cents - cogs_cents AS BIGINT)   AS profit_cents
         FROM mm
     )
     SELECT coalesce(segment, 'ALL')   AS segment,
            coalesce(year, -1)         AS year,
-           round(sum(sales), 2)       AS total_sales,
-           round(sum(profit), 2)      AS total_profit,
+           sum(sales_cents) / 100.0   AS total_sales,
+           sum(profit_cents) / 100.0  AS total_profit,
            count(*)                   AS n_rows
     FROM s
     GROUP BY ROLLUP(segment, year)

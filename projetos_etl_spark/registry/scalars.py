@@ -100,7 +100,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * 0.1, 2)        AS price_tithe,
+           CAST(floor(l_extendedprice * 10 + 0.5) AS BIGINT) / 100.0 AS price_tithe,
            round(abs(l_discount - 0.05), 6)       AS disc_dev,
            round(ln(l_extendedprice), 6)          AS price_ln,
            round(sqrt(l_quantity), 6)             AS qty_sqrt,
@@ -120,7 +120,13 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") * 0.1, 2).alias("price_tithe"),
+            # floor(x*10 + 0.5)/100 == round-half-up(x/10, 2) but via
+            # integer arithmetic both engines compute identically —
+            # round(x * 0.1, 2) lands on half-cent boundaries where
+            # Spark (BigDecimal HALF_UP) and DuckDB disagree.
+            (
+                F.floor(F.col("l_extendedprice") * 10 + 0.5).cast("long") / 100.0
+            ).alias("price_tithe"),
             F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
             F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
             F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
@@ -275,15 +281,18 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(avg(ln(value))), 6) AS geomean_value,
            count(*)                      AS n_events
     FROM events
+    WHERE value > 0
     GROUP BY event_type
     ORDER BY event_type
     """,
 )
 def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map UDAF via ``applyInPandas``: per-group geometric mean.
-    Each group arrives as one pandas DataFrame (group must fit in executor
-    memory — fine for bounded group counts; for unbounded keys prefer a
-    two-level algebraic decomposition like the oracle's exp(avg(ln)))."""
+    """Grouped-map UDAF via ``applyInPandas``: per-group geometric mean
+    (over the positive values — the geomean is undefined at zero, and the
+    fixture contains value=0 rows at sf0.1). Each group arrives as one
+    pandas DataFrame (group must fit in executor memory — fine for
+    bounded group counts; for unbounded keys prefer a two-level algebraic
+    decomposition like the oracle's exp(avg(ln)))."""
     import numpy as np
 
     def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -297,6 +306,7 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         _t(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
         .groupBy("event_type")
         .applyInPandas(geomean, "event_type string, geomean_value double, n_events bigint")
         .select(
