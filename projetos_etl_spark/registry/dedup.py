@@ -338,3 +338,75 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), F.col("component").cast("long"))
         .orderBy("doc_id")
     )
+
+
+def _clustered_dedup_oracle() -> str:
+    base = _minhash_oracle()
+    # reuse the minhash CTE chain up to the scored pair list: strip the
+    # final SELECT and rebuild it as a named CTE, then append the
+    # recursive connected-components closure over threshold edges.
+    cte_part, final_select = base.rsplit("\n    SELECT doc_a, doc_b,", 1)
+    scored_select = "SELECT doc_a, doc_b," + final_select
+    return f"""
+    WITH RECURSIVE {cte_part.split("WITH", 1)[1]},
+    scored AS (
+        {scored_select}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM scored
+        WHERE est_jaccard >= {NEAR_DUP_THRESHOLD}
+        UNION
+        SELECT doc_b, doc_a FROM scored WHERE est_jaccard >= {NEAR_DUP_THRESHOLD}
+    ),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(src, lbl) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (SELECT src AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY src)
+    SELECT doc_id,
+           CAST(canonical_id AS BIGINT) AS canonical_id,
+           CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+    FROM comp
+    ORDER BY doc_id
+    """
+
+
+@REG.add("pipeline_dedup_clustered", oracle=_clustered_dedup_oracle())
+def pipeline_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup clustering pipeline, composed end-to-end:
+    MinHash signatures -> banded LSH candidate pairs -> threshold filter
+    -> symmetric edge list -> distributed connected components ->
+    canonical id (min doc_id) + cluster size per clustered document.
+    Pair-based removal (``pipeline_training_corpus``) drops doc_b of
+    every pair, which over-deletes on chains (A~B, B~C deletes B AND C
+    even if A~C was never scored); cluster-based canonicalization keeps
+    exactly one doc per transitive group — the correct semantics, and
+    the reason connected components belongs in a dedup stack at all.
+    The oracle recomputes the identical chain ending in a recursive CTE."""
+    from projetos_etl_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sigs, "doc_id").filter(
+        F.col("est_jaccard") >= NEAR_DUP_THRESHOLD
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(verts, edges)
+    w = Window.partitionBy("canonical_id")
+    return (
+        comp.select(
+            F.col("id").alias("doc_id"),
+            F.col("component").cast("long").alias("canonical_id"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )

@@ -215,3 +215,26 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out).select(
         "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
     )
+
+
+@REG.add(
+    "catalog_ddl_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog DDL surface (ref ops #6/#16, ``bronze:99-130`` /
+    ``silver:161-193``): CREATE TABLE AS SELECT into the session
+    catalog (managed parquet table in the warehouse dir), then read back
+    via ``spark.table``. The reference issues CREATE TABLE IF NOT EXISTS
+    against Postgres; on Spark the same statement targets the catalog,
+    and a JDBC catalog would swap in transparently. DROP-first keeps the
+    entry idempotent across runs."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("pes_nation_src")
+    spark.sql("DROP TABLE IF EXISTS pes_nation_ctas")
+    spark.sql(
+        """
+        CREATE TABLE pes_nation_ctas USING parquet AS
+        SELECT n_nationkey, n_name, n_regionkey FROM pes_nation_src
+        """
+    )
+    return spark.table("pes_nation_ctas")
