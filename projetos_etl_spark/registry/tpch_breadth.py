@@ -476,3 +476,185 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@REG.add(
+    "q2_min_price_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS best_price
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT o.l_partkey AS p_key, s_name,
+           round(o.best_price, 2) AS best_price
+    FROM offers o
+    JOIN supplier ON s_suppkey = o.l_suppkey
+    WHERE o.best_price = (SELECT min(o2.best_price) FROM offers o2
+                          WHERE o2.l_partkey = o.l_partkey)
+      AND o.l_partkey % 50 = 0
+    ORDER BY p_key, s_name
+    """,
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape, lineitem prices standing in
+    for the absent partsupp.ps_supplycost): for each part, the
+    supplier(s) whose best offer equals the part's global minimum. The
+    correlated MIN subquery decorrelates into a per-part aggregate
+    joined back on (partkey, price) — two aggregations and one
+    broadcast join instead of a per-row subquery. Ties keep all
+    minimal suppliers (same as TPC-H), so no arbitrary tie-break is
+    needed for determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("best_price"))
+        .filter(F.col("l_partkey") % 50 == 0)
+    )
+    part_min = offers.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("best_price").alias("__min_price")
+    )
+    return (
+        offers.join(
+            F.broadcast(part_min),
+            (offers.l_partkey == F.col("__pk"))
+            & (offers.best_price == F.col("__min_price")),
+        )
+        .join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            "s_name",
+            F.round("best_price", 2).alias("best_price"),
+        )
+        .orderBy("p_key", "s_name")
+    )
+
+
+@REG.add(
+    "q11_important_stock",
+    oracle="""
+    WITH stock AS (
+        SELECT l_partkey, sum(l_quantity * p_retailprice) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE s_nationkey = 3
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value, 2) AS stock_value
+    FROM stock
+    WHERE value > (SELECT 2.0 * avg(value) FROM stock)
+    ORDER BY stock_value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (TPC-H Q11 shape): parts whose
+    inventory value for one nation's suppliers exceeds a fraction of
+    that nation's average holding (2x — scale-invariant, unlike TPC-H's
+    fixed fraction, which goes vacuous as part count grows with sf).
+    The HAVING-against-scalar-subquery decorrelates
+    into a 1-row aggregate OVER THE SAME grouped intermediate —
+    Spark computes `stock` once and reuses it for both branches
+    (ReusedExchange in the plan), then broadcasts the scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    part = _t(spark, sf_dir, "part")
+    stock = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+    )
+    threshold = stock.agg((2.0 * F.avg("value")).alias("__thresh"))
+    return (
+        stock.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("__thresh"))
+        .select("l_partkey", F.round("value", 2).alias("stock_value"))
+        .orderBy(F.col("stock_value").desc(), "l_partkey")
+    )
+
+
+@REG.add(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS INTEGER) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): a LEFT join
+    with a predicate ON THE JOIN CONDITION (not a WHERE — customers
+    with only urgent orders must survive with count 0), aggregated
+    twice: per customer, then a histogram over the counts. The second
+    aggregation's input is one row per customer — at 100 TB the
+    histogram is computed over the (bounded) count domain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("int").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@REG.add(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): the supplier(s) achieving the
+    quarter's maximum revenue. TPC-H phrases this as a view used twice;
+    here the grouped intermediate is computed once and reused for both
+    the scalar max and the final filter (ties all survive, as in the
+    spec, so determinism needs no tie-break)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
