@@ -179,3 +179,33 @@ def test_q16_exclusion_is_broadcast_anti_join(spark, queries):
     # NOT IN complaint list must plan as a broadcast anti join
     assert has_operator(df, "BroadcastHashJoin")
     assert not has_operator(df, "SortMergeJoin")
+
+
+def test_dynamic_partition_pruning(spark, queries, tmp_path):
+    """A fact table partitioned on the join key, joined to a filtered
+    dim, must plan a dynamic-partition-pruning subquery on the fact scan
+    — at 100 TB this is the difference between scanning one partition
+    and scanning the table. Pinned here because losing DPP (e.g. by
+    disabling AQE-compatible layouts or filtering after the join) is
+    silent at test scale."""
+    from projetos_etl_spark.sources.io import load_table, sink_partitioned
+
+    out = str(tmp_path / "orders_part")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    sink_partitioned(orders, out, ["o_orderstatus"])
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        ["status", "label"],
+    ).filter(F.col("label") == "finished")
+    joined = fact.join(dim, fact.o_orderstatus == dim.status).groupBy(
+        "o_orderpriority"
+    ).count()
+    plan = explain_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def explain_plan(df):
+    from projetos_etl_spark.plans.inspect import explain_str
+
+    return explain_str(df)
