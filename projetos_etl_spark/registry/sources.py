@@ -227,13 +227,17 @@ def catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog (managed parquet table in the warehouse dir), then read back
     via ``spark.table``. The reference issues CREATE TABLE IF NOT EXISTS
     against Postgres; on Spark the same statement targets the catalog,
-    and a JDBC catalog would swap in transparently. DROP-first keeps the
-    entry idempotent across runs."""
+    and a JDBC catalog would swap in transparently. The table is
+    EXTERNAL at a fresh per-run location: a managed CTAS leaves its
+    warehouse directory behind when the session (and its in-memory
+    catalog) dies, so a later fresh session hits
+    LOCATION_ALREADY_EXISTS — DROP IF EXISTS can't see the orphan."""
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("pes_nation_src")
+    loc = tempfile.mkdtemp(prefix="pes_ctas_") + "/tbl"
     spark.sql("DROP TABLE IF EXISTS pes_nation_ctas")
     spark.sql(
-        """
-        CREATE TABLE pes_nation_ctas USING parquet AS
+        f"""
+        CREATE TABLE pes_nation_ctas USING parquet LOCATION '{loc}' AS
         SELECT n_nationkey, n_name, n_regionkey FROM pes_nation_src
         """
     )
