@@ -384,3 +384,54 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STRATUM_K)
         .select("doc_id", "lang")
     )
+
+
+#: Context-window capacity (tokens) for sequence packing.
+PACK_CAPACITY = 512
+
+
+@REG.add(
+    "corpus_pack_bins",
+    oracle=f"""
+    WITH sized AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    runs AS (
+        SELECT source, doc_id, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sized
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST((cum - n_tokens) // {PACK_CAPACITY} AS INTEGER) AS bin_id,
+           CAST((cum - n_tokens) % {PACK_CAPACITY} AS INTEGER)  AS bin_offset
+    FROM runs
+    """,
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in stable doc_id order within
+    each source) to fixed-capacity context-window bins by running token
+    count — the concat-then-split-at-context-length step that turns a
+    cleaned corpus into training sequences. The running sum is one
+    window per source partition; bin id/offset are pure integer
+    arithmetic on it, identical in both engines. At 100 TB packing runs
+    per shard/source partition, which is exactly the partitioning here."""
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", toks.alias("n_tokens")
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(start / PACK_CAPACITY).cast("int").alias("bin_id"),
+        (start % PACK_CAPACITY).cast("int").alias("bin_offset"),
+    )

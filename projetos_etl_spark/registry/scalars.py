@@ -316,3 +316,32 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "fn_fuzzy_match",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, 'red widget') AS INTEGER) AS edit_distance
+    FROM part
+    WHERE levenshtein(p_name, 'red widget') <= 5
+    ORDER BY edit_distance, p_partkey
+    """,
+)
+def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching by edit distance: parts within Levenshtein 5
+    of a probe name — the scoring kernel of fuzzy dedup / entity
+    resolution. Built-in ``levenshtein`` (JVM-side, no UDF); at scale
+    you never run it all-pairs — block first (prefix/fingerprint keys,
+    as the dedup family does) and score only within blocks, exactly the
+    probe-side filter shape here."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.levenshtein("p_name", F.lit("red widget")).alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 5)
+        .orderBy("edit_distance", "p_partkey")
+    )

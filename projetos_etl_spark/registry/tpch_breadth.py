@@ -658,3 +658,48 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@REG.add(
+    "q21_sole_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l ON s_suppkey = l.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l.l_orderkey
+                    AND l2.l_linenumber <> l.l_linenumber)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l.l_orderkey
+                        AND l3.l_suppkey <> l.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested EXISTS + NOT EXISTS correlation (TPC-H Q21 shape, minus the
+    missing receipt/commit dates): suppliers who were the SOLE supplier
+    on multi-line orders. Both correlated subqueries decorrelate into
+    ONE per-order aggregate (line count, distinct supplier count) that
+    is computed once and semi-joined back — the per-row double subquery
+    becomes a single extra aggregation, the canonical Q21 rewrite."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    # distinct linenumbers, not a row count: the fixture reuses
+    # linenumbers within an order, and the EXISTS correlates on
+    # l_linenumber <> l_linenumber — two rows sharing a linenumber
+    # don't satisfy it.
+    per_order = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_linenumber").alias("__n_lines"),
+        F.countDistinct("l_suppkey").alias("__n_supps"),
+    )
+    sole_multi = per_order.filter(
+        (F.col("__n_lines") >= 2) & (F.col("__n_supps") == 1)
+    ).select("__ok")
+    return (
+        li.join(sole_multi, li.l_orderkey == F.col("__ok"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
