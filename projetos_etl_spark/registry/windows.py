@@ -376,3 +376,97 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
     )
+
+
+@REG.add(
+    "funnel_conversion",
+    oracle=f"""
+    WITH first_signup AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id
+    )
+    SELECT f.user_id,
+           strftime(f.signup_ts, '{TS_FMT_DUCK}')   AS signup_ts,
+           CAST(count(e.event_id) AS BIGINT)        AS purchases_after,
+           CASE WHEN count(e.event_id) > 0 THEN 1 ELSE 0 END AS converted
+    FROM first_signup f
+    LEFT JOIN events e
+      ON e.user_id = f.user_id AND e.event_type = 'purchase'
+     AND e.ts > f.signup_ts
+    GROUP BY f.user_id, f.signup_ts
+    ORDER BY f.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (signup -> purchase): each user's first signup and
+    the purchases that happened AFTER it. The anchor step is one
+    aggregation; the conversion step is a left join with the time
+    predicate in the JOIN condition (a WHERE would drop never-converted
+    users — the rows a funnel exists to count). Both steps shuffle on
+    user_id only."""
+    ev = _t(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        first_signup.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.count("event_id").alias("purchases_after"))
+        .select(
+            "user_id",
+            F.date_format("signup_ts", TS_FMT_SPARK).alias("signup_ts"),
+            "purchases_after",
+            F.when(F.col("purchases_after") > 0, 1).otherwise(0).alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@REG.add(
+    "cohort_retention",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d')                         AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS INTEGER)
+               AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT)                  AS active_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, and
+    for each (cohort, day-offset) how many of them were active — the
+    standard BI retention triangle. The cohort anchor broadcasts back
+    onto the event stream (bounded: one row per user), then a single
+    count-distinct aggregation builds the matrix."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy(F.col("user_id").alias("f_user")).agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(F.broadcast(first_day), ev.user_id == F.col("f_user"))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
