@@ -39,18 +39,46 @@ def shingles(text_col: Column, n: int = SHINGLE_WORDS) -> Column:
     return F.when(F.size(tokens) < n, F.array(text_col)).otherwise(grams)
 
 
-def _hash_digest(i: int, col: Column) -> Column:
-    return F.md5(F.concat(F.lit(f"mh{i}|"), col).cast("binary"))
+#: Signature values derived per md5 digest: the 32-hex digest splits into
+#: four 8-hex slices, each an independent-enough hash value — 4x fewer
+#: md5 evaluations per shingle for the same signature width (measured
+#: ~2x faster end-to-end at sf0.1; md5 dominates the signature stage).
+SIGS_PER_DIGEST = 4
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """One row per doc: ``sig_0..sig_{k-1}`` minimum digests."""
-    exploded = df.select(id_col, F.explode(shingles(F.col(text_col))).alias("shingle"))
-    return exploded.groupBy(id_col).agg(
+    """One row per doc: ``sig_0..sig_{k-1}`` minimum 8-hex slices, where
+    sig_i = min over shingles of substr(md5('mh<i/4>|' || shingle),
+    8*(i%4)+1, 8). Lexicographic min over fixed-width hex slices is
+    engine-portable exactly like full digests."""
+    from projetos_etl_spark.sources.io import spread
+
+    exploded = spread(df, id_col).select(
+        id_col, F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+    n_digests = (num_hashes + SIGS_PER_DIGEST - 1) // SIGS_PER_DIGEST
+    # materialize each digest ONCE per shingle row, then slice — folding
+    # the md5 into the min() would recompute it per signature (4x).
+    digests = exploded.select(
+        id_col,
         *[
-            F.min(_hash_digest(i, F.col("shingle"))).alias(f"sig_{i}")
+            F.md5(F.concat(F.lit(f"mh{m}|"), F.col("shingle")).cast("binary")).alias(
+                f"__d{m}"
+            )
+            for m in range(n_digests)
+        ],
+    )
+    return digests.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.substring(
+                    F.col(f"__d{i // SIGS_PER_DIGEST}"),
+                    8 * (i % SIGS_PER_DIGEST) + 1,
+                    8,
+                )
+            ).alias(f"sig_{i}")
             for i in range(num_hashes)
         ]
     )

@@ -95,7 +95,13 @@ def decode_features(bundled: DataFrame) -> DataFrame:
                 }
             )
 
-    return bundled.select("doc_id", "media").mapInPandas(decode, DECODE_FEATURES_SCHEMA)
+    from projetos_etl_spark.sources.io import spread
+
+    # decode is CPU-bound per item: widen narrow (single-file) inputs so
+    # the Arrow batches hit every core (no-op on already-wide scans).
+    return spread(bundled.select("doc_id", "media"), "doc_id").mapInPandas(
+        decode, DECODE_FEATURES_SCHEMA
+    )
 
 
 def frame_sample(bundled: DataFrame, every_ms: int = 5000) -> DataFrame:

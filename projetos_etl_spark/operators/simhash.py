@@ -21,8 +21,10 @@ _HIGH_HEX = ["8", "9", "a", "b", "c", "d", "e", "f"]
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per doc: ``simhash`` as a 16-char '0'/'1' string (string
     form keeps it oracle-portable; a BIGINT form is a trivial conv)."""
+    from projetos_etl_spark.sources.io import spread
+
     tokens = F.array_distinct(F.split(F.col(text_col), " "))
-    exploded = df.select(id_col, F.explode(tokens).alias("tok")).withColumn(
+    exploded = spread(df, id_col).select(id_col, F.explode(tokens).alias("tok")).withColumn(
         "digest", F.md5(F.concat(F.lit("sh|"), F.col("tok")).cast("binary"))
     )
     votes = [

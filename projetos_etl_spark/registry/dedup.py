@@ -44,7 +44,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     sig_cols = ",\n               ".join(
-        f"min(md5('mh{i}|' || shingle)) AS sig_{i}" for i in range(NUM_HASHES)
+        f"min(substr(md5('mh{i // 4}|' || shingle), {8 * (i % 4) + 1}, 8)) AS sig_{i}"
+        for i in range(NUM_HASHES)
     )
     n_bands = NUM_HASHES // BAND_SIZE
     band_selects = "\n        UNION ALL\n        ".join(

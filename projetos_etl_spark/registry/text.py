@@ -229,8 +229,13 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             cast({_RH_MOD} as bigint) + 1,
             (acc, x) -> least(acc, x))
     """
+    from projetos_etl_spark.sources.io import spread
+
+    # the whole pipeline is narrow (no shuffle), so on a single-file
+    # input it would run 1-wide; spread() buys full-core parallelism
+    # for the CPU-bound hash stage (no-op on already-wide scans).
     return (
-        _t(spark, sf_dir, "documents")
+        spread(_t(spark, sf_dir, "documents"), "doc_id")
         .filter(F.length("text") >= _RH_K)
         .select("doc_id", F.expr(codes).alias("cs"))
         .select("doc_id", F.expr(expr).alias("min_rolling_hash"))

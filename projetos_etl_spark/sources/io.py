@@ -142,3 +142,25 @@ def sink_jdbc_batch(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Widen a narrow input before a CPU-bound per-row stage.
+
+    Small-file scans plan few input splits (Spark's split size is
+    max(openCost, bytes/defaultParallelism), so a single small parquet
+    file becomes ONE task), which serializes compute-heavy stages
+    (hashing, regex featurization) on one core no matter how many are
+    free. When the input has fewer partitions than the cluster width,
+    repartition on the given key (round-robin if none) up to
+    defaultParallelism; when the scan is already wide — the normal case
+    on real multi-file tables — this is a no-op, so at 100 TB no extra
+    shuffle is introduced.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
