@@ -242,3 +242,56 @@ def catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("pes_nation_ctas")
+
+
+#: Malformed lines injected into the CSV scan fixture (token-count and
+#: type-parse failures — the two CSV corruption modes).
+BAD_CSV_LINES = ["only,two", "notanumber,77,3.5"]
+
+
+@REG.add(
+    "scan_csv_badrecords",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT)      AS n_good,
+           CAST({len(BAD_CSV_LINES)} AS BIGINT) AS n_corrupt,
+           round(sum(value), 2)          AS good_value_sum
+    FROM events
+    """,
+)
+def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record handling: events round-trip through
+    CSV, two corrupt lines are injected (wrong column count; failed
+    numeric parse), and the scan declares a ``_corrupt_record`` column —
+    bad rows land there with nulls elsewhere instead of killing the job
+    or (FAILFAST) the stage. The entry returns good/corrupt counts and
+    the good-row checksum, proving corruption is contained row-wise.
+    At 100 TB, quarantining ``_corrupt_record IS NOT NULL`` to a
+    dead-letter sink is the standard pattern; DROPMALFORMED silently
+    loses data and FAILFAST loses the job."""
+    out = tempfile.mkdtemp(prefix="pes_badcsv_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.write.mode("overwrite").option("header", False).csv(out)
+    with open(f"{out}/zz-injected-bad.csv", "w") as f:
+        f.write("\n".join(BAD_CSV_LINES) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    scanned = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()  # required: corrupt-record queries must not re-parse with a pruned schema
+    )
+    return scanned.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        F.round(
+            F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("value"))), 2
+        ).alias("good_value_sum"),
+    )

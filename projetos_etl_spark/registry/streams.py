@@ -427,3 +427,67 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", TS_FMT_SPARK).alias("purchase_ts"),
         F.date_format("e_ts", TS_FMT_SPARK).alias("error_ts"),
     )
+
+
+@REG.add(
+    "stream_append_finalized_windows",
+    oracle=f"""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL '2 hours' AS watermark FROM events
+    )
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{HOUR_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= watermark
+    GROUP BY 1, 2
+    """,
+)
+def stream_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation: a window row is emitted exactly
+    once, only after the watermark passes its end (finalized = immutable
+    downstream — what you want feeding a parquet/Kafka sink, where
+    update-mode's re-emissions would duplicate). Two micro-batches:
+    batch 2's newer events advance the watermark to max_ts - 2h,
+    finalizing exactly the windows whose END is at or before it — which
+    is the oracle's predicate. Windows still open when the stream ends
+    are NEVER emitted in append mode: that is the semantic, visible
+    here as the missing trailing ~2-3 hours."""
+    import tempfile
+
+    from projetos_etl_spark.sources.io import load_table
+    from projetos_etl_spark.streaming.jobs import stage_files
+
+    ev_all = load_table(spark, sf_dir, "events")
+    cutoff = ev_all.agg(
+        F.date_trunc("hour", F.max("ts") - F.expr("INTERVAL 3 HOURS")).alias("c")
+    ).collect()[0][0]
+    old = ev_all.filter(F.col("ts") < F.lit(cutoff))
+    new = ev_all.filter(F.col("ts") >= F.lit(cutoff))
+
+    watch = tempfile.mkdtemp(prefix="pes_append_")
+    stage_files(old, watch, "batch1")
+    stream = spark.readStream.format("parquet").schema(ev_all.schema).load(watch)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "pes_append_sink"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: nothing finalized yet
+        stage_files(new, watch, "batch2")
+        q.processAllAvailable()  # batch 2 advances watermark -> emit
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format("w.start", HOUR_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+    )
