@@ -7,6 +7,13 @@ JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced to full execution with the ``noop`` sink (real
 distributed write path, no driver collect bottleneck, nothing kept).
+
+Stability (VERDICT r1 item 6): each query is timed THREE times and the
+median reported — single runs on this box vary up to 3x under system
+contention, which makes regressions unreadable. The raw per-run timings
+are also emitted (``queries_runs``) so a reader can see the spread, and
+the end-to-end medallion entry's cost is split into layer-write vs
+gold-compute seconds (``write_split``).
 """
 
 from __future__ import annotations
@@ -72,12 +79,25 @@ def main() -> None:
     for name in names:
         registry[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    from projetos_etl_spark import medallion
 
+    N_RUNS = 3
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    write_split: dict[str, dict[str, float]] = {}
+    for _ in range(N_RUNS):
+        for name in names:
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            runs[name].append(round(elapsed, 3))
+            if name == "medallion_gold_profit_mart":
+                w = medallion.last_write_seconds()
+                write_split[name] = {
+                    "write": round(w, 3),
+                    "compute": round(max(elapsed - w, 0.0), 3),
+                }
+
+    timings = {n: sorted(ts)[N_RUNS // 2] for n, ts in runs.items()}
     print(
         json.dumps(
             {
@@ -85,6 +105,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_runs": runs,
+                "write_split": write_split,
                 "sf": sf,
             }
         )

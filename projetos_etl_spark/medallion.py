@@ -110,20 +110,14 @@ def silver_conform(raw: DataFrame, with_ingestion_ts: bool = True) -> DataFrame:
 
 
 def bronze_ingest_excel(spark: SparkSession, path: str) -> DataFrame:
-    """Excel bronze ingest (ref op #4, ``bronze:154``): driver-side
-    ``pd.read_excel`` -> Arrow -> DataFrame. xlsx is a single small
-    non-splittable file by nature, so driver-bound parse is the right
-    call; everything downstream is distributed. Gated on openpyxl."""
-    try:
-        import openpyxl  # noqa: F401 — pandas' xlsx engine
-    except ImportError as exc:
-        raise NotImplementedError(
-            "scan_excel requires openpyxl, which is not installed in this "
-            "environment; ingest via CSV/parquet instead"
-        ) from exc
-    import pandas as pd
+    """Excel bronze ingest (ref op #4, ``bronze:154``): driver-side xlsx
+    parse -> DataFrame via the engine's hermetic stdlib reader
+    (``sources/xlsx.py`` — zipfile + xml.etree; no openpyxl needed). xlsx
+    is a single small non-splittable file by nature, so driver-bound
+    parse is the right call; everything downstream is distributed."""
+    from projetos_etl_spark.sources.xlsx import scan_xlsx
 
-    return strip_headers(spark.createDataFrame(pd.read_excel(path)))
+    return strip_headers(scan_xlsx(spark, path))
 
 
 def source_http(spark: SparkSession, url: str, out_path: str, fmt: str = "parquet") -> DataFrame:
@@ -138,6 +132,18 @@ def source_http(spark: SparkSession, url: str, out_path: str, fmt: str = "parque
     return spark.read.format(fmt).load(out_path)
 
 
+#: Wall seconds spent inside the layer-write actions of the most recent
+#: ``run_pipeline`` call (each write action also executes its upstream
+#: compute — Spark actions are where lineage runs). ``bench.py`` reads
+#: this to split the end-to-end medallion entry's cost into write vs
+#: gold-compute, so regressions in either are visible separately.
+_LAST_WRITE_SECONDS = 0.0
+
+
+def last_write_seconds() -> float:
+    return _LAST_WRITE_SECONDS
+
+
 def run_pipeline(
     spark: SparkSession,
     raw: DataFrame,
@@ -149,18 +155,27 @@ def run_pipeline(
     conformed table partitioned by ``partition_cols`` (default: year) to
     ``{base_dir}/silver``. Returns the silver DataFrame re-read from its
     layer path — the handoff a gold mart consumes (partition-pruned)."""
+    global _LAST_WRITE_SECONDS
+    import time
+
+    t0 = time.perf_counter()
     sink_parquet(raw, f"{base_dir}/bronze")
+    write_secs = time.perf_counter() - t0
     bronze = spark.read.parquet(f"{base_dir}/bronze")
     silver = require_nonempty(silver_conform(bronze, with_ingestion_ts=False))
+    t1 = time.perf_counter()
     sink_partitioned(silver, f"{base_dir}/silver", partition_cols or ["year"])
+    _LAST_WRITE_SECONDS = write_secs + (time.perf_counter() - t1)
     return spark.read.parquet(f"{base_dir}/silver")
 
 
 def gold_profit_mart(silver: DataFrame) -> DataFrame:
     """Gold profit mart with ROLLUP subtotals (segment, year) — the mart
     the reference's README promises to Power BI (``README.md:23-24``) but
-    whose DAG is an unloadable stub (``gold:26`` typo). Rollup nulls are
-    labeled so the output is join-/BI-friendly."""
+    whose DAG is an unloadable stub (``gold:26`` typo). Subtotal rows are
+    labeled ('ALL' / -1) via ``F.grouping`` — the grouping FLAG, not the
+    grouped value — so a genuinely-NULL segment/year group (or a segment
+    literally named 'ALL') stays distinguishable from the subtotal."""
     # Currency measures are 2dp: accumulate EXACT integer cents (round to
     # cents per row, sum as long) and divide once at the end. Float
     # accumulation would drift with partition order once per-group sums
@@ -175,10 +190,16 @@ def gold_profit_mart(silver: DataFrame) -> DataFrame:
             (cents("sales") / 100.0).alias("total_sales"),
             (cents("profit") / 100.0).alias("total_profit"),
             F.count(F.lit(1)).alias("n_rows"),
+            F.grouping("segment").alias("__g_segment"),
+            F.grouping("year").alias("__g_year"),
         )
         .select(
-            F.coalesce(F.col("segment"), F.lit("ALL")).alias("segment"),
-            F.coalesce(F.col("year").cast("int"), F.lit(-1)).alias("year"),
+            F.when(F.col("__g_segment") == 1, F.lit("ALL"))
+            .otherwise(F.col("segment"))
+            .alias("segment"),
+            F.when(F.col("__g_year") == 1, F.lit(-1))
+            .otherwise(F.col("year").cast("int"))
+            .alias("year"),
             "total_sales",
             "total_profit",
             "n_rows",

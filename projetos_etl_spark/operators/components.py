@@ -1,4 +1,4 @@
-"""Distributed connected components (min-label propagation).
+"""Distributed connected components (large-star/small-star + label propagation).
 
 The clustering step of near-duplicate removal: blocking passes (exact
 prefix, LSH bands, shingle keys, ...) each emit candidate-pair *edges*;
@@ -7,21 +7,32 @@ duplicate clusters, from which one canonical representative survives.
 The reference repo has no analogue (it has no joins at all — SURVEY.md
 §2A); this is part of the derived LLM-data surface (SURVEY.md §2B).
 
-Algorithm: iterative min-label propagation. Every vertex starts labeled
-with its own id; each round every vertex takes the min of its own label
-and its neighbors' labels; converged when a round changes nothing. The
-number of rounds is bounded by the longest shortest-path in any
-component — for near-dup clusters (tiny diameter) that is 2-4 rounds.
+Two algorithms, one contract (``(id, component)`` with component = min
+reachable vertex id — a unique fixpoint, independent of partitioning):
 
-Scale posture (100 TB): each round is one shuffle join (edges x labels,
-both partitioned by the join key) + one groupBy-min. Labels are
-persisted per round and the previous round unpersisted, so lineage and
-memory stay O(1) in rounds; the convergence check rides the same
-aggregation (a count of changed labels), costing one action per round.
-For web-scale graphs with large-diameter components, swap in the
-large-star/small-star variant (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SOCC'14) which converges in O(log n) rounds —
-the driver loop below is structured so only `_one_round` changes.
+- ``algorithm="star"`` (default): alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SOCC'14). Each round rewires edges toward per-neighborhood minima, so
+  component diameter collapses geometrically — O(log^2 n) rounds proven,
+  ~log n observed. This is the 100 TB path: chain-shaped or high-diameter
+  components (which break round-per-hop algorithms) converge in a dozen
+  rounds instead of thousands.
+- ``algorithm="label"``: classic min-label propagation — one
+  shuffle join + groupBy-min per round, rounds = longest shortest path.
+  Right for near-dup clusters (tiny diameter, 2-4 rounds) where each
+  star round's extra distinct/orient work isn't paid back.
+
+Scale posture (100 TB): every round is shuffle joins/aggregations on the
+edge set, both sides partitioned by the join key. Each round's output is
+EAGERLY LOCAL-CHECKPOINTED, not just persisted: persist caches the data
+but leaves the logical plan growing — after k rounds analysis walks a
+depth-k plan tree, which goes super-linear fast (observed: a 13-round
+run spending minutes in the analyzer). Checkpointing truncates lineage
+so every round costs the same. On a real cluster with flaky executors,
+swap ``localCheckpoint`` for reliable ``checkpoint`` (HDFS/S3-backed) —
+one-line change, same semantics. Non-convergence within ``max_rounds``
+RAISES — silently returning unconverged labels would corrupt every
+downstream dedup decision.
 """
 
 from __future__ import annotations
@@ -31,30 +42,63 @@ from pyspark.sql import functions as F
 
 #: Column contract: edges(src, dst) — symmetric (both directions present
 #: or made so here); vertices(id).
-MAX_ROUNDS_DEFAULT = 20
+MAX_ROUNDS_DEFAULT = 25
+
+#: Rounds the most recent connected_components call took to converge —
+#: read by tests asserting the O(log n)-ish round bound of the star
+#: algorithm vs label propagation's O(diameter).
+_LAST_ROUNDS = 0
+
+
+def last_round_count() -> int:
+    return _LAST_ROUNDS
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when a fixpoint loop exhausts max_rounds with changes left."""
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_rounds: int = MAX_ROUNDS_DEFAULT,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Return ``(id, component)`` where component = min vertex id reachable.
 
     ``vertices`` must have column ``id``; ``edges`` columns ``src``/``dst``.
     Edges are symmetrized and self-loops dropped internally. Exact and
-    deterministic: the fixpoint is unique regardless of partitioning.
+    deterministic; raises :class:`ConvergenceError` if the fixpoint is not
+    reached within ``max_rounds`` (unconverged labels are silently wrong —
+    never returned).
     """
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    labels = vertices.select("id", F.col("id").alias("component")).persist()
-    labels.count()  # materialize before the loop
+    if algorithm == "star":
+        return _components_star(vertices, edges, max_rounds)
+    if algorithm == "label":
+        return _components_label_prop(vertices, edges, max_rounds)
+    raise ValueError(f"unknown algorithm: {algorithm!r} (use 'star' or 'label')")
 
-    for _ in range(max_rounds):
+
+def _components_label_prop(
+    vertices: DataFrame, edges: DataFrame, max_rounds: int
+) -> DataFrame:
+    global _LAST_ROUNDS
+    sym = _symmetrize(edges).localCheckpoint(eager=True)
+    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint(
+        eager=True
+    )
+
+    converged = False
+    for rnd in range(max_rounds):
         # neighbor labels: for each edge (src, dst) the label of dst
         neighbor = (
             sym.join(labels, sym.dst == labels.id)
@@ -65,7 +109,7 @@ def connected_components(
             .union(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -73,8 +117,89 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
+            _LAST_ROUNDS = rnd + 1
             break
+    if not converged:
+        raise ConvergenceError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the round budget — raise max_rounds "
+            "or use algorithm='star')"
+        )
     return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: attach every strictly-larger neighbor to
+    m = min(N(u) ∪ {u}). Halves the depth of tall trees each round.
+    Neighborhoods are undirected — symmetrize whatever orientation the
+    previous round left the edges in."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Orient edges large→small; for each node u attach u and all its
+    smaller neighbors to m = min of those neighbors. Flattens the
+    shallow trees large-star leaves behind into stars."""
+    oriented = (
+        sym.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    rewired = (
+        oriented.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    own = mins.select("src", F.col("m").alias("dst"))
+    return rewired.union(own).distinct()
+
+
+def _components_star(
+    vertices: DataFrame, edges: DataFrame, max_rounds: int
+) -> DataFrame:
+    """Alternating large-star/small-star to a star-forest fixpoint, then
+    one left join to label every vertex (isolated vertices label as
+    themselves). Convergence test: the small-star output (a canonical
+    large→small edge set) is unchanged — checked with one count over the
+    symmetric difference, riding the round's own materialization."""
+    global _LAST_ROUNDS
+    cur = _small_star(_symmetrize(edges)).localCheckpoint(eager=True)
+
+    converged = False
+    for rnd in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        delta = cur.exceptAll(nxt).union(nxt.exceptAll(cur)).count()
+        cur = nxt
+        if delta == 0:
+            converged = True
+            _LAST_ROUNDS = rnd + 1
+            break
+    if not converged:
+        raise ConvergenceError(
+            f"large-star/small-star did not converge in {max_rounds} rounds; "
+            "raise max_rounds (expected ~log2(n) rounds)"
+        )
+    # Fixpoint edges are (child, root) stars; roots/isolated vertices have
+    # no outgoing edge and label as themselves.
+    roots = cur.groupBy("src").agg(F.min("dst").alias("__root"))
+    return (
+        vertices.select("id")
+        .join(roots, vertices.id == roots.src, "left")
+        .select("id", F.coalesce("__root", F.col("id")).alias("component"))
+    )

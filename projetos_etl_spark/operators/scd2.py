@@ -41,16 +41,25 @@ def scd2_apply(
     history = dim.filter(F.col(valid_to).isNotNull())
     current = dim.filter(F.col(valid_to).isNull())
 
+    # Presence is tracked with explicit marker columns, NOT key-nullness:
+    # a NULL business key is a legitimate (if ugly) dimension row, and a
+    # plain equi-join would never match it — classifying existence by
+    # key IS NOT NULL would silently drop it from the snapshot. The join
+    # is null-safe, so a NULL-key update row matches the NULL-key
+    # dimension row (NULL keys collate as one key, like GROUP BY).
+    cur = current.withColumn("__cur", F.lit(1))
     upd = updates.select(
-        F.col(key).alias("__k"), *[F.col(a).alias(f"__new_{a}") for a in attrs]
+        F.col(key).alias("__k"),
+        *[F.col(a).alias(f"__new_{a}") for a in attrs],
+        F.lit(1).alias("__upd"),
     )
-    joined = current.join(upd, current[key] == F.col("__k"), "full_outer")
+    joined = cur.join(upd, cur[key].eqNullSafe(F.col("__k")), "full_outer")
 
     changed = F.lit(False)
     for a in attrs:
         changed = changed | ~F.col(a).eqNullSafe(F.col(f"__new_{a}"))
-    has_update = F.col("__k").isNotNull()
-    is_existing = F.col(key).isNotNull()
+    has_update = F.col("__upd").isNotNull()
+    is_existing = F.col("__cur").isNotNull()
 
     # 1. current rows without an update, or with a no-op update: unchanged.
     unchanged = joined.filter(is_existing & (~has_update | ~changed)).select(

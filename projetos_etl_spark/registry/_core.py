@@ -17,11 +17,36 @@ stable across engines and across partition orderings):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: The engine session contract, applied when a registry entry is invoked on
+#: a caller-owned session (the driver hands us ITS session — arbitrary host
+#: TZ, stock configs). Deliberately NOT restored on return: entries return
+#: lazy DataFrames whose execution (collect/write) happens after the entry
+#: returns, so the contract must outlive the call. This is the engine's
+#: public API boundary — pinned here once, documented, instead of as hidden
+#: side effects inside scan helpers (sources/io.py keeps only the
+#: required-for-read nanos toggle).
+#:
+#: - UTC session time zone: timestamp->string rendering must be engine- and
+#:   host-TZ-neutral or oracle hash compares diverge (caught by the
+#:   foreign-TZ driver-sim probe, tests/test_entry_contract.py).
+#: - nanosAsLong: the fixture ``events`` table stores TIMESTAMP(NANOS),
+#:   which Spark's vectorized parquet reader otherwise rejects.
+ENGINE_SESSION_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def apply_session_contract(spark: SparkSession) -> None:
+    for k, v in ENGINE_SESSION_CONFS.items():
+        spark.conf.set(k, v)
 
 
 class Registry:
@@ -31,15 +56,22 @@ class Registry:
 
     def add(self, name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         """Register ``fn`` under ``name``; ``oracle`` is the DuckDB SQL twin
-        (omit for non-SQL-expressible ops -> driver does a rows-only check)."""
+        (omit for non-SQL-expressible ops -> driver does a rows-only check).
+        The registered callable pins :data:`ENGINE_SESSION_CONFS` on entry."""
 
         def deco(fn: QueryFn) -> QueryFn:
             if name in self.queries:
                 raise ValueError(f"duplicate query name: {name}")
-            self.queries[name] = fn
+
+            @functools.wraps(fn)
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                apply_session_contract(spark)
+                return fn(spark, sf_dir)
+
+            self.queries[name] = wrapped
             if oracle is not None:
                 self.oracle[name] = oracle
-            return fn
+            return wrapped
 
         return deco
 

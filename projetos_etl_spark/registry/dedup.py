@@ -308,12 +308,16 @@ def _cc_oracle() -> str:
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment via distributed connected components
     (``operators/components.py``): union two overlapping token-window
-    blocking passes into an edge list, then iterate min-label
-    propagation to a fixpoint. component = min doc_id of the cluster =
-    the canonical survivor id near-dup removal would keep. The DuckDB
-    twin computes the same transitive closure with a recursive CTE —
-    the iterative Spark loop and the recursive oracle must agree
-    exactly, which pins the convergence logic."""
+    blocking passes into an edge list, then iterate to the labeling
+    fixpoint. component = min doc_id of the cluster = the canonical
+    survivor id near-dup removal would keep. The DuckDB twin computes
+    the same transitive closure with a recursive CTE — the iterative
+    Spark loop and the recursive oracle must agree exactly, which pins
+    the convergence logic. ``algorithm="label"`` deliberately: near-dup
+    clusters have tiny diameter (2-4 hops), where per-hop label
+    propagation's cheaper rounds beat the star variant's extra
+    orient/distinct work; the O(log n)-round star path is the default
+    for graphs of unknown/large diameter."""
     from projetos_etl_spark.operators.components import connected_components
 
     docs = _t(spark, sf_dir, "documents")
@@ -335,7 +339,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verts = docs.select(F.col("doc_id").alias("id")).distinct()
     return (
-        connected_components(verts, edges)
+        connected_components(verts, edges, algorithm="label")
         .select(F.col("id").alias("doc_id"), F.col("component").cast("long"))
         .orderBy("doc_id")
     )
@@ -401,7 +405,7 @@ def pipeline_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    comp = connected_components(verts, edges)
+    comp = connected_components(verts, edges, algorithm="label")  # tiny-diameter graph
     w = Window.partitionBy("canonical_id")
     return (
         comp.select(

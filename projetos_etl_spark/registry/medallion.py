@@ -159,8 +159,8 @@ def medallion_silver_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(gross_cents - disc_cents - cogs_cents AS BIGINT)   AS profit_cents
         FROM mm
     )
-    SELECT coalesce(segment, 'ALL')   AS segment,
-           coalesce(year, -1)         AS year,
+    SELECT CASE WHEN GROUPING(segment) = 1 THEN 'ALL' ELSE segment END AS segment,
+           CASE WHEN GROUPING(year) = 1 THEN -1 ELSE year END          AS year,
            sum(sales_cents) / 100.0   AS total_sales,
            sum(profit_cents) / 100.0  AS total_profit,
            count(*)                   AS n_rows

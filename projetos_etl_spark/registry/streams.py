@@ -19,6 +19,7 @@ from projetos_etl_spark.streaming.jobs import (
     read_events_stream,
     run_foreach_batch_parquet,
     run_to_memory,
+    scoped_stream_parallelism,
     session_agg,
     sliding_agg,
     tumbling_agg,
@@ -194,18 +195,19 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     name = "pes_late_sink"
-    q = (
-        agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()  # batch 1: establishes the watermark
-        stage_files(late, watch, "batch2")
-        q.processAllAvailable()  # batch 2: every row late -> dropped
-    finally:
-        q.stop()
+    with scoped_stream_parallelism(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: establishes the watermark
+            stage_files(late, watch, "batch2")
+            q.processAllAvailable()  # batch 2: every row late -> dropped
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.date_format("w.start", HOUR_FMT_SPARK).alias("window_start"),
         "event_type",
@@ -266,18 +268,21 @@ def stream_custom_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFram
     stream = spark.readStream.format("parquet").schema(ev_all.schema).load(watch)
     profile = running_user_profile(stream)
     name = "pes_stateful_sink"
-    q = (
-        profile.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        stage_files(ev_all.filter(F.col("ts") > F.lit(median_ts)), watch, "batch2")
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_parallelism(spark):
+        q = (
+            profile.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            stage_files(
+                ev_all.filter(F.col("ts") > F.lit(median_ts)), watch, "batch2"
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     sink = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -317,11 +322,12 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_dir
         )
 
-    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_parallelism(spark):
+        q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     result = spark.read.parquet(out_dir)
     last = result.agg(F.max("epoch_id")).collect()[0][0]
@@ -474,18 +480,19 @@ def stream_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("n"))
     )
     name = "pes_append_sink"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()  # batch 1: nothing finalized yet
-        stage_files(new, watch, "batch2")
-        q.processAllAvailable()  # batch 2 advances watermark -> emit
-    finally:
-        q.stop()
+    with scoped_stream_parallelism(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: nothing finalized yet
+            stage_files(new, watch, "batch2")
+            q.processAllAvailable()  # batch 2 advances watermark -> emit
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.date_format("w.start", HOUR_FMT_SPARK).alias("window_start"),
         "event_type",

@@ -703,3 +703,110 @@ def q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@REG.add(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 0) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13' AND p_size <= 30
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape, transposed: the
+    fixture has no ``p_container``, so the second part predicate is
+    ``p_size`` — same dim-filter + correlated per-part AVG threshold +
+    global aggregate shape). The correlated scalar subquery decorrelates
+    into ONE per-part aggregate over the already part-filtered lineitem
+    (threshold only matters for parts that survive the filter), joined
+    back on the part key — at 100 TB that is a broadcast of the filtered
+    part keys, one fact scan, and a per-key agg co-partitioned with the
+    join, instead of a per-row subquery."""
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 30))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("__qty_thresh")
+    )
+    return (
+        li.join(thresh, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 0).alias("avg_yearly"))
+    )
+
+
+@REG.add(
+    "q20_concentrated_suppliers",
+    oracle="""
+    WITH pairs AS (
+        SELECT l_suppkey,
+               sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_1997,
+               sum(CAST(l_quantity AS BIGINT))                      AS qty_total
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (SELECT 1 FROM pairs
+                  WHERE l_suppkey = s_suppkey AND qty_1997 * 2 > qty_total)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-gated supplier semi-join (TPC-H Q20 shape, transposed:
+    the fixture has no ``partsupp``, so the availability threshold
+    ``ps_availqty > 0.5 * shipped`` becomes "shipped more than half of a
+    widget-part's lifetime quantity in 1997" — same per-(supplier, part)
+    aggregate threshold feeding an EXISTS semi-join against a
+    nation-filtered supplier dim). Quantity sums are exact BIGINTs so
+    the 2x threshold compare is engine-invariant. Plan: part filter
+    broadcast -> one fact scan -> per-pair agg -> semi-join; the nation
+    dim is broadcast; no correlated per-row work anywhere."""
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    y97 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    qty = F.col("l_quantity").cast("long")
+    pairs = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(y97, qty).otherwise(F.lit(0))).alias("qty_1997"),
+            F.sum(qty).alias("qty_total"),
+        )
+    )
+    cand = (
+        pairs.filter(F.col("qty_1997") * 2 > F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("n_nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == F.col("n_nationkey"))
+        .join(cand, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -62,6 +62,10 @@ class HttpFileReader(DataSourceReader):
             "boolean": lambda v: str(v).lower() in ("true", "1"),
         }
 
+        # PERMISSIVE posture (matching the engine's CSV scans): one bad
+        # line must never kill the whole partition/task. Ragged rows
+        # null-fill the missing fields; unparseable numerics become NULL
+        # for that field only.
         def cast_row(d: dict) -> tuple:
             out = []
             for f in self.schema.fields:
@@ -69,20 +73,30 @@ class HttpFileReader(DataSourceReader):
                 if v is None or v == "":
                     out.append(None)
                 else:
-                    out.append(casters.get(f.dataType.typeName(), str)(v))
+                    try:
+                        out.append(casters.get(f.dataType.typeName(), str)(v))
+                    except (ValueError, TypeError):
+                        out.append(None)
             return tuple(out)
 
         if self.fmt == "jsonl":
             for line in text.splitlines():
-                if line.strip():
-                    yield cast_row(json.loads(line))
+                if not line.strip():
+                    continue
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    obj = {}  # corrupt line -> all-NULL row, never a task kill
+                yield cast_row(obj if isinstance(obj, dict) else {})
         else:
             rows = csv.reader(io.StringIO(text), delimiter=self.sep)
             if self.header:
                 header = next(rows, None)
                 idx = {name: i for i, name in enumerate(header or [])}
                 for r in rows:
-                    yield cast_row({n: r[idx[n]] for n in names if n in idx})
+                    yield cast_row(
+                        {n: r[idx[n]] for n in names if n in idx and idx[n] < len(r)}
+                    )
             else:
                 for r in rows:
                     yield cast_row(dict(zip(names, r)))

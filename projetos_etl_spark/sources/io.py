@@ -45,10 +45,15 @@ def scan_parquet(
 
     ``nano_ts_cols``: columns written as TIMESTAMP(NANOS) to surface as
     microsecond TimestampType (floor-truncated, matching DuckDB).
+
+    Session contract: UTC rendering is pinned by ``session.get_spark`` and
+    at the registry API boundary (``registry/_core.ENGINE_SESSION_CONFS``),
+    not here — a scan helper should not silently retoggle a shared
+    session. The one conf this function does set is ``nanosAsLong`` (only
+    when ``nano_ts_cols`` is passed): without it the read itself fails
+    (PARQUET_TYPE_ILLEGAL), so it is a hard requirement of the scan, not
+    a preference.
     """
-    # Pin timestamp rendering regardless of how the caller's session was
-    # built — timestamp->string output must be engine- and host-TZ-neutral.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if not nano_ts_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

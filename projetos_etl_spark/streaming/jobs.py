@@ -15,14 +15,42 @@ batch sinks (here: parquet per epoch).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _COUNTER = itertools.count()
+
+
+@contextlib.contextmanager
+def scoped_stream_parallelism(
+    spark: SparkSession, max_partitions: int = 64, target: int = 32
+) -> Iterator[None]:
+    """Cap ``spark.sql.shuffle.partitions`` for the duration of a streaming
+    query run, restoring the caller's value afterwards.
+
+    Streaming aggregations allocate one state store per shuffle partition;
+    the stock 200 means 200 state stores per windowed agg in local mode.
+    The count is baked into a query's checkpoint at FIRST START — which is
+    why the cap is applied around ``q.start()`` (by the runners below), not
+    at stream-build time, and why restoring after ``q.stop()`` is safe.
+    Restoring means batch queries run later on the same session keep their
+    own parallelism (previously this leaked session-wide)."""
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key, "200")
+    capped = int(prior) > max_partitions
+    if capped:
+        spark.conf.set(key, str(target))
+    try:
+        yield
+    finally:
+        if capped:
+            spark.conf.set(key, prior)
 
 EVENTS_RAW_SCHEMA = T.StructType(
     [
@@ -38,16 +66,15 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over events parquet (ns timestamps normalized to
-    microseconds exactly like the batch reader in sources/io.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # Streaming aggregations allocate one state store per shuffle
-    # partition; the stock 200 means 200 state stores per windowed agg in
-    # local mode. Pin to a local-friendly count (the value is baked into
-    # a query's checkpoint at first start; these registry streams are
-    # ephemeral, so setting it per-session is safe).
-    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    microseconds exactly like the batch reader in sources/io.py).
+
+    Required session confs (``spark.sql.legacy.parquet.nanosAsLong`` for
+    the TIMESTAMP(NANOS) fixture column, UTC session TZ for deterministic
+    rendering) are part of the engine session contract — pinned by
+    ``session.get_spark`` and at the registry API boundary
+    (``registry/_core.ENGINE_SESSION_CONFS``), NOT mutated here. Shuffle
+    parallelism for the streaming state stores is scoped per query run by
+    the runners below (``scoped_stream_parallelism``)."""
     # File-stream sources want a *directory* to watch; the fixture is a
     # single file, so watch its parent with a glob filter (this is also
     # the right shape at scale: a drop-directory of event files).
@@ -88,16 +115,17 @@ def run_to_memory(
     """Run a finite stream to completion into a memory sink; return the
     sink table as a DataFrame."""
     name = name or f"pes_stream_{next(_COUNTER)}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_parallelism(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     spark = stream_df.sparkSession
     return spark.table(name)
 
@@ -130,8 +158,9 @@ def run_foreach_batch_parquet(stream_df: DataFrame, out_dir: str) -> None:
             out_dir
         )
 
-    q = stream_df.writeStream.outputMode("update").foreachBatch(write_batch).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_stream_parallelism(stream_df.sparkSession):
+        q = stream_df.writeStream.outputMode("update").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()

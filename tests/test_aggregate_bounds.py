@@ -1,0 +1,25 @@
+"""Quantitative bound for the one registry entry with no value oracle:
+approx_count_distinct (VERDICT r1 item 3). HLL++ at rsd=0.02 must land
+within 3*rsd of the exact count at both test scales."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from projetos_etl_spark.registry.aggregates import agg_count_distinct_approx
+
+SCALES = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+@pytest.mark.parametrize("sf_dir", SCALES, ids=[os.path.basename(s) for s in SCALES])
+def test_approx_count_distinct_within_3_rsd(spark, sf_dir):
+    rows = agg_count_distinct_approx(spark, sf_dir).collect()
+    assert rows, "entry returned no groups"
+    for r in rows:
+        rel_err = abs(r.approx_parts - r.exact_parts) / r.exact_parts
+        assert rel_err <= 3 * 0.02, (
+            f"group {r[0]!r}: approx {r.approx_parts} vs exact {r.exact_parts} "
+            f"-> rel err {rel_err:.4f} > 0.06"
+        )

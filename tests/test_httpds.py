@@ -75,3 +75,29 @@ def test_jsonl_format(registered, tmp_path):
         (5, "j", 0.5),
         (6, None, 1.25),
     ]
+
+
+def test_permissive_ragged_and_bad_rows(registered, tmp_path):
+    """ADVICE r1: a short row or an unparseable numeric must null-fill,
+    never kill the partition (PERMISSIVE posture, like the CSV scans)."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "ragged.csv"
+    p.write_text("a,b,c\n1,x,2.5\n2,y\n3,z,not_a_number\njunk\n")
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    df = (
+        registered.read.format("httpfile")
+        .schema(schema)
+        .option("url", f"file://{p}")
+        .load()
+    )
+    rows = sorted(tuple(r) for r in df.collect() if r[0] is not None)
+    assert rows == [(1, "x", 2.5), (2, "y", None), (3, "z", None)]
+    # the 'junk' line: lands in column a, fails the long cast -> all-NULL
+    assert df.count() == 4

@@ -66,3 +66,44 @@ def test_new_key_inserted_current(result):
 def test_history_preserved(result):
     assert result[(1, "A")] == (TS0, TS1)
     assert len(result) == 6
+
+
+def test_null_business_key_rows_survive(spark):
+    """ADVICE r1 (medium): a current row whose business key is NULL must
+    pass through an apply untouched — and a NULL-key update row must
+    match it null-safely (NULL keys collate as one key), not silently
+    vanish from the snapshot."""
+    dim = spark.createDataFrame(
+        [(None, "legacy", TS0, None), (1, "A", TS0, None)],
+        "k long, attr string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+
+    # Batch 1: no NULL-key update -> the NULL-key row passes through.
+    out1 = scd2_apply(
+        dim,
+        spark.createDataFrame([(1, "B")], "k long, attr string"),
+        key="k",
+        attrs=["attr"],
+        batch_ts=TS2,
+    )
+    survivors = {(r.k, r.attr) for r in out1.filter(F.col("valid_to").isNull()).collect()}
+    assert (None, "legacy") in survivors and (1, "B") in survivors
+
+    # Batch 2: a NULL-key update matches the NULL-key row (eqNullSafe)
+    # and versions it like any other key.
+    out2 = scd2_apply(
+        dim,
+        spark.createDataFrame([(None, "modern")], "k long, attr string"),
+        key="k",
+        attrs=["attr"],
+        batch_ts=TS2,
+    )
+    null_rows = {
+        (r.attr, r.valid_to is None) for r in out2.filter(F.col("k").isNull()).collect()
+    }
+    assert null_rows == {("legacy", False), ("modern", True)}

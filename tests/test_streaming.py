@@ -105,3 +105,22 @@ def test_session_window_merges_within_gap(spark):
         q.stop()
     # user 1: 09:00+09:20 merge (gap < 30m), 12:00 is its own session.
     assert rows == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_stream_run_restores_shuffle_partitions(spark):
+    """ADVICE r1: running a stream must not permanently change the
+    session's batch parallelism — the state-store cap is scoped to the
+    query run and restored afterwards."""
+    from projetos_etl_spark.streaming.jobs import read_events_stream, run_to_memory
+
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "200")
+    try:
+        ev = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+        agg = ev.groupBy("event_type").count()
+        out = run_to_memory(agg, "complete")
+        assert out.count() > 0
+        assert spark.conf.get(key) == "200"
+    finally:
+        spark.conf.set(key, prior)
