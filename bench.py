@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "agg_rollup",
     "win_running_sum",
     "fn_json_extract",
+    # round 2 additions: correlated-threshold TPC-H shape + time-series
+    # regularization (hourly spine + forward fill). The headline total
+    # therefore grows vs BENCH_r01 by these two queries' cost — compare
+    # per-query, not the raw total, across rounds.
+    "q17_small_quantity_revenue",
+    "ts_resample_ffill",
     # LLM-data ops
     "dedup_exact",
     "dedup_near_minhash",

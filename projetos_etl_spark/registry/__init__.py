@@ -18,6 +18,7 @@ _FAMILIES = [
     "windows",
     "setops",
     "scalars",
+    "prep",
     "text",
     "corpus",
     "dedup",

@@ -342,6 +342,43 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "agg_corr_regression",
+    oracle="""
+    SELECT o_orderstatus,
+           round(corr(o_totalprice, o_custkey), 4)        AS price_cust_corr,
+           round(covar_samp(o_totalprice, o_custkey), 2)  AS price_cust_covar,
+           round(regr_slope(o_totalprice, o_custkey), 6)  AS price_cust_slope,
+           CAST(count(*) AS BIGINT)                       AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covar_samp / regr_slope) per group —
+    single-pass combinable aggregates (each keeps a constant-size moment
+    tuple per group), so the 100 TB cost is one scan + one tiny shuffle.
+    Rounded because the moment accumulation order differs between Spark
+    partials and DuckDB; the statistics are normalized/ratio-scaled so
+    4-6 dp is far above the ulp noise."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("price_cust_corr"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias(
+                "price_cust_covar"
+            ),
+            F.round(
+                F.expr("regr_slope(o_totalprice, o_custkey)"), 6
+            ).alias("price_cust_slope"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@REG.add(
     "agg_collect_sorted",
     oracle="""
     SELECT user_id,

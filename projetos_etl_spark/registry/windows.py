@@ -470,3 +470,40 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@REG.add(
+    "win_percentiles_rank",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           round(percent_rank() OVER w, 6) AS bal_pct_rank,
+           round(cume_dist() OVER w, 6)    AS bal_cume_dist,
+           CAST(ntile(4) OVER w AS INTEGER) AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY round(c_acctbal, 2), c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def win_percentiles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (percent_rank / cume_dist /
+    ntile): each customer's balance position within its market segment.
+    The ORDER BY carries an explicit c_custkey tie-break so rank-based
+    results are engine-invariant (percent_rank on a tied sort is
+    underdetermined). One sort per segment partition — the same
+    single-shuffle shape as every ranking window; ntile adds no extra
+    pass (it rides the same sorted partition)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round("c_acctbal", 2), "c_custkey"
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+            F.ntile(4).over(w).alias("bal_quartile"),
+        )
+        .orderBy("c_custkey")
+    )
