@@ -498,3 +498,101 @@ def stream_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFra
         "event_type",
         "n",
     )
+
+
+@REG.add(
+    "stream_stream_left_outer_join",
+    oracle=f"""
+    SELECT p.event_id                      AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           strftime(e.ts, '{TS_FMT_DUCK}') AS error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts - INTERVAL '2 hours' AND e.ts <= p.ts
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join in append mode: a purchase
+    with no same-user error in the preceding 2 hours must still emit —
+    but only once the error side's watermark proves no match can arrive.
+    A purchase near the end of a finite stream therefore never emits its
+    NULL row in a naive run; this entry drives a second micro-batch of
+    far-future watermark-advancer rows (sentinel user_id -1, filtered
+    from the output) so EVERY real purchase finalizes, making the result
+    equal to the batch left interval join — which is the oracle. This is
+    the same bounded-state design as the inner variant: the interval
+    condition lets both sides' state age out with the watermark."""
+    import tempfile
+
+    from projetos_etl_spark.sources.io import load_table
+    from projetos_etl_spark.streaming.jobs import EVENTS_RAW_SCHEMA, stage_files
+
+    ev_all = load_table(spark, sf_dir, "events")
+    max_ts = ev_all.agg(F.max("ts").alias("m")).collect()[0][0]  # 1-row bound lookup
+    advancers = spark.createDataFrame(
+        [(-1, -1, "purchase", 0.0, "{}"), (-2, -1, "error", 0.0, "{}")],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.lit(max_ts).cast("timestamp") + F.expr("INTERVAL 10 HOURS"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    watch = tempfile.mkdtemp(prefix="pes_louter_")
+    stage_files(ev_all.select(*advancers.columns), watch, "batch1")
+
+    # the staged files hold real TimestampType (already normalized), so
+    # read with the normalized schema rather than the raw int64 one
+    stream = (
+        spark.readStream.format("parquet").schema(advancers.schema).load(watch)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "2 hours")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    name = "pes_louter_sink"
+    with scoped_stream_parallelism(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: matches emit, NULLs held back
+            stage_files(advancers, watch, "batch2")
+            q.processAllAvailable()  # batch 2: watermark passes everything
+        finally:
+            q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("p_ts", TS_FMT_SPARK).alias("purchase_ts"),
+            F.date_format("e_ts", TS_FMT_SPARK).alias("error_ts"),
+        )
+    )

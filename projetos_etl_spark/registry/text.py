@@ -10,7 +10,7 @@ which is exactly the 100 TB posture for per-document featurization.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projetos_etl_spark.functions.langid import detect_language
@@ -290,4 +290,71 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.col("doc_id") * _KNUTH) % _MOD32 % 100
     return (
         _t(spark, sf_dir, "documents").filter(bucket < rate).select("doc_id", "lang")
+    )
+
+
+@REG.add(
+    "text_tfidf_topk",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term, n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, term
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf * ln((N+1)/(df+1)) (smoothed idf), ranked on the ROUNDED score
+    plus a term tie-break so ordering is engine-invariant (raw ln()
+    outputs can differ in the last ulp between libms). Scale shape: the
+    document-frequency table is vocabulary-sized (Zipf-bounded, millions
+    of rows, not corpus-sized) and broadcast back onto the term stream,
+    so scoring is map-side; the only full shuffles are the two hash
+    aggregations (doc-term counts, term df). The final top-k window
+    partitions by doc_id — co-partitioned with the tf aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+        .orderBy("doc_id", "term")
     )
