@@ -410,3 +410,23 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@REG.add("agg_percentile_approx")  # sketch estimate => rows-only check
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest percentile sketch (``percentile_approx``) next to the
+    exact interpolated percentile — the 100 TB path for quantiles (the
+    sketch is map-side mergeable; exact percentile sorts per group).
+    Approximate, so no value oracle; ``tests/test_aggregate_bounds.py``
+    asserts the estimate lands within the accuracy parameter's rank
+    error at both test scales."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )

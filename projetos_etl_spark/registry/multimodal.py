@@ -111,3 +111,45 @@ def multimodal_transcode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.octet_length("out_media").cast("long").alias("out_bytes"),
         F.md5("out_media").alias("out_md5"),
     )
+
+
+@REG.add(
+    "multimodal_arrow_batches",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+               AS n_spaces
+    FROM documents
+    """,
+)
+def multimodal_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy tier below ``mapInPandas`` — the
+    kernel receives raw ``pyarrow.RecordBatch``es and computes with
+    Arrow compute kernels only (no pandas materialization, no per-row
+    Python). That is the right boundary for bytes-heavy media pipelines:
+    binary columns stay in Arrow buffers end-to-end, and the per-batch
+    cost is two vectorized C++ kernel calls. The oracle recomputes both
+    features in SQL, pinning the Arrow round-trip bit-for-bit."""
+    from projetos_etl_spark.operators.multimodal import bundle_media
+
+    def feature_kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            media = b.column("media")
+            text = pc.cast(media, pa.string())  # ASCII stand-in payloads
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.binary_length(media), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    bundled = bundle_media(load_table(spark, sf_dir, "documents"))
+    return bundled.select("doc_id", "media").mapInArrow(
+        feature_kernel, "doc_id long, n_bytes long, n_spaces long"
+    )

@@ -345,3 +345,55 @@ def fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") <= 5)
         .orderBy("edit_distance", "p_partkey")
     )
+
+
+CHUNK_TOKENS = 16
+
+
+@REG.add(
+    "udtf_chunk_lateral",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, ts,
+               unnest(range(0, greatest(len(ts), 1), {CHUNK_TOKENS})) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / {CHUNK_TOKENS} AS INTEGER)            AS chunk_id,
+           array_to_string(ts[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def udtf_chunk_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark >= 3.5) applied as
+    a LATERAL join: each document expands into fixed-size token chunks
+    with positional ids — the one UDF surface (one row in, many rows
+    out) the scalar/pandas/grouped entries can't express. Declared
+    Python path like the rest of the udf_* family; the equivalent pure
+    DataFrame formulation (explode over a sequence of slices) is what
+    the corpus family uses in the hot path — this entry pins the API's
+    semantics against that same logic in the oracle. The class is
+    defined in-function so it pickles by value (no executor package
+    ship needed)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string")
+    class ChunkTokens:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
+            toks = (text or "").split(" ")
+            for i in range(0, max(len(toks), 1), CHUNK_TOKENS):
+                yield i // CHUNK_TOKENS, " ".join(toks[i : i + CHUNK_TOKENS])
+
+    spark.udtf.register("pes_chunk_tokens", ChunkTokens)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("pes_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk
+        FROM pes_udtf_docs d, LATERAL pes_chunk_tokens(d.doc_id, d.text) c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    )

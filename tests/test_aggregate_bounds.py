@@ -23,3 +23,31 @@ def test_approx_count_distinct_within_3_rsd(spark, sf_dir):
             f"group {r[0]!r}: approx {r.approx_parts} vs exact {r.exact_parts} "
             f"-> rel err {rel_err:.4f} > 0.06"
         )
+
+
+@pytest.mark.parametrize("sf_dir", SCALES, ids=[os.path.basename(s) for s in SCALES])
+def test_percentile_approx_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=1000) guarantees rank error <= n/1000;
+    translate that into a value-band check: the estimate must lie
+    between the exact quantiles at 0.5 +/- 2/1000."""
+    from projetos_etl_spark.registry.aggregates import agg_percentile_approx
+    from projetos_etl_spark.sources.io import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = agg_percentile_approx(spark, sf_dir).collect()
+    assert rows
+    orders = load_table(spark, sf_dir, "orders")
+    for r in rows:
+        band = (
+            orders.filter(F.col("o_orderstatus") == r[0])
+            .agg(
+                F.expr("percentile(o_totalprice, 0.498)").alias("lo"),
+                F.expr("percentile(o_totalprice, 0.502)").alias("hi"),
+            )
+            .collect()[0]
+        )
+        assert band.lo <= r.approx_median <= band.hi, (
+            f"group {r[0]!r}: approx {r.approx_median} outside "
+            f"[{band.lo}, {band.hi}] (exact {r.exact_median})"
+        )

@@ -209,3 +209,34 @@ def explain_plan(df):
     from projetos_etl_spark.plans.inspect import explain_str
 
     return explain_str(df)
+
+
+def test_q17_q20_dims_broadcast_no_smj(spark, queries):
+    """Round-2 TPC-H additions must keep the dims-broadcast posture: the
+    filtered part keys broadcast into the fact scan; no SortMergeJoin,
+    no cartesian anywhere in either plan."""
+    for name in ("q17_small_quantity_revenue", "q20_concentrated_suppliers"):
+        df = queries[name](spark, SF)
+        assert has_operator(df, "BroadcastHashJoin"), name
+        assert not has_operator(df, "SortMergeJoin"), name
+        assert not has_operator(df, "CartesianProduct"), name
+
+
+def test_tfidf_df_table_broadcast(spark, queries):
+    """TF-IDF's document-frequency table is vocabulary-bounded and must
+    broadcast back onto the term stream (scoring stays map-side)."""
+    df = queries["text_tfidf_topk"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "SortMergeJoin")
+
+
+def test_resample_pick_is_hash_aggregate(spark, queries):
+    """ts_resample_ffill's per-hour pick must plan as a combinable
+    hash aggregate (max_by over a struct), NOT a row_number window —
+    the window formulation would sort every partition before picking."""
+    from projetos_etl_spark.plans.inspect import explain_str
+
+    plan = explain_str(queries["ts_resample_ffill"](spark, SF))
+    # exactly one Window in the plan: the forward-fill itself
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+    assert "max_by" in plan or "HashAggregate" in plan

@@ -124,3 +124,42 @@ def test_stream_run_restores_shuffle_partitions(spark):
         assert spark.conf.get(key) == "200"
     finally:
         spark.conf.set(key, prior)
+
+
+def test_checkpoint_recovery_continues_state(spark, tmp_path):
+    """Exactly-once recovery: stop a streaming aggregation, then restart
+    it from its checkpointLocation with new files staged — the restarted
+    query must CONTINUE from the persisted state store (batch-1 rows
+    still counted), not restart from zero. This is the mechanism that
+    makes a 100 TB/day pipeline survive executor/driver loss."""
+    watch, ckpt = str(tmp_path / "watch"), str(tmp_path / "ckpt")
+    batch1 = _events(spark, [(1, 0, 0, 1.0), (1, 1, 0, 2.0), (2, 2, 0, 5.0)])
+    stage_files(batch1, watch, "b1")
+
+    def start():
+        stream = (
+            spark.readStream.format("parquet").schema(batch1.schema).load(watch)
+        )
+        agg = stream.groupBy("user_id").count()
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("pes_ckpt_sink")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stage_files(_events(spark, [(1, 3, 0, 3.0)]), watch, "b2")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r.user_id: r["count"] for r in spark.table("pes_ckpt_sink").collect()}
+    assert got == {1: 3, 2: 1}
