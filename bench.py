@@ -89,7 +89,7 @@ def main() -> None:
 
     N_RUNS = 3
     runs: dict[str, list[float]] = {n: [] for n in names}
-    write_split: dict[str, dict[str, float]] = {}
+    split_runs: dict[str, list[dict[str, float]]] = {}
     for _ in range(N_RUNS):
         for name in names:
             t0 = time.perf_counter()
@@ -98,12 +98,21 @@ def main() -> None:
             runs[name].append(round(elapsed, 3))
             if name == "medallion_gold_profit_mart":
                 w = medallion.last_write_seconds()
-                write_split[name] = {
-                    "write": round(w, 3),
-                    "compute": round(max(elapsed - w, 0.0), 3),
-                }
+                split_runs.setdefault(name, []).append(
+                    {"write": round(w, 3), "compute": round(max(elapsed - w, 0.0), 3)}
+                )
 
     timings = {n: sorted(ts)[N_RUNS // 2] for n, ts in runs.items()}
+    # The reported split is the component-wise median across runs, so it
+    # decomposes a number of the same robustness as the headline median
+    # (a single run's split can disagree with the median total).
+    write_split = {
+        name: {
+            comp: sorted(s[comp] for s in splits)[len(splits) // 2]
+            for comp in ("write", "compute")
+        }
+        for name, splits in split_runs.items()
+    }
     print(
         json.dumps(
             {
@@ -113,10 +122,52 @@ def main() -> None:
                 "queries": timings,
                 "queries_runs": runs,
                 "write_split": write_split,
+                "write_split_runs": split_runs,
+                "delta": _delta_vs_previous(timings),
                 "sf": sf,
             }
         )
     )
+
+
+def _delta_vs_previous(timings: dict[str, float]) -> dict | None:
+    """Per-query ratio vs the most recent recorded BENCH_r{N}.json, with
+    >1.3x slowdowns called out — so a reader sees regressions in the
+    bench artifact itself instead of recomputing across rounds. Only
+    same-sf artifacts are compared (ratios across sf are meaningless)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    prev_name, prev = None, None
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
+    ):
+        try:
+            with open(path) as f:
+                cand = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if cand.get("sf") == sf and cand.get("queries"):
+            prev_name, prev = os.path.basename(path), cand["queries"]
+            break
+    if prev is None:
+        return None
+    ratios = {
+        n: round(timings[n] / prev[n], 3)
+        for n in timings
+        if n in prev and prev[n] > 0
+    }
+    return {
+        "vs": prev_name,
+        "ratio": ratios,
+        "regressions": sorted(n for n, r in ratios.items() if r > 1.3),
+        "new_queries": sorted(n for n in timings if n not in prev),
+    }
 
 
 if __name__ == "__main__":

@@ -27,6 +27,8 @@ downstream gold scans prune partitions. Only xlsx ingest is driver-bound
 
 from __future__ import annotations
 
+import contextvars
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -133,15 +135,19 @@ def source_http(spark: SparkSession, url: str, out_path: str, fmt: str = "parque
 
 
 #: Wall seconds spent inside the layer-write actions of the most recent
-#: ``run_pipeline`` call (each write action also executes its upstream
-#: compute — Spark actions are where lineage runs). ``bench.py`` reads
-#: this to split the end-to-end medallion entry's cost into write vs
-#: gold-compute, so regressions in either are visible separately.
-_LAST_WRITE_SECONDS = 0.0
+#: ``run_pipeline`` call in THIS context (each write action also executes
+#: its upstream compute — Spark actions are where lineage runs).
+#: ``bench.py`` reads this to split the end-to-end medallion entry's cost
+#: into write vs gold-compute, so regressions in either are visible
+#: separately. A ContextVar so concurrent pipelines on one driver don't
+#: clobber each other's reading.
+_LAST_WRITE_SECONDS: contextvars.ContextVar[float] = contextvars.ContextVar(
+    "medallion_last_write_seconds", default=0.0
+)
 
 
 def last_write_seconds() -> float:
-    return _LAST_WRITE_SECONDS
+    return _LAST_WRITE_SECONDS.get()
 
 
 def run_pipeline(
@@ -155,7 +161,6 @@ def run_pipeline(
     conformed table partitioned by ``partition_cols`` (default: year) to
     ``{base_dir}/silver``. Returns the silver DataFrame re-read from its
     layer path — the handoff a gold mart consumes (partition-pruned)."""
-    global _LAST_WRITE_SECONDS
     import time
 
     t0 = time.perf_counter()
@@ -165,7 +170,7 @@ def run_pipeline(
     silver = require_nonempty(silver_conform(bronze, with_ingestion_ts=False))
     t1 = time.perf_counter()
     sink_partitioned(silver, f"{base_dir}/silver", partition_cols or ["year"])
-    _LAST_WRITE_SECONDS = write_secs + (time.perf_counter() - t1)
+    _LAST_WRITE_SECONDS.set(write_secs + (time.perf_counter() - t1))
     return spark.read.parquet(f"{base_dir}/silver")
 
 

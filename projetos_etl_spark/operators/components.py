@@ -37,6 +37,8 @@ downstream dedup decision.
 
 from __future__ import annotations
 
+import contextvars
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,14 +46,18 @@ from pyspark.sql import functions as F
 #: or made so here); vertices(id).
 MAX_ROUNDS_DEFAULT = 25
 
-#: Rounds the most recent connected_components call took to converge —
-#: read by tests asserting the O(log n)-ish round bound of the star
-#: algorithm vs label propagation's O(diameter).
-_LAST_ROUNDS = 0
+#: Rounds the most recent connected_components call in THIS context took
+#: to converge. A ContextVar, not a module global, so concurrent runs on
+#: one driver (separate threads/contexts) don't clobber each other; the
+#: primary API for callers that need the count is the ``stats`` out-param
+#: of :func:`connected_components` — this accessor is a test convenience.
+_LAST_ROUNDS: contextvars.ContextVar[int] = contextvars.ContextVar(
+    "cc_last_rounds", default=0
+)
 
 
 def last_round_count() -> int:
-    return _LAST_ROUNDS
+    return _LAST_ROUNDS.get()
 
 
 class ConvergenceError(RuntimeError):
@@ -72,6 +78,7 @@ def connected_components(
     edges: DataFrame,
     max_rounds: int = MAX_ROUNDS_DEFAULT,
     algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return ``(id, component)`` where component = min vertex id reachable.
 
@@ -79,19 +86,26 @@ def connected_components(
     Edges are symmetrized and self-loops dropped internally. Exact and
     deterministic; raises :class:`ConvergenceError` if the fixpoint is not
     reached within ``max_rounds`` (unconverged labels are silently wrong —
-    never returned).
+    never returned). Pass a dict as ``stats`` to receive
+    ``{"rounds": <rounds to converge>, "algorithm": <name>}`` — the
+    race-free way to read the round count (vs. the context-local
+    :func:`last_round_count` convenience).
     """
     if algorithm == "star":
-        return _components_star(vertices, edges, max_rounds)
-    if algorithm == "label":
-        return _components_label_prop(vertices, edges, max_rounds)
-    raise ValueError(f"unknown algorithm: {algorithm!r} (use 'star' or 'label')")
+        out = _components_star(vertices, edges, max_rounds)
+    elif algorithm == "label":
+        out = _components_label_prop(vertices, edges, max_rounds)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r} (use 'star' or 'label')")
+    if stats is not None:
+        stats["rounds"] = _LAST_ROUNDS.get()
+        stats["algorithm"] = algorithm
+    return out
 
 
 def _components_label_prop(
     vertices: DataFrame, edges: DataFrame, max_rounds: int
 ) -> DataFrame:
-    global _LAST_ROUNDS
     sym = _symmetrize(edges).localCheckpoint(eager=True)
     labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint(
         eager=True
@@ -120,7 +134,7 @@ def _components_label_prop(
         labels = new_labels
         if changed == 0:
             converged = True
-            _LAST_ROUNDS = rnd + 1
+            _LAST_ROUNDS.set(rnd + 1)
             break
     if not converged:
         raise ConvergenceError(
@@ -178,7 +192,6 @@ def _components_star(
     themselves). Convergence test: the small-star output (a canonical
     large→small edge set) is unchanged — checked with one count over the
     symmetric difference, riding the round's own materialization."""
-    global _LAST_ROUNDS
     cur = _small_star(_symmetrize(edges)).localCheckpoint(eager=True)
 
     converged = False
@@ -188,7 +201,7 @@ def _components_star(
         cur = nxt
         if delta == 0:
             converged = True
-            _LAST_ROUNDS = rnd + 1
+            _LAST_ROUNDS.set(rnd + 1)
             break
     if not converged:
         raise ConvergenceError(

@@ -18,12 +18,23 @@ Scale shape (the whole point of LSH at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NUM_HASHES = 16
 BAND_SIZE = 4
 SHINGLE_WORDS = 3
+
+#: Hot-bucket guard: a (band_id, band_key) bucket with b members yields
+#: b*(b-1)/2 candidate pairs — boilerplate-heavy corpora (the common case
+#: in web-crawl dedup) can put millions of docs in ONE bucket and make a
+#: single join key quadratic. Each bucket therefore keeps at most this
+#: many members (deterministically: the lowest ids), bounding per-bucket
+#: work at O(max_bucket^2) while true near-dup clusters — which share
+#: MOST bands, not one — still meet in the capped subset of some band.
+#: The cap is mirrored bit-for-bit in the DuckDB oracle
+#: (registry/dedup.py), so capped semantics are still oracle-exact.
+DEFAULT_MAX_BUCKET = 64
 
 
 def shingles(text_col: Column, n: int = SHINGLE_WORDS) -> Column:
@@ -84,15 +95,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     sigs: DataFrame,
     id_col: str,
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band key become a candidate pair;
-    output (doc_a, doc_b, est_jaccard) with est = matching-signature
-    fraction, doc_a < doc_b."""
+    """Exploded (id, band_id, band_key) bucket membership — the join key
+    space of banded LSH, exposed for bucket-occupancy observability."""
     n_bands = num_hashes // band_size
     band_entries = F.array(
         *[
@@ -108,9 +118,36 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    buckets = sigs.select(id_col, F.explode(band_entries).alias("b")).select(
+    return sigs.select(id_col, F.explode(band_entries).alias("b")).select(
         id_col, "b.band_id", "b.band_key"
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band key become a candidate pair;
+    output (doc_a, doc_b, est_jaccard) with est = matching-signature
+    fraction, doc_a < doc_b.
+
+    ``max_bucket`` caps each (band_id, band_key) bucket at its lowest-id
+    members before the self-join (see :data:`DEFAULT_MAX_BUCKET`); pass
+    ``None`` for the uncapped all-pairs-within-bucket behavior. The
+    row_number shuffles on the same (band_id, band_key) keys the join
+    needs anyway, so the guard adds a sort within each bucket partition
+    but no extra exchange of a different key."""
+    buckets = lsh_band_buckets(sigs, id_col, num_hashes, band_size)
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
+        buckets = (
+            buckets.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_bucket)
+            .drop("__rk")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(

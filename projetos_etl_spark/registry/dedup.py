@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 from projetos_etl_spark.operators.cosine import as_double_array, cosine
 from projetos_etl_spark.operators.minhash import (
     BAND_SIZE,
+    DEFAULT_MAX_BUCKET,
     NUM_HASHES,
     SHINGLE_WORDS,
     exact_ngram_jaccard_pairs,
+    lsh_band_buckets,
     lsh_candidate_pairs,
     minhash_signatures,
 )
@@ -42,7 +44,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _minhash_oracle() -> str:
+def _bands_cte_sql() -> str:
+    """Shared CTE prefix (shingles -> signatures -> band keys) used by the
+    minhash pair oracle and the bucket-stats oracle — generated from the
+    same constants as operators/minhash.py so the twins can't drift."""
     sig_cols = ",\n               ".join(
         f"min(substr(md5('mh{i // 4}|' || shingle), {8 * (i % 4) + 1}, 8)) AS sig_{i}"
         for i in range(NUM_HASHES)
@@ -57,12 +62,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(n_bands)
     )
-    match_sum = " + ".join(
-        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
-        for i in range(NUM_HASHES)
-    )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
     ), sig AS (
         SELECT doc_id,
@@ -70,9 +70,27 @@ def _minhash_oracle() -> str:
         FROM sh GROUP BY doc_id
     ), bands AS (
         {band_selects}
+    )"""
+
+
+def _minhash_oracle() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    # bands_capped mirrors the Spark-side hot-bucket guard exactly:
+    # keep the DEFAULT_MAX_BUCKET lowest doc_ids per (band_id, band_key).
+    return f"""
+    WITH {_bands_cte_sql()}, bands_capped AS (
+        SELECT doc_id, band_id, band_key FROM (
+            SELECT doc_id, band_id, band_key,
+                   row_number() OVER (PARTITION BY band_id, band_key
+                                      ORDER BY doc_id) AS brn
+            FROM bands
+        ) WHERE brn <= {DEFAULT_MAX_BUCKET}
     ), pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands_capped a JOIN bands_capped b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
     )
@@ -414,4 +432,48 @@ def pipeline_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .orderBy("doc_id")
+    )
+
+
+def _bucket_stats_oracle() -> str:
+    return f"""
+    WITH {_bands_cte_sql()}, occ AS (
+        SELECT band_id, band_key, count(*) AS n FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_occupancy,
+           CAST(sum(CASE WHEN n > {DEFAULT_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+               AS overflow_buckets,
+           CAST(sum(greatest(n - {DEFAULT_MAX_BUCKET}, 0)) AS BIGINT)
+               AS overflow_members
+    FROM occ
+    """
+
+
+@REG.add("dedup_lsh_bucket_stats", oracle=_bucket_stats_oracle())
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability companion to the LSH hot-bucket guard: (band_id,
+    band_key) occupancy rollup — bucket count, max occupancy, and how
+    many buckets/members exceed DEFAULT_MAX_BUCKET (i.e. what the cap in
+    ``lsh_candidate_pairs`` would truncate). At 100 TB this is the cheap
+    pre-flight that tells you whether a corpus is boilerplate-skewed
+    BEFORE paying for the pair join; it costs one extra groupBy on the
+    same keys the join shuffles on anyway."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    occ = (
+        lsh_band_buckets(sigs, "doc_id")
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cap = DEFAULT_MAX_BUCKET
+    return occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_occupancy"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+        .cast("long")
+        .alias("overflow_buckets"),
+        F.sum(F.greatest(F.col("n") - cap, F.lit(0)))
+        .cast("long")
+        .alias("overflow_members"),
     )

@@ -25,6 +25,7 @@ data, hermetically (no network, no external DB):
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,7 +90,7 @@ def source_http_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. Uses a file:// URL for hermetic CI; the code path is identical
     for http(s)://. Only the bounded fetch is driver-side — never on the
     100 TB path (SURVEY.md §7 'Hard parts')."""
-    spool = tempfile.mktemp(prefix="pes_http_", suffix=".parquet")
+    spool = os.path.join(tempfile.mkdtemp(prefix="pes_http_"), "region.parquet")
     return source_http(spark, f"file://{sf_dir}/region.parquet", spool)
 
 
@@ -146,7 +147,9 @@ def scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetos_etl_spark.sources.xlsx import write_xlsx
 
     rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    path = tempfile.mktemp(prefix="pes_xlsx_", suffix=".xlsx")
+    # mkdtemp + fixed name (not the race-prone, deprecated mktemp): the
+    # directory is created atomically and owned by this process.
+    path = os.path.join(tempfile.mkdtemp(prefix="pes_xlsx_"), "nation.xlsx")
     write_xlsx(
         path,
         [" n_nationkey", "n_name ", "n_regionkey"],

@@ -57,6 +57,41 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     return out
 
 
+_REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKG_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def _sheet_paths(zf: zipfile.ZipFile) -> list[str]:
+    """Worksheet part paths in WORKBOOK order — resolved through
+    ``xl/workbook.xml`` (sheet sequence) + ``xl/_rels/workbook.xml.rels``
+    (r:id -> part target), which is where sheet order actually lives.
+    Lexicographic filename order is wrong twice over: 'sheet10.xml' sorts
+    before 'sheet2.xml', and part numbering need not match tab order at
+    all. Falls back to numeric-suffix order if either part is absent or
+    unparsable (some minimal writers omit the workbook part)."""
+    try:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        target_by_id = {
+            rel.get("Id"): rel.get("Target")
+            for rel in rels.iter(f"{{{_PKG_REL_NS}}}Relationship")
+        }
+        paths = []
+        for sheet in wb.iter(f"{{{_NS['m']}}}sheet"):
+            target = target_by_id[sheet.get(f"{{{_REL_NS}}}id")]
+            # targets are workbook-part-relative ('worksheets/sheet1.xml')
+            # or package-absolute ('/xl/worksheets/sheet1.xml')
+            paths.append(target.lstrip("/") if target.startswith("/") else f"xl/{target}")
+        if paths and all(p in zf.namelist() for p in paths):
+            return paths
+    except (KeyError, ET.ParseError):
+        pass
+    return sorted(
+        (n for n in zf.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)),
+    )
+
+
 def _cell_value(c: ET.Element, shared: list[str]):
     t = c.get("t", "n")
     if t == "inlineStr":
@@ -85,13 +120,14 @@ def read_xlsx(source: str | bytes, sheet_index: int = 0) -> tuple[list, list[lis
     rest — both as lists null-padded to the max observed width."""
     buf = BytesIO(source) if isinstance(source, bytes) else source
     with zipfile.ZipFile(buf) as zf:
-        sheets = sorted(
-            n
-            for n in zf.namelist()
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-        )
+        sheets = _sheet_paths(zf)
         if not sheets:
             raise ValueError("xlsx has no worksheets")
+        if not 0 <= sheet_index < len(sheets):
+            raise ValueError(
+                f"sheet_index {sheet_index} out of range: workbook has "
+                f"{len(sheets)} sheet(s)"
+            )
         shared = _shared_strings(zf)
         root = ET.fromstring(zf.read(sheets[sheet_index]))
 

@@ -46,6 +46,30 @@ def test_minhash_lsh_finds_planted_near_dup(docs):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_lsh_hot_bucket_guard(spark):
+    """VERDICT r2 item 2: a boilerplate-heavy corpus (300 identical docs
+    -> ONE bucket per band) must produce O(max_bucket^2) candidate
+    pairs, not O(n^2), with the deterministic lowest-id members kept."""
+    from projetos_etl_spark.operators.minhash import DEFAULT_MAX_BUCKET
+
+    n = 300
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(n)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    m = DEFAULT_MAX_BUCKET
+    capped = lsh_candidate_pairs(sigs, "doc_id")
+    assert capped.count() == m * (m - 1) // 2  # 2016, not 44850
+    top = capped.agg(
+        F.max("doc_b").alias("mx"), F.min("est_jaccard").alias("mn")
+    ).collect()[0]
+    assert top.mx == m - 1  # lowest-id members survive, deterministically
+    assert top.mn == 1.0  # identical docs -> full signature match
+    # opting out restores all-pairs-within-bucket semantics
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", max_bucket=None)
+    assert uncapped.count() == n * (n - 1) // 2
+
+
 def test_exact_ngram_jaccard(docs):
     rows = {
         (r.doc_a, r.doc_b): r.jaccard

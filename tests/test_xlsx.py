@@ -58,6 +58,69 @@ def test_reader_handles_shared_strings(tmp_path):
     assert rows == [["rich text", 42]]
 
 
+def test_sheet_order_resolved_via_workbook_not_filenames(tmp_path):
+    """ADVICE r2: sheet order lives in xl/workbook.xml + rels, not in part
+    filenames — 'sheet10.xml' sorts lexicographically before 'sheet2.xml',
+    and tab order need not match part numbering at all. Build a workbook
+    whose FIRST tab is stored as sheet10.xml and verify sheet_index
+    follows workbook order; out-of-range must raise a descriptive error."""
+    import pytest
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+    def sheet_xml(value: str) -> str:
+        return (
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>{value}</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    workbook = (
+        f'<workbook xmlns="{ns}" xmlns:r="{rel_ns}"><sheets>'
+        '<sheet name="First" sheetId="1" r:id="rA"/>'
+        '<sheet name="Second" sheetId="2" r:id="rB"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        f'<Relationships xmlns="{pkg_ns}">'
+        '<Relationship Id="rA" Type="x" Target="worksheets/sheet10.xml"/>'
+        '<Relationship Id="rB" Type="x" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    path = str(tmp_path / "multi.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet10.xml", sheet_xml("first-tab"))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml("second-tab"))
+    assert read_xlsx(path, sheet_index=0)[0] == ["first-tab"]
+    assert read_xlsx(path, sheet_index=1)[0] == ["second-tab"]
+    with pytest.raises(ValueError, match="out of range.*2 sheet"):
+        read_xlsx(path, sheet_index=2)
+
+
+def test_sheet_order_numeric_fallback_without_workbook_part(tmp_path):
+    """Minimal writers may omit xl/workbook.xml: fall back to NUMERIC
+    part-suffix order (sheet2 before sheet10), not lexicographic."""
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    def sheet_xml(value: str) -> str:
+        return (
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            f'<row r="1"><c r="A1" t="inlineStr"><is><t>{value}</t></is></c></row>'
+            "</sheetData></worksheet>"
+        )
+
+    path = str(tmp_path / "bare.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/worksheets/sheet10.xml", sheet_xml("tenth"))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml("second"))
+    assert read_xlsx(path, sheet_index=0)[0] == ["second"]
+    assert read_xlsx(path, sheet_index=1)[0] == ["tenth"]
+
+
 def test_reader_null_pads_sparse_rows(tmp_path):
     """Sparse/ragged sheets (skipped cells, short rows) null-fill by cell
     reference — PERMISSIVE, one bad row can't shift columns."""
