@@ -363,9 +363,15 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct count per user (how many distinct event types has
     this user produced up to now): Spark has no DISTINCT window
     aggregate, so the portable formulation is ``size(collect_set())``
-    over the running frame — set state is bounded by the type
-    cardinality, so the frame never grows the way a naive
-    collect_list would."""
+    over the running frame.
+
+    BOUNDED-DOMAIN CONTRACT: per-row set state is O(distinct values in
+    the partition) — right for enum-like columns (event types, status
+    codes, country codes), wrong for domains that grow with the data
+    (URLs, user agents, doc hashes), where the set itself becomes the
+    memory bottleneck. For unbounded domains use
+    ``win_rolling_distinct_unbounded`` — same semantics, exact, O(1)
+    window state via a running sum of first-occurrence flags."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -506,4 +512,47 @@ def win_percentiles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w).alias("bal_quartile"),
         )
         .orderBy("c_custkey")
+    )
+
+
+@REG.add(
+    "win_rolling_distinct_unbounded",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+               AS n_types_so_far
+    FROM events
+    """,
+)
+def win_rolling_distinct_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count, scale tier for UNBOUNDED value domains
+    (URLs, doc hashes): identical semantics to ``win_rolling_distinct``
+    but EXACT with O(1) window state. ``collect_set`` over a running
+    frame carries a per-position set of size O(distinct values) — fine
+    for enum-like domains (the bounded-domain contract documented on
+    ``win_rolling_distinct``), quadratic-ish memory when the domain
+    grows with the data. Here the distinct count is decomposed into a
+    running SUM of first-occurrence flags: row_number over
+    (user, value) marks each value's first row, then a plain running
+    sum over (user) accumulates them — two window passes whose state is
+    one counter each. Costs one extra shuffle (by (user_id, event_type)
+    then by user_id) in exchange for memory that no longer depends on
+    the value domain; both engines agree exactly, so the oracle is the
+    same COUNT(DISTINCT ... ) window as the bounded variant."""
+    first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("__first", (F.row_number().over(first) == 1).cast("int"))
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("__first").over(run).cast("int").alias("n_types_so_far"),
+        )
     )
