@@ -430,3 +430,59 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@REG.add(
+    "agg_hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           true AS est_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE cardinality sketches — the property that matters at
+    100 TB: ``hll_sketch_agg`` builds a per-(event_type, day) Datasketches
+    HLL sketch (a small binary), and ``hll_union_agg`` re-aggregates
+    those sketches to event_type grain WITHOUT touching the raw rows
+    again. That two-level shape is how daily-rollup tables stay
+    re-aggregatable to any coarser grain (week/month/all-time) at the
+    cost of unioning kilobyte sketches — ``approx_count_distinct``
+    alone gives an estimate but not a storable, re-mergeable state.
+    The oracle pins the exact per-type distinct count plus the claim
+    the merged estimate lands within 5% of it (HLL at default
+    lgConfigK=12 is ~1.6% rse; the flag is computed, not assumed —
+    a broken merge fails the hash compare).
+    """
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.countDistinct("user_id").alias("n_day_exact"),
+        )
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+    )
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("est") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= 0.05
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

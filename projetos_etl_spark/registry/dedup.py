@@ -435,6 +435,100 @@ def pipeline_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_oracle() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    WITH {_bands_cte_sql()}, corpus_capped AS (
+        SELECT doc_id, band_id, band_key FROM (
+            SELECT doc_id, band_id, band_key,
+                   row_number() OVER (PARTITION BY band_id, band_key
+                                      ORDER BY doc_id) AS brn
+            FROM bands WHERE doc_id % 2 = 0
+        ) WHERE brn <= {DEFAULT_MAX_BUCKET}
+    ), batch_b AS (
+        SELECT doc_id, band_id, band_key FROM bands WHERE doc_id % 2 = 1
+    ), cand AS (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM batch_b b JOIN corpus_capped c USING (band_id, band_key)
+    ), dropped AS (
+        SELECT DISTINCT batch_id
+        FROM cand
+        JOIN sig sa ON sa.doc_id = cand.batch_id
+        JOIN sig sb ON sb.doc_id = cand.corpus_id
+        WHERE ({match_sum}) / {float(NUM_HASHES)} >= {NEAR_DUP_THRESHOLD}
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id % 2 = 1
+      AND doc_id NOT IN (SELECT batch_id FROM dropped)
+    """
+
+
+@REG.add("dedup_minhash_incremental", oracle=_incremental_oracle())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup filtering — the shape a continuously-crawled
+    corpus actually needs: a new batch is deduplicated AGAINST the
+    existing corpus (batch docs that near-match any corpus doc are
+    dropped; corpus is never rescanned against itself). Fixture split:
+    even doc_ids = corpus, odd = incoming batch.
+
+    Scale shape: the corpus side of the LSH join is its *band buckets* —
+    at 100 TB those signatures/buckets are a persisted table keyed by
+    (band_id, band_key), so each daily batch costs one signature pass
+    over the BATCH plus an equi-join into the bucket table; nothing is
+    ever all-pairs and the corpus is never re-shingled. The corpus
+    bucket side carries the same ``DEFAULT_MAX_BUCKET`` hot-bucket cap
+    as ``lsh_candidate_pairs`` (boilerplate buckets stay O(cap) per
+    batch probe), mirrored in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    buckets = lsh_band_buckets(sigs, "doc_id")
+    corpus_b = buckets.filter(F.col("doc_id") % 2 == 0)
+    w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    corpus_b = (
+        corpus_b.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= DEFAULT_MAX_BUCKET)
+        .drop("__rk")
+    )
+    batch_b = buckets.filter(F.col("doc_id") % 2 == 1)
+    cand = (
+        batch_b.alias("b")
+        .join(corpus_b.alias("c"), ["band_id", "band_key"])
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("batch_id"),
+        *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    dropped = (
+        cand.join(sa, "batch_id")
+        .join(sb, "corpus_id")
+        .filter(matches / F.lit(float(NUM_HASHES)) >= NEAR_DUP_THRESHOLD)
+        .select("batch_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .join(dropped, docs.doc_id == dropped.batch_id, "left_anti")
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
 def _bucket_stats_oracle() -> str:
     return f"""
     WITH {_bands_cte_sql()}, occ AS (

@@ -397,3 +397,61 @@ def udtf_chunk_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_id
         """
     )
+
+
+@REG.add(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com:443/docs/' || doc_id
+                   || '?ref=r' || (doc_id % 7) || '&utm_source=feed#frag'
+                   AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)  AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1)      AS ref_param,
+           regexp_replace(regexp_replace(url, '#.*$', ''), ':443/', '/')
+               AS canonical_url
+    FROM u
+    ORDER BY doc_id
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + canonicalization — the first step of any web-crawl
+    pipeline (dedup by canonical URL, group by host, strip tracking
+    fragments). URLs are synthesized deterministically from the
+    documents table (the fixture has no URL column), then taken apart
+    with Spark's JVM-side ``parse_url`` (HOST / PATH / QUERY-key
+    extraction — codegen, no UDF) and canonicalized by dropping the
+    fragment and the explicit default port. The DuckDB twin re-derives
+    the same parts with regexes, pinning ``parse_url``'s semantics for
+    these shapes. At 100 TB this is pure narrow column work: no
+    shuffle, whole-stage codegen end to end."""
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com:443/docs/"),
+        F.col("doc_id"),
+        F.lit("?ref=r"),
+        F.col("doc_id") % 7,
+        F.lit("&utm_source=feed#frag"),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+            F.regexp_replace(
+                F.regexp_replace("url", F.lit("#.*$"), F.lit("")),
+                F.lit(":443/"),
+                F.lit("/"),
+            ).alias("canonical_url"),
+        )
+        .orderBy("doc_id")
+    )

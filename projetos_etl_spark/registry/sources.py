@@ -373,3 +373,38 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("value"))), 2
         ).alias("good_value_sum"),
     )
+
+
+@REG.add(
+    "maintenance_compact_small_files",
+    oracle="SELECT CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after, count(*) AS n_rows FROM orders",
+)
+def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every parquet
+    lake needs: a fragmented write (here deliberately 64 tasks -> 64
+    files) is rewritten into few right-sized files, because at 100 TB
+    the scan cost of a table is dominated by file COUNT (driver listing,
+    footer reads, task scheduling) once files drop below ~100 MB. The
+    rewrite is one distributed ``repartition(4)`` pass — in production
+    the target count is ``ceil(table_bytes / 128MB)`` and the repartition
+    keys match the downstream join/filter column so compaction doubles
+    as clustering (or use ``maxRecordsPerFile`` to cap without an
+    exchange). File counts land in the result so the oracle verifies
+    the compaction actually happened (64 -> 4), and row counts prove
+    the rewrite lost nothing."""
+    frag_dir = os.path.join(tempfile.mkdtemp(prefix="pes_compact_"), "frag")
+    compact_dir = os.path.join(os.path.dirname(frag_dir), "compact")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    def n_part_files(d: str) -> int:
+        return len([f for f in os.listdir(d) if f.startswith("part-")])
+
+    frag = spark.read.parquet(frag_dir)
+    frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
+    files_before, files_after = n_part_files(frag_dir), n_part_files(compact_dir)
+    return spark.read.parquet(compact_dir).agg(
+        F.lit(files_before).cast("long").alias("files_before"),
+        F.lit(files_after).cast("long").alias("files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
