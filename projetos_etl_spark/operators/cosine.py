@@ -247,3 +247,213 @@ def srp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC).
+# ---------------------------------------------------------------------------
+
+
+def _l2_normalize(v: Column) -> Column:
+    n = norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    seed_mod: int = 997,
+) -> np.ndarray:
+    """Per-subspace codebooks for product quantization (Jegou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    L2-normalized vectors split into ``n_subspaces`` contiguous slices;
+    each subspace gets ``n_codes`` centroids via distributed Lloyd.
+
+    Scale shape: ONE distributed assign+mean job per iteration covers
+    ALL subspaces — vectors explode to (subspace, slice) rows, nearest
+    code is a JVM expression, and one groupBy((s, c)) averages every
+    codebook cell at once. Driver state is the (n_subspaces x n_codes x
+    sub_dim) codebook tensor — a few KB regardless of corpus size
+    (FAISS trains PQ on a sample for the same reason)."""
+    sub_dim = dim // n_subspaces
+    nv = _l2_normalize(as_double_array(F.col(vec_col)))
+    init = (
+        vectors.select(nv.alias("v"), F.col(id_col))
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(seed_mod)), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    codebooks = np.array(
+        [
+            [r.v[s * sub_dim : (s + 1) * sub_dim] for r in init]
+            for s in range(n_subspaces)
+        ]
+    )
+    sub_entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(nv, s * sub_dim + 1, sub_dim).alias("sub"),
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+    for _ in range(iters):
+        exploded = vectors.select(F.explode(sub_entries).alias("e")).select(
+            "e.s", "e.sub"
+        )
+        assigned = exploded.withColumn(
+            "c", _pq_nearest_code(F.col("sub"), F.col("s"), codebooks)
+        )
+        means = (
+            assigned.groupBy("s", "c")
+            .agg(*[F.avg(F.col("sub")[i]).alias(f"m{i}") for i in range(sub_dim)])
+            .collect()
+        )
+        for r in means:
+            codebooks[r.s][r.c] = [r[f"m{i}"] for i in range(sub_dim)]
+    return codebooks
+
+
+def _pq_nearest_code(sub: Column, s: Column, codebooks: np.ndarray) -> Column:
+    """Nearest-code id for a subvector, dispatched on the subspace id —
+    a CASE over subspaces of argmin-over-codes expressions, all JVM."""
+    n_subspaces = codebooks.shape[0]
+
+    def argmin_for(sidx: int) -> Column:
+        entries = F.array(
+            *[
+                F.struct(_sq_l2(sub, c).alias("d"), F.lit(ci).alias("c"))
+                for ci, c in enumerate(codebooks[sidx])
+            ]
+        )
+        return F.array_sort(entries)[0]["c"]
+
+    expr = F.when(s == 0, argmin_for(0))
+    for sidx in range(1, n_subspaces):
+        expr = expr.when(s == sidx, argmin_for(sidx))
+    return expr
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """Encode each vector as ``n_subspaces`` code ids (the PQ compressed
+    representation: dim floats -> n_subspaces small ints; 64-d fp32 at
+    8x16 PQ is 256 bytes -> 8 bytes). Pure column expressions."""
+    n_subspaces, _, sub_dim = codebooks.shape
+    nv = _l2_normalize(as_double_array(F.col(vec_col)))
+    codes = F.array(
+        *[
+            _pq_nearest_code(
+                F.slice(nv, s * sub_dim + 1, sub_dim), F.lit(s), codebooks
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+    return vectors.select(F.col(id_col).alias(out_id), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    shortlist_factor: int = 4,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact rerank — the FAISS-shaped
+    two-stage scan. Stage 1 (the memory-bound tier): candidates are
+    scanned as ``n_subspaces``-byte code arrays; each (bounded) query
+    precomputes a lookup table of its subvector dot products against
+    every codebook cell, and a candidate's approximate cosine is the
+    SUM OF TABLE LOOKUPS — ``aggregate(zip_with(codes, lut, (c, row) ->
+    row[c]))``, no float vector math per candidate. Stage 2: only the
+    per-query ADC shortlist (``shortlist_factor * k`` rows) is joined
+    back to its raw vectors and reranked by exact cosine — quantization
+    error decides who makes the SHORTLIST, never the final ORDER (PQ
+    collapses near-identical vectors onto one code, so without rerank
+    the within-cluster order is tie-break noise).
+
+    At 100 TB: the corpus's PQ codes (8 B/vector + id) fit where raw
+    fp32 never could; stage 1 is an embarrassingly parallel map with a
+    per-query 2 KB broadcast LUT, and stage 2's exact math touches
+    ``|Q| * shortlist`` vectors, not the corpus. Compose with IVF cells
+    (probe-then-ADC) for sublinear stage-1 scans."""
+    from pyspark.sql import Window
+
+    codebooks = train_pq_codebooks(
+        candidates, id_col, vec_col, dim, n_subspaces, n_codes
+    )
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _l2_normalize(as_double_array(F.col(vec_col))).alias("qv"),
+        )
+        .collect()
+    )  # bounded query set by contract (same as brute_force_topk's broadcast)
+    sub_dim = dim // n_subspaces
+    lut_rows = []
+    for r in q_rows:
+        qv = np.array(r.qv)
+        lut = [
+            [
+                float(qv[s * sub_dim : (s + 1) * sub_dim] @ codebooks[s][c])
+                for c in range(n_codes)
+            ]
+            for s in range(n_subspaces)
+        ]
+        lut_rows.append((r.query_id, [float(x) for x in qv], lut))
+    spark = queries.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, qv array<double>, lut array<array<double>>"
+    )
+    encoded = pq_encode(candidates, codebooks, id_col, vec_col)
+    adc_scored = (
+        encoded.join(F.broadcast(luts), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("codes", "lut", lambda c, row: F.element_at(row, c + 1)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_score"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    shortlist = adc_scored.withColumn("__r", F.row_number().over(w_adc)).filter(
+        F.col("__r") <= shortlist_factor * k
+    )
+    cvecs = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        _l2_normalize(as_double_array(F.col(vec_col))).alias("cv"),
+    )
+    reranked = shortlist.join(cvecs, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -153,3 +153,44 @@ def multimodal_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bundled.select("doc_id", "media").mapInArrow(
         feature_kernel, "doc_id long, n_bytes long, n_spaces long"
     )
+
+
+@REG.add(
+    "scan_binary_files",
+    oracle="""
+    SELECT 'n_' || n_nationkey || '.bin'                      AS file_name,
+           CAST(octet_length(encode(n_name || '|' || n_regionkey)) AS BIGINT)
+               AS n_bytes,
+           md5(n_name || '|' || n_regionkey)                  AS content_md5
+    FROM nation
+    ORDER BY file_name
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-lake ingest source: ``spark.read.format("binaryFile")``
+    — how image/audio/video files actually enter a Spark pipeline (one
+    row per file: path, length, raw bytes; globs + partition-parallel
+    reads; pair it with the ``multimodal_*`` Arrow kernels downstream).
+    Fixture: one small binary file per nation row (bounded, written
+    driver-side), scanned back distributed; the oracle recomputes each
+    file's name, size, and md5 from the same derivation. At 100 TB the
+    same plan fans out over millions of objects with no driver
+    involvement beyond listing; ``pathGlobFilter``/``recursiveFileLookup``
+    prune at the listing step."""
+    import os
+    import tempfile
+
+    rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    d = tempfile.mkdtemp(prefix="pes_binfiles_")
+    for r in rows:
+        with open(os.path.join(d, f"n_{r.n_nationkey}.bin"), "wb") as f:
+            f.write(f"{r.n_name}|{r.n_regionkey}".encode())
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
+    return (
+        files.select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )

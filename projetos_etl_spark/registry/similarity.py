@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projetos_etl_spark.operators.cosine import brute_force_topk, ivf_topk, srp_lsh_topk
+from projetos_etl_spark.operators.cosine import (
+    brute_force_topk,
+    ivf_topk,
+    pq_adc_topk,
+    srp_lsh_topk,
+)
 from projetos_etl_spark.registry._core import Registry
 from projetos_etl_spark.sources.io import load_table
 
@@ -77,6 +82,19 @@ def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return srp_lsh_topk(queries, emb, k=TOP_K)
+
+
+@REG.add("sim_search_pq_adc")  # approximate => rows-only check
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC approximate top-k with exact rerank
+    (``operators/cosine.pq_adc_topk``): the corpus is compressed to
+    8 one-byte codes per 64-d vector; stage 1 scores candidates by
+    summed LUT lookups (no per-candidate float vector math), stage 2
+    exactly reranks only the per-query shortlist. Recall asserted on
+    clustered vectors in tests/test_dedup.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return pq_adc_topk(queries, emb, k=TOP_K)
 
 
 @REG.add(

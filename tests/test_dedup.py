@@ -128,6 +128,21 @@ def test_ivf_recall_on_clustered_data(clustered_vectors):
     assert recall >= 0.8, f"recall {recall}"
 
 
+def test_pq_adc_recall_on_clustered_data(clustered_vectors):
+    """PQ-ADC (8 subspaces x 16 codes over 64-d) must rank by summed
+    LUT lookups well enough to recover most true neighbors on clustered
+    vectors — the quantization-error analogue of the LSH recall test."""
+    from projetos_etl_spark.operators.cosine import pq_adc_topk
+
+    queries = clustered_vectors.filter(F.col("vec_id") % 20 == 0)  # one per cluster
+    exact = brute_force_topk(queries, clustered_vectors, k=5)
+    approx = pq_adc_topk(queries, clustered_vectors, k=5)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"recall {recall}"
+
+
 def test_brute_force_topk_is_exact(clustered_vectors):
     """Cross-check the Spark operator against numpy on the same vectors."""
     pdf = clustered_vectors.toPandas().sort_values("vec_id")
