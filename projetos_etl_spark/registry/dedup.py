@@ -571,3 +571,52 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overflow_members"),
     )
+
+
+@REG.add(
+    "er_blocking_join",
+    oracle="""
+    SELECT a.c_custkey AS left_key,
+           b.c_custkey AS right_key,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND substring(a.c_name, 1, 15) = substring(b.c_name, 1, 15)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY left_key, right_key
+    """,
+)
+def er_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocking: candidate record pairs meet via
+    an EQUI-join on a cheap blocking key (nation + name prefix) and only
+    those pairs pay the expensive similarity predicate (JVM
+    ``levenshtein``, never a Python UDF). This is the canonical
+    fuzzy-matching shape at scale — the blocking key turns an O(n²)
+    cross join into a shuffle-partitioned self-join whose cost tracks
+    block sizes, exactly like the LSH band join in
+    ``dedup_near_minhash`` (blocking IS hand-rolled LSH for structured
+    records). Skewed blocks get the same remedies: AQE skew split or a
+    salted sub-block key."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.substring("c_name", 1, 15).alias("blk")
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("left_key"),
+            F.col("b.c_custkey").alias("right_key"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .orderBy("left_key", "right_key")
+    )

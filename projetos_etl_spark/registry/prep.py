@@ -159,3 +159,276 @@ def quality_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, null_count, distinct_count, min_value, max_value)"
     ).orderBy("column_name")
+
+
+@REG.add(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h, value
+        FROM (
+            SELECT user_id, ts, round(value, 6) AS value,
+                   row_number() OVER (
+                       PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
+    ),
+    spans AS (
+        SELECT user_id, min(h) AS h_lo, max(h) AS h_hi FROM hourly GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(h_lo, h_hi, INTERVAL 1 HOUR)) AS h
+        FROM spans
+    ),
+    anchored AS (
+        SELECT s.user_id, s.h, hourly.value AS v,
+               last_value(hourly.value IGNORE NULLS) OVER w_back  AS pv,
+               last_value(CASE WHEN hourly.value IS NOT NULL THEN s.h END
+                          IGNORE NULLS) OVER w_back               AS ph,
+               first_value(hourly.value IGNORE NULLS) OVER w_fwd  AS nv,
+               first_value(CASE WHEN hourly.value IS NOT NULL THEN s.h END
+                           IGNORE NULLS) OVER w_fwd               AS nh
+        FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
+        WINDOW
+            w_back AS (PARTITION BY s.user_id ORDER BY s.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_fwd  AS (PARTITION BY s.user_id ORDER BY s.h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(h, '{HOUR_FMT_DUCK}') AS hour,
+           -- floor(x*1e6 + 0.5)/1e6 in BOTH engines: interpolated values hit
+           -- exact .5 ties at 6 dp, where engine round() modes disagree
+           floor(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv)
+                    * ((epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph)))
+           END * 1e6 + 0.5) / 1e6 AS value_interp
+    FROM anchored
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation on the hourly spine — the numeric-feature
+    sibling of ``ts_resample_ffill``: missing hours get
+    ``prev + (next - prev) * elapsed_fraction`` between the nearest
+    observed values (edges fall back to nearest-neighbor fill). Both
+    anchors come from two ordered windows per user (last-non-null
+    backward, first-non-null forward) — no self-join, no driver loop;
+    the spine is ``sequence``+explode, generated distributed. Scale:
+    identical shuffle profile to ffill — ONE exchange on user_id covers
+    the per-hour pick, the spine join, and both windows."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.round("value", 6).alias("value"),
+            F.struct(F.col("ts"), F.col("event_id")).alias("pick"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.max_by("value", "pick").alias("v"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    anchored = joined.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(marked_h, ignorenulls=True).over(w_back).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(marked_h, ignorenulls=True).over(w_fwd).alias("nh"),
+    )
+    frac = (F.unix_timestamp("h") - F.unix_timestamp("ph")) / (
+        F.unix_timestamp("nh") - F.unix_timestamp("ph")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    # floor(x*1e6 + 0.5)/1e6 instead of round(): interpolation lands on exact
+    # .5 ties at 6 dp where Spark (HALF_UP on decimal) and DuckDB (float
+    # nearbyint) disagree; this is the same deterministic float op in both.
+    return anchored.select(
+        "user_id",
+        F.date_format("h", HOUR_FMT_SPARK).alias("hour"),
+        (F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "value_interp"
+        ),
+    )
+
+
+_FK_AUDITS = [
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{label}' AS relation,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS child_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM
+                   (SELECT DISTINCT {fk} FROM {child}) c
+                   WHERE c.{fk} NOT IN (SELECT {pk} FROM {parent})) AS orphan_keys
+        """
+        for label, child, fk, parent, pk in _FK_AUDITS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY relation"
+
+
+@REG.add("quality_referential_integrity", oracle=_ri_oracle())
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: one row per declared FK edge with
+    the child row count and the number of DISTINCT child keys that have
+    no parent (a data-contract gate run before promoting a layer).
+    Each edge is child-keys-distinct -> left-anti join -> count: the
+    anti join sees the DEDUPLICATED key set, so the shuffle carries
+    |distinct keys| rows, not |child| rows, and the two 1-row counters
+    meet via the broadcast-crossJoin scalar pattern. At 100 TB each
+    edge is an independent job; orphan counts stay exact (no sampling)
+    because the distinct projection is the only wide step."""
+    out = None
+    for label, child, fk, parent, pk in _FK_AUDITS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent)
+        child_rows = c.agg(F.count(F.lit(1)).cast("long").alias("child_rows"))
+        orphans = (
+            c.select(fk)
+            .distinct()
+            .join(p.select(pk), F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("orphan_keys"))
+        )
+        row = (
+            child_rows.crossJoin(orphans)
+            .select(F.lit(label).alias("relation"), "child_rows", "orphan_keys")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")
+
+
+@REG.add(
+    "bitmap_distinct_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(DISTINCT user_id) AS n_day
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_type,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_exact,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_bitmap,
+           CAST((SELECT max(n_day) FROM daily d
+                 WHERE d.event_type = e.event_type) AS BIGINT) AS max_daily
+    FROM events e GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count rollup via roaring-style bitmaps
+    (``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``) —
+    the deterministic sibling of ``agg_hll_sketch_rollup``. user_ids are
+    bucketed (``bitmap_bucket_number``, 32k ids per 4 KB segment) so the
+    per-(event_type, day, bucket) bitmaps stay bounded; day-level
+    bitmaps OR-merge up to event_type level WITHOUT rescanning facts —
+    the incremental pattern for maintaining exact distinct-user marts:
+    store the day x bucket bitmaps once, re-aggregate any rollup from
+    them. The oracle twin recomputes both tiers exactly; the bitmap
+    column must equal the exact count (bitmaps are lossless, unlike
+    HLL)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_buckets = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    rolled = (
+        daily_buckets.groupBy("event_type", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("n_users_bitmap"))
+    )
+    daily_exact = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_day"))
+        .groupBy("event_type")
+        .agg(F.max("n_day").cast("long").alias("max_daily"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact")
+    )
+    return (
+        exact.join(rolled, "event_type")
+        .join(daily_exact, "event_type")
+        .select("event_type", "n_users_exact", "n_users_bitmap", "max_daily")
+        .orderBy("event_type")
+    )
+
+
+@REG.add(
+    "unpivot_melt",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           'status_' || o_orderstatus AS metric,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY priority, metric
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshaping: pivot order counts to one column per
+    status, then ``DataFrame.unpivot`` (SQL ``UNPIVOT`` / pandas melt)
+    back to tidy (priority, metric, value) rows, dropping the NULL cells
+    the pivot invented. Round-tripping both directions exercises the
+    reshape pair a reporting layer uses constantly; the oracle computes
+    the long form directly. Scale: pivot is ONE hash aggregate whose
+    width is the (bounded, known) status domain — no per-status scans;
+    unpivot is a zero-shuffle row-expansion."""
+    o = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]  # bounded, known domain (pivot needs it declared)
+    wide = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        "priority",
+        [F.col(s).alias(f"status_{s}") for s in statuses],
+        "metric",
+        "n_orders",
+    )
+    return (
+        long.filter(F.col("n_orders").isNotNull())
+        .select("priority", "metric", F.col("n_orders").cast("long"))
+        .orderBy("priority", "metric")
+    )
