@@ -32,7 +32,7 @@ import contextvars
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projetos_etl_spark.sources.io import sink_parquet, sink_partitioned
+from projetos_etl_spark.sources.io import sink_parquet, sink_partitioned, spread
 
 #: Reference rename map (``silver:85-104``) with the two typos fixed:
 #: ``Gross Sales -> gross_sales`` (ref: ``gross_sale``) and
@@ -164,9 +164,13 @@ def run_pipeline(
     import time
 
     t0 = time.perf_counter()
-    sink_parquet(raw, f"{base_dir}/bronze")
+    # spread(): single-file local fixtures plan 1-3 input splits, which
+    # serializes the write and the regex-heavy conform on one core; on a
+    # real multi-file 100 TB layer the scan is already wide and this is a
+    # no-op (see sources/io.py).
+    sink_parquet(spread(raw), f"{base_dir}/bronze")
     write_secs = time.perf_counter() - t0
-    bronze = spark.read.parquet(f"{base_dir}/bronze")
+    bronze = spread(spark.read.parquet(f"{base_dir}/bronze"))
     silver = require_nonempty(silver_conform(bronze, with_ingestion_ts=False))
     t1 = time.perf_counter()
     sink_partitioned(silver, f"{base_dir}/silver", partition_cols or ["year"])

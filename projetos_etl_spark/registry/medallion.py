@@ -31,7 +31,7 @@ from projetos_etl_spark.registry._core import (
     TS_FMT_SPARK,
     Registry,
 )
-from projetos_etl_spark.sources.io import load_table
+from projetos_etl_spark.sources.io import load_table, spread
 
 REG = Registry()
 
@@ -177,7 +177,11 @@ def medallion_gold_profit_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale the silver layer is partitioned on the rollup's date axis,
     so the gold scan reads only the partitions it aggregates."""
-    raw = _synth_financial_raw(load_table(spark, sf_dir, "lineitem"))
+    # spread() the NARROW fact scan before the synth projection: widening
+    # parallelism here shuffles 8 numeric columns; after the projection it
+    # would shuffle 16 formatted-string columns (~3x the bytes) for the
+    # same effect. No-op on an already-wide scan.
+    raw = _synth_financial_raw(spread(load_table(spark, sf_dir, "lineitem")))
     base = tempfile.mkdtemp(prefix="pes_medallion_")
     silver = run_pipeline(spark, raw, base, partition_cols=["year"])
     return gold_profit_mart(silver)
