@@ -1,0 +1,87 @@
+"""Distributed PageRank by power iteration on DataFrames.
+
+The iterative-algorithm representative alongside connected components
+(``operators/components.py``): importance scoring over a directed graph
+built from relational edges (here: the customer->supplier purchase graph
+derived from orders x lineitem; on a crawl corpus the same operator ranks
+the hyperlink graph that feeds crawl-frontier and quality decisions for
+training-data pipelines — the original use of the algorithm).
+
+Formulation (Page et al., "The PageRank Citation Ranking", 1999; damped,
+dangling-aware, rank mass normalized to N):
+
+    rank'(v) = (1 - d) + d * (sum_{u->v} rank(u)/deg(u) + dangling/N)
+
+Scale posture (100 TB): each iteration is ONE shuffle join
+(ranks x edges on src) plus ONE groupBy(dst) sum — both partitioned on
+the vertex key, the same profile per round regardless of iteration
+count. The dangling-mass term is a 1-row aggregate broadcast via
+crossJoin (the repo's scalar-subquery pattern). Every round is eagerly
+``localCheckpoint``-ed to truncate lineage — without it the plan tree
+deepens per round and analysis time goes super-linear (same lesson as
+components; see that module's docstring). Fixed ``iters`` keeps the
+result deterministic across partitionings; the iteration count needed
+for a given tolerance is O(log(1/eps)/log(1/d)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Ranks over the directed edge set: returns (id, rank) for every
+    vertex appearing as src or dst. Rank mass sums to N (vertex count),
+    so scores are comparable across graph sizes; divide by N for the
+    probability formulation."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree rides along with the rank row so the per-iteration join
+    # touches only (ranks x edges); dangling vertices carry deg = 0.
+    ranks = (
+        vertices.join(deg, vertices.id == deg.src, "left")
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        contribs = (
+            ranks.filter(F.col("deg") > 0)
+            .join(e, ranks.id == e.src)
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.join(contribs, "id", "left")
+            .crossJoin(dangling)  # 1-row broadcast scalar, not a real cross
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dmass") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "rank")

@@ -620,3 +620,28 @@ def er_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("left_key", "right_key")
     )
+
+
+@REG.add("graph_pagerank")  # iterative float fixpoint => rows-only check
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph (distinct
+    (o_custkey, l_suppkey) edges from orders x lineitem) — the iterative
+    power-method operator (``operators/pagerank.py``). On a crawl corpus
+    the same call ranks the hyperlink graph for crawl-frontier/quality
+    weighting. 10 fixed iterations for determinism; ranks rounded to 6.
+    Cross-checked against a dense numpy power iteration on the same edge
+    set in tests/test_dedup.py."""
+    from projetos_etl_spark.operators.pagerank import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=10)
+    return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")

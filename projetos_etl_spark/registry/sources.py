@@ -408,3 +408,55 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(files_after).cast("long").alias("files_after"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@REG.add(
+    "scan_xml",
+    oracle="""
+    SELECT n_nationkey AS nation_key,
+           n_name      AS nation_name,
+           n_regionkey AS region_key
+    FROM nation
+    ORDER BY nation_key
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest via Spark 4's built-in ``format("xml")`` data source
+    (the spark-xml library folded into core — SPARK-44265): fixture XML
+    is written driver-side from the bounded nation table, then scanned
+    back DISTRIBUTED with an explicit schema and ``rowTag`` (schema
+    inference on XML costs an extra pass — declare it, same rule as
+    ``scan_csv_schema``). At 100 TB the reader splits across files
+    (one task per file for un-splittable row-tag framing), so feed-shaped
+    XML drops (one file per feed per hour) parallelize by file count;
+    pair with ``maintenance_compact_small_files`` downstream."""
+    rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    d = tempfile.mkdtemp(prefix="pes_xml_")
+    with open(os.path.join(d, "nations.xml"), "w", encoding="utf-8") as f:
+        f.write("<nations>\n")
+        for r in rows:
+            f.write(
+                f"  <nation><key>{r.n_nationkey}</key>"
+                f"<name>{r.n_name}</name>"
+                f"<region>{r.n_regionkey}</region></nation>\n"
+            )
+        f.write("</nations>\n")
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("region", T.LongType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(d)
+        .select(
+            F.col("key").alias("nation_key"),
+            F.col("name").alias("nation_name"),
+            F.col("region").alias("region_key"),
+        )
+        .orderBy("nation_key")
+    )

@@ -234,3 +234,32 @@ def test_star_and_label_agree(spark):
         for r in connected_components(verts, edges, algorithm="label").collect()
     }
     assert star == label == {0: 0, 3: 0, 7: 0, 1: 1, 2: 1, 5: 5, 6: 5, 8: 5, 4: 4, 9: 9}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark PageRank vs a dense numpy power iteration with identical
+    damped/dangling formulation on a small directed graph (chain + hub +
+    dangling sink)."""
+    import numpy as np
+    from projetos_etl_spark.operators.pagerank import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (3, 4)]  # 4 -> dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, iters=25).collect()}
+
+    n, d = 5, 0.85
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    rank = np.ones(n)
+    for _ in range(25):
+        new = np.full(n, 1 - d)
+        dangling = sum(rank[v] for v in range(n) if v not in out)
+        for s, ts in out.items():
+            for t in ts:
+                new[t] += d * rank[s] / len(ts)
+        new += d * dangling / n
+        rank = new
+    for v in range(n):
+        assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
+    assert abs(sum(got.values()) - n) < 1e-6  # rank mass conserved at N
