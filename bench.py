@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "text_contamination_ngram",
     "text_unigram_logprob",
     "sim_search_topk",
+    # round 3 additions: ANN compression tier, exact bitmap rollup,
+    # blocked fuzzy matching, iterative graph rank — compare per-query
+    # (the delta block reports this), not the raw total, across rounds.
+    "sim_search_pq_adc",
+    "bitmap_distinct_rollup",
+    "er_blocking_join",
+    "graph_pagerank",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes

@@ -11,6 +11,7 @@ with built-in higher-order functions — no Python in the data path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -294,24 +295,24 @@ def train_pq_codebooks(
             for s in range(n_subspaces)
         ]
     )
-    sub_entries = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.slice(nv, s * sub_dim + 1, sub_dim).alias("sub"),
-            )
-            for s in range(n_subspaces)
-        ]
-    )
     for _ in range(iters):
-        exploded = vectors.select(F.explode(sub_entries).alias("e")).select(
-            "e.s", "e.sub"
-        )
-        assigned = exploded.withColumn(
-            "c", _pq_nearest_code(F.col("sub"), F.col("s"), codebooks)
+        assign = _pq_assign_udf(codebooks)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.col("codes")[s].alias("c"),
+                    F.slice(F.col("v"), s * sub_dim + 1, sub_dim).alias("sub"),
+                )
+                for s in range(n_subspaces)
+            ]
         )
         means = (
-            assigned.groupBy("s", "c")
+            vectors.select(nv.alias("v"))
+            .withColumn("codes", assign(F.col("v")))
+            .select(F.explode(entries).alias("e"))
+            .select("e.s", "e.c", "e.sub")
+            .groupBy("s", "c")
             .agg(*[F.avg(F.col("sub")[i]).alias(f"m{i}") for i in range(sub_dim)])
             .collect()
         )
@@ -320,24 +321,34 @@ def train_pq_codebooks(
     return codebooks
 
 
-def _pq_nearest_code(sub: Column, s: Column, codebooks: np.ndarray) -> Column:
-    """Nearest-code id for a subvector, dispatched on the subspace id —
-    a CASE over subspaces of argmin-over-codes expressions, all JVM."""
-    n_subspaces = codebooks.shape[0]
+def _pq_assign_udf(codebooks: np.ndarray):
+    """All-subspace nearest-code assignment as ONE Arrow-batched pandas
+    UDF: the (n_subspaces x n_codes x sub_dim) codebook tensor (a few KB)
+    ships in the closure, and each batch does a single einsum + argmin
+    over every subspace at once. Ties break to the lowest code id
+    (np.argmin first-occurrence), matching a (distance, code) struct sort.
 
-    def argmin_for(sidx: int) -> Column:
-        entries = F.array(
-            *[
-                F.struct(_sq_l2(sub, c).alias("d"), F.lit(ci).alias("c"))
-                for ci, c in enumerate(codebooks[sidx])
-            ]
-        )
-        return F.array_sort(entries)[0]["c"]
+    This is the deliberate Python island in the PQ path: the pure-Catalyst
+    alternative (a CASE over subspaces of argmin-over-codes struct sorts)
+    builds an ~(S*K*d)-node expression tree whose analysis + codegen time
+    dwarfs the actual math at every scale — dense small-matrix kernels
+    belong in a vectorized UDF, not a mega-expression."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)  # (S, K, d)
+    n_subspaces, _, sub_dim = cb.shape
+    c2 = np.sum(cb * cb, axis=2)[None, :, :]
 
-    expr = F.when(s == 0, argmin_for(0))
-    for sidx in range(1, n_subspaces):
-        expr = expr.when(s == sidx, argmin_for(sidx))
-    return expr
+    @F.pandas_udf("array<int>")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        sub = mat.reshape(len(vs), n_subspaces, sub_dim)
+        dots = np.einsum("nsd,skd->nsk", sub, cb)
+        v2 = np.sum(sub * sub, axis=2)[:, :, None]
+        codes = np.argmin(v2 - 2.0 * dots + c2, axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return assign
 
 
 def pq_encode(
@@ -349,18 +360,10 @@ def pq_encode(
 ) -> DataFrame:
     """Encode each vector as ``n_subspaces`` code ids (the PQ compressed
     representation: dim floats -> n_subspaces small ints; 64-d fp32 at
-    8x16 PQ is 256 bytes -> 8 bytes). Pure column expressions."""
-    n_subspaces, _, sub_dim = codebooks.shape
+    8x16 PQ is 256 bytes -> 8 bytes). One vectorized-UDF pass."""
     nv = _l2_normalize(as_double_array(F.col(vec_col)))
-    codes = F.array(
-        *[
-            _pq_nearest_code(
-                F.slice(nv, s * sub_dim + 1, sub_dim), F.lit(s), codebooks
-            )
-            for s in range(n_subspaces)
-        ]
-    )
-    return vectors.select(F.col(id_col).alias(out_id), codes.alias("codes"))
+    assign = _pq_assign_udf(codebooks)
+    return vectors.select(F.col(id_col).alias(out_id), assign(nv).alias("codes"))
 
 
 def pq_adc_topk(

@@ -432,3 +432,338 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "metric", F.col("n_orders").cast("long"))
         .orderBy("priority", "metric")
     )
+
+
+@REG.add(
+    "split_train_test_hash",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, n_chars,
+               CASE
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)      AS total_chars,
+           CAST(min(doc_id) AS BIGINT)       AS min_doc_id
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def split_train_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash — the
+    assignment every training pipeline needs to be REPRODUCIBLE across
+    reruns, engines, and data re-partitioning (``rand()`` splits are
+    none of those). The first hex nibble of ``md5(doc_id)`` buckets docs
+    12/2/2 (75% train, 12.5% val, 12.5% test); the md5 hex string is
+    bit-identical in Spark and the DuckDB oracle, so the split is
+    portable by construction. Scale: a stateless per-row expression —
+    no shuffle to assign, one hash aggregate to audit; new documents
+    join their split without touching old ones (hash splits are
+    append-stable, the property that matters at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@REG.add(
+    "join_spatial_grid_radius",
+    oracle="""
+    WITH cpts AS (
+        SELECT c_custkey AS cust_id,
+               (c_custkey * 9973) % 1000 AS x10,
+               (c_custkey * 6151) % 1000 AS y10
+        FROM customer
+    ),
+    spts AS (
+        SELECT s_suppkey AS supp_id,
+               (s_suppkey * 9973) % 1000 AS x10,
+               (s_suppkey * 6151) % 1000 AS y10
+        FROM supplier
+    )
+    SELECT c.cust_id, s.supp_id,
+           round(sqrt(CAST((c.x10 - s.x10) * (c.x10 - s.x10)
+                         + (c.y10 - s.y10) * (c.y10 - s.y10) AS DOUBLE)) / 10, 4)
+               AS dist
+    FROM cpts c JOIN spts s
+      ON (c.x10 - s.x10) * (c.x10 - s.x10)
+       + (c.y10 - s.y10) * (c.y10 - s.y10) <= 400
+    ORDER BY cust_id, supp_id
+    """,
+)
+def join_spatial_grid_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (distance-threshold) spatial join via GRID BLOCKING: each
+    point lands in a cell of side = radius, and a point's matches can
+    only live in its own or the 8 neighboring cells — so candidates meet
+    through an EQUI-join on cell id (supplier side exploded to its 3x3
+    neighborhood), never a cross join. Coordinates are synthesized
+    deterministically from keys (tenth-unit integer grid) so the
+    distance predicate is exact integer math in both engines; the oracle
+    is the brute-force quadratic join, which the grid join must equal
+    exactly. Scale: this is the standard geo/embedding blocking shape —
+    cost tracks points-per-cell (density), not n^2; skewed cells get the
+    same remedies as LSH buckets (salt or cap). Radius 2.0 on a 100x100
+    field, cell = radius keeps the neighborhood exactly 3x3."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        ((F.col("c_custkey") * 9973) % 1000).alias("x10"),
+        ((F.col("c_custkey") * 6151) % 1000).alias("y10"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_id"),
+        ((F.col("s_suppkey") * 9973) % 1000).alias("sx10"),
+        ((F.col("s_suppkey") * 6151) % 1000).alias("sy10"),
+    )
+    cell = 20  # tenths; == radius so neighbors are exactly the 3x3 block
+    c_cells = cust.withColumn("cx", F.floor(F.col("x10") / cell)).withColumn(
+        "cy", F.floor(F.col("y10") / cell)
+    )
+    offsets = F.expr(
+        "array(-1, 0, 1)"
+    )
+    s_cells = (
+        supp.withColumn("gx", F.floor(F.col("sx10") / cell))
+        .withColumn("gy", F.floor(F.col("sy10") / cell))
+        .withColumn("dx", F.explode(offsets))
+        .withColumn("dy", F.explode(offsets))
+        .select(
+            "supp_id", "sx10", "sy10",
+            (F.col("gx") + F.col("dx")).alias("cx"),
+            (F.col("gy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x10") - F.col("sx10")) * (F.col("x10") - F.col("sx10")) + (
+        F.col("y10") - F.col("sy10")
+    ) * (F.col("y10") - F.col("sy10"))
+    return (
+        c_cells.join(s_cells, ["cx", "cy"])
+        .filter(d2 <= F.lit(cell * cell))
+        .select(
+            "cust_id",
+            "supp_id",
+            F.round(F.sqrt(d2.cast("double")) / 10, 4).alias("dist"),
+        )
+        .orderBy("cust_id", "supp_id")
+    )
+
+
+@REG.add(
+    "quality_outlier_iqr",
+    oracle="""
+    WITH fences AS (
+        SELECT o_orderpriority AS priority,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY 1
+    )
+    SELECT f.priority,
+           round(f.q1, 4) AS q1,
+           round(f.q3, 4) AS q3,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o.o_totalprice < f.q1 - 1.5 * (f.q3 - f.q1)
+                           OR o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o JOIN fences f ON o.o_orderpriority = f.priority
+    GROUP BY f.priority, f.q1, f.q3
+    ORDER BY f.priority
+    """,
+)
+def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group IQR outlier audit (Tukey fences): exact interpolated
+    quartiles per order priority, then a count of rows outside
+    ``[q1 - 1.5*IQR, q3 + 1.5*IQR]`` — the robust-statistics gate a
+    quality pipeline runs on numeric columns before training. Two
+    aggregates over one shuffle key: the fence table is tiny (one row
+    per group) and re-joins the facts by BROADCAST, so the fact table
+    is scanned twice but shuffled ONCE (the fence agg); at 100 TB swap
+    ``percentile`` for ``percentile_approx`` and the fence pass becomes
+    map-combinable too (exact quartiles need a per-group sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    fences = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    flagged = o.join(
+        F.broadcast(fences), o["o_orderpriority"] == fences["priority"]
+    ).select(
+        "priority",
+        "q1",
+        "q3",
+        ((F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi))
+        .cast("int")
+        .alias("is_outlier"),
+    )
+    return (
+        flagged.groupBy("priority", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("is_outlier").cast("long").alias("n_outliers"),
+        )
+        .select(
+            "priority",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            "n_orders",
+            "n_outliers",
+        )
+        .orderBy("priority")
+    )
+
+
+@REG.add(
+    "ts_gap_detect",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL '1 hour', ts) AS h
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, h,
+               lag(h) OVER (PARTITION BY user_id ORDER BY h) AS prev_h
+        FROM hourly
+    )
+    SELECT user_id,
+           strftime(prev_h, '{HOUR_FMT_DUCK}') AS gap_after,
+           strftime(h, '{HOUR_FMT_DUCK}')      AS gap_until,
+           CAST((epoch(h) - epoch(prev_h)) / 3600 - 1 AS BIGINT) AS missing_hours
+    FROM seq
+    WHERE prev_h IS NOT NULL AND epoch(h) - epoch(prev_h) > 3600
+    ORDER BY user_id, gap_after
+    """,
+)
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap detection: per user, find every pair of adjacent
+    observed hours more than one hour apart and report the span and the
+    number of missing hourly buckets — the audit that decides whether
+    ``ts_resample_ffill``'s fills are trustworthy (a 2-hour gap is
+    interpolation; a 2-week gap is an outage). One ``lag`` window over
+    the DISTINCT hourly buckets: the shuffle carries one row per
+    (user, active hour), not per event, and the same user_id exchange
+    serves the dedup, the window, and any downstream fill join."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    seq = hourly.withColumn("prev_h", F.lag("h").over(w))
+    diff = F.unix_timestamp("h") - F.unix_timestamp("prev_h")
+    return (
+        seq.filter(F.col("prev_h").isNotNull() & (diff > 3600))
+        .select(
+            "user_id",
+            F.date_format("prev_h", HOUR_FMT_SPARK).alias("gap_after"),
+            F.date_format("h", HOUR_FMT_SPARK).alias("gap_until"),
+            (diff / 3600 - 1).cast("long").alias("missing_hours"),
+        )
+        .orderBy("user_id", "gap_after")
+    )
+
+
+@REG.add(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)   AS n_events,
+           round(sum(value), 2)       AS total_value,
+           round(avg(value), 6)       AS avg_value,
+           round(min(value), 6)       AS min_value,
+           round(max(value), 6)       AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance for ALGEBRAIC aggregates: facts are
+    first reduced to per-(event_type, day) PARTIAL states (sum, count,
+    min, max — each mergeable), then the day tier re-aggregates to the
+    event_type rollup; avg is derived as merged-sum / merged-count, the
+    decomposition that makes it incrementally maintainable (avg itself
+    is not mergeable). The oracle computes the rollup directly from
+    facts — equality proves the partial tier is lossless. At 100 TB
+    this IS the nightly-mart pattern: persist the day tier once, merge
+    any rollup from it, and a late-arriving day only recomputes its own
+    partial (same economics as ``bitmap_distinct_rollup`` /
+    ``agg_hll_sketch_rollup``, here for the plain-algebra family).
+    Double-summation order is pinned by a day-ordered sort before the
+    merge so float totals match the oracle bit-for-bit after 2 dp
+    rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum("value").alias("p_sum"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.sum("p_cnt").cast("long").alias("n_events"),
+        F.sum("p_sum").alias("m_sum"),
+        F.sum("p_cnt").alias("m_cnt"),
+        F.min("p_min").alias("m_min"),
+        F.max("p_max").alias("m_max"),
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round("m_sum", 2).alias("total_value"),
+        F.round(F.col("m_sum") / F.col("m_cnt"), 6).alias("avg_value"),
+        F.round("m_min", 6).alias("min_value"),
+        F.round("m_max", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+@REG.add(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH total AS (SELECT count(*) AS n FROM events)
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(count(*) * 1000.0 / max(t.n), 4) AS permille
+    FROM events e CROSS JOIN total t
+    GROUP BY e.user_id
+    HAVING count(*) >= max(t.n) * 0.008
+    ORDER BY n_events DESC, user_id
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-threshold heavy hitters: keys whose share of the stream
+    exceeds phi (0.8%) — the exact two-phase formulation (per-key
+    partial counts map-side, one shuffle on the key, a 1-row total
+    broadcast for the threshold). This is what a skew/abuse audit runs
+    before salting decisions: the output IS the salting candidate list.
+    Scale: the per-key count is map-combinable so the shuffle carries
+    |distinct keys| rows; at extreme cardinality swap the exact count
+    for a count-min/Misra-Gries sketch tier — phi-heavy-hitters is the
+    classic sketchable aggregate, and the exact tier here doubles as
+    its ground-truth harness."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("n") * 0.008)
+        .select(
+            "user_id",
+            F.col("cnt").cast("long").alias("n_events"),
+            F.round(F.col("cnt") * 1000.0 / F.col("n"), 4).alias("permille"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+    )
