@@ -89,8 +89,17 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    # Crash isolation (VERDICT r3 item #2): in r3 ONE analysis error in
+    # warm-up destroyed the entire round's bench artifact, losing numbers
+    # for 26 healthy queries. A failing query is recorded as an error row
+    # and excluded from warm-up/timing/totals; the rest still report.
+    errors: dict[str, str] = {}
     for name in names:
-        registry[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        try:
+            registry[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — any one query must not kill the run
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+    names = [n for n in names if n not in errors]
 
     from projetos_etl_spark import medallion
 
@@ -100,7 +109,11 @@ def main() -> None:
     for _ in range(N_RUNS):
         for name in names:
             t0 = time.perf_counter()
-            registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                continue
             elapsed = time.perf_counter() - t0
             runs[name].append(round(elapsed, 3))
             if name == "medallion_gold_profit_mart":
@@ -109,7 +122,7 @@ def main() -> None:
                     {"write": round(w, 3), "compute": round(max(elapsed - w, 0.0), 3)}
                 )
 
-    timings = {n: sorted(ts)[N_RUNS // 2] for n, ts in runs.items()}
+    timings = {n: sorted(ts)[len(ts) // 2] for n, ts in runs.items() if ts}
     # The reported split is the component-wise median across runs, so it
     # decomposes a number of the same robustness as the headline median
     # (a single run's split can disagree with the median total).
@@ -130,6 +143,7 @@ def main() -> None:
                 "queries_runs": runs,
                 "write_split": write_split,
                 "write_split_runs": split_runs,
+                "errors": errors,
                 "delta": _delta_vs_previous(timings),
                 "sf": sf,
             }

@@ -11,27 +11,31 @@ from projetos_etl_spark.registry._core import QueryFn, Registry
 
 # Family order drives registry insertion order, which in turn is the order
 # external verification harnesses iterate ``queries()``.  Rounds 1-2 verified
-# the relational/tpch/medallion/sources prefix; round 3 leads with the
-# families whose entries have not yet had a driver-verified correctness row
-# (aggregates, windows, setops, scalars, dedup, similarity, ...) so the
-# first-50 window lands on fresh entries.  A per-entry ledger lives in
-# COVERAGE.md ("Driver-coverage ledger").
+# the relational/tpch/medallion/sources prefix; round 3 covered
+# aggregates/windows/setops/scalars (+dedup_near_minhash).  Round 4 leads
+# with the still-never-driver-verified families — streams, similarity,
+# text, corpus, multimodal, then the dedup tail — so the first-50 window
+# lands on 49 first-ever entries (the one repeat is dedup_near_minhash at
+# the head of dedup).  The remainder (prep tail, 2 sources entries) plus
+# the 13 entries that errored in r3 (aggregates/windows/scalars,
+# events-ts root cause, fixed this round) are the r5 window.  A per-entry
+# ledger lives in COVERAGE.md ("Driver-coverage ledger").
 _FAMILIES = [
-    "aggregates",
-    "windows",
-    "setops",
-    "scalars",
-    "dedup",
+    "streams",
     "similarity",
-    "prep",
     "text",
     "corpus",
     "multimodal",
-    "streams",
+    "dedup",
+    "prep",
+    "sources",
+    "aggregates",
+    "windows",
+    "scalars",
+    "setops",
     "relational",
     "tpch_breadth",
     "medallion",
-    "sources",
 ]
 
 

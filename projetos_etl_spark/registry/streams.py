@@ -527,7 +527,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile
 
     from projetos_etl_spark.sources.io import load_table
-    from projetos_etl_spark.streaming.jobs import EVENTS_RAW_SCHEMA, stage_files
+    from projetos_etl_spark.streaming.jobs import stage_files
 
     ev_all = load_table(spark, sf_dir, "events")
     max_ts = ev_all.agg(F.max("ts").alias("m")).collect()[0][0]  # 1-row bound lookup

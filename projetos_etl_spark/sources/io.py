@@ -31,11 +31,36 @@ TABLES = [
 ]
 
 
-#: Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-#: reader rejects (PARQUET_TYPE_ILLEGAL). We read them as raw int64 nanos
-#: (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
-#: — exactly what DuckDB's scan does, so oracle comparisons stay aligned.
+#: Columns whose physical parquet encoding has drifted across fixture
+#: generations (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)) and must always
+#: surface as the session-contract microsecond TimestampType regardless of
+#: how they are stored on disk. The scan adapts to the *loaded* dtype
+#: instead of assuming the encoding — see :func:`normalize_ts_cols`.
 NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def normalize_ts_cols(df: DataFrame, cols: list[str] | None) -> DataFrame:
+    """Normalize timestamp columns to the contract type (TimestampType,
+    microsecond precision, UTC session rendering) by branching on the
+    dtype Spark actually loaded — never on an assumed physical encoding:
+
+    - ``bigint``: TIMESTAMP(NANOS) file read under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → floor-truncate to
+      microseconds (matching DuckDB's nanos scan).
+    - ``timestamp_ntz``: TIMESTAMP(MICROS) with isAdjustedToUTC=false →
+      reinterpret the wall-clock value as UTC (cast; value micros are
+      unchanged under the engine's pinned UTC session TZ, matching
+      DuckDB's naive TIMESTAMP).
+    - ``timestamp``: already the contract type → untouched.
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols or []:
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
 
 
 def scan_parquet(
@@ -43,24 +68,24 @@ def scan_parquet(
 ) -> DataFrame:
     """Scan a parquet path. Pushdown/pruning are Catalyst's job.
 
-    ``nano_ts_cols``: columns written as TIMESTAMP(NANOS) to surface as
-    microsecond TimestampType (floor-truncated, matching DuckDB).
+    ``nano_ts_cols``: columns that must surface as microsecond
+    TimestampType whatever their physical encoding (see
+    :func:`normalize_ts_cols`).
 
     Session contract: UTC rendering is pinned by ``session.get_spark`` and
     at the registry API boundary (``registry/_core.ENGINE_SESSION_CONFS``),
     not here — a scan helper should not silently retoggle a shared
     session. The one conf this function does set is ``nanosAsLong`` (only
-    when ``nano_ts_cols`` is passed): without it the read itself fails
-    (PARQUET_TYPE_ILLEGAL), so it is a hard requirement of the scan, not
-    a preference.
+    when ``nano_ts_cols`` is passed): a TIMESTAMP(NANOS) file cannot be
+    read at all without it (PARQUET_TYPE_ILLEGAL), and it is a no-op for
+    micros files, so it is a hard requirement of the scan, not a
+    preference.
     """
     if not nano_ts_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in nano_ts_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return normalize_ts_cols(df, nano_ts_cols)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -22,7 +22,6 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 _COUNTER = itertools.count()
 
@@ -52,40 +51,44 @@ def scoped_stream_parallelism(
         if capped:
             spark.conf.set(key, prior)
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over events parquet (ns timestamps normalized to
-    microseconds exactly like the batch reader in sources/io.py).
+    """File-source stream over events parquet, normalized to the same
+    microsecond TimestampType contract as the batch reader.
+
+    Streams need an explicit schema, and that schema must match the
+    file's *physical* encoding — which has drifted across fixture
+    generations (TIMESTAMP(NANOS) int64 → TIMESTAMP(MICROS)). Hard-coding
+    either one silently corrupts timestamps when the other shows up, so
+    the schema is probed from the file itself (one driver-side batch
+    footer read — no data scan) and the value normalization is shared
+    with the batch path (``sources.io.normalize_ts_cols``), guaranteeing
+    batch/stream ingest parity by construction.
 
     Required session confs (``spark.sql.legacy.parquet.nanosAsLong`` for
-    the TIMESTAMP(NANOS) fixture column, UTC session TZ for deterministic
+    a TIMESTAMP(NANOS) fixture, UTC session TZ for deterministic
     rendering) are part of the engine session contract — pinned by
     ``session.get_spark`` and at the registry API boundary
     (``registry/_core.ENGINE_SESSION_CONFS``), NOT mutated here. Shuffle
     parallelism for the streaming state stores is scoped per query run by
     the runners below (``scoped_stream_parallelism``)."""
+    from projetos_etl_spark.sources.io import normalize_ts_cols
+
+    # Probe the physical schema via a batch read (footer-only on the
+    # driver): whatever dtype batch loads for `ts` (bigint under
+    # nanosAsLong, timestamp_ntz for micros) is the dtype the stream
+    # must declare.
+    raw_schema = spark.read.parquet(path).schema
     # File-stream sources want a *directory* to watch; the fixture is a
     # single file, so watch its parent with a glob filter (this is also
     # the right shape at scale: a drop-directory of event files).
     parent, fname = os.path.dirname(path), os.path.basename(path)
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(raw_schema)
         .option("pathGlobFilter", fname)
         .load(parent)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts_cols(raw, ["ts"])
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:

@@ -163,3 +163,52 @@ def test_checkpoint_recovery_continues_state(spark, tmp_path):
         q2.stop()
     got = {r.user_id: r["count"] for r in spark.table("pes_ckpt_sink").collect()}
     assert got == {1: 3, 2: 1}
+
+
+def test_stream_ingest_matches_batch_ingest(spark):
+    """VERDICT r3 #5: the silent micros-as-nanos bug — the stream reader
+    declared its own hard-coded physical schema and disagreed with the
+    batch reader about what the events.ts bytes meant, collapsing every
+    timestamp ~1000x toward 1970 with NO error. Pin the invariant that
+    broke: read_events_stream and load_table must produce identical ts
+    values (and types) on the CURRENT fixtures."""
+    from projetos_etl_spark.sources.io import load_table
+    from projetos_etl_spark.streaming.jobs import read_events_stream, run_to_memory
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    assert stream.dtypes == batch.dtypes
+
+    stats = ["min(ts) as lo", "max(ts) as hi", "count(*) as n"]
+    b = batch.selectExpr(*stats).collect()[0]
+    s = run_to_memory(stream.selectExpr("ts"), "append").selectExpr(*stats).collect()[0]
+    assert (s.lo, s.hi, s.n) == (b.lo, b.hi, b.n)
+    # guard against BOTH failure modes: 1970-collapse (micros read as
+    # nanos) and far-future explosion (nanos read as micros)
+    assert b.lo.year >= 2000 and b.hi.year <= 2100
+
+
+def test_stream_tumbling_matches_batch_tumbling(spark):
+    """Batch-equivalence for the windowed agg itself: the same
+    tumbling_agg expression over the stream reader and the batch reader
+    must agree row-for-row (Structured Streaming's unified-API promise,
+    and the parity the driver's oracle assumes)."""
+    from projetos_etl_spark.sources.io import load_table
+    from projetos_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_agg,
+    )
+
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream = read_events_stream(spark, "/root/testdata/sf0.001/events.parquet")
+
+    def norm(df):
+        return {
+            (r.w.start, r.w.end, r.event_type, r.n, r.sum_value)
+            for r in df.collect()
+        }
+
+    got = norm(run_to_memory(tumbling_agg(stream), "complete"))
+    want = norm(tumbling_agg(batch))
+    assert got == want and len(want) > 0
