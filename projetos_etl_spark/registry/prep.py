@@ -767,3 +767,116 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_events").desc(), "user_id")
     )
+
+
+_RESAMPLE_KNUTH, _RESAMPLE_MOD32 = 2654435761, 4294967296
+
+
+@REG.add(
+    "corpus_resample_to_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    thr AS (
+        SELECT source, (min(n) OVER ()) * 10000 // n AS keep_permyriad
+        FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE (d.doc_id * {_RESAMPLE_KNUTH}) % {_RESAMPLE_MOD32} % 10000
+          < thr.keep_permyriad
+    """,
+)
+def corpus_resample_to_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a domain-mix target by deterministic hash downsampling: every
+    source is thinned to the size of the SMALLEST source (uniform mix by
+    downsampling — the execution step that ``corpus_mix_weights`` only
+    computes weights for). The per-source acceptance threshold is pure
+    integer arithmetic (``min_n * 10000 // n_s`` permyriad), and a row's
+    fate depends only on its key hash — reproducible across runs,
+    engines, and partitionings, monotone under threshold changes (the
+    standard hash-mod sampling contract, same scheme as
+    ``sample_stratified_hash``). Scale shape: the per-source count is one
+    map-combinable aggregate over ~20 groups; the thresholds table is a
+    broadcast join onto the corpus scan; acceptance is a codegen'd
+    filter — one narrow pass over 100 TB, no shuffle of the corpus
+    itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    thr = counts.withColumn(
+        "min_n", F.min("n").over(Window.partitionBy())
+    ).select(
+        "source",
+        # Integer floor-division (`div`), NOT float `/` + cast: the float
+        # quotient of exact-integer operands can land a hair under the
+        # true value and truncate one permyriad low vs the oracle's `//`.
+        F.expr("(min_n * 10000) div n").alias("keep_permyriad"),
+    )
+    bucket = (F.col("doc_id") * _RESAMPLE_KNUTH) % _RESAMPLE_MOD32 % 10000
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .filter(bucket < F.col("keep_permyriad"))
+        .select("doc_id", "source")
+    )
+
+
+@REG.add(
+    "text_perplexity_bigram",
+    oracle="""
+    WITH exploded AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> {'tok': string_split(text, ' ')[i],
+                         'nxt': string_split(text, ' ')[i + 1]})) AS bg
+        FROM documents
+    ),
+    big AS (SELECT doc_id, bg.tok AS tok, bg.nxt AS nxt FROM exploded),
+    c12 AS (SELECT tok, nxt, count(*) AS n12 FROM big GROUP BY tok, nxt),
+    c1  AS (SELECT tok, count(*) AS n1 FROM big GROUP BY tok)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT)             AS n_bigrams,
+           round(avg(-ln(c12.n12 / c1.n1)), 6)  AS avg_neg_logprob
+    FROM big b
+    JOIN c12 ON b.tok = c12.tok AND b.nxt = c12.nxt
+    JOIN c1  ON b.tok = c1.tok
+    GROUP BY b.doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document quality score: corpus-level bigram
+    conditionals P(w2|w1) = c(w1,w2)/c(w1·) scored back over each doc's
+    bigrams as the average negative log-probability — the second-order
+    refinement of ``text_unigram_logprob`` (fluency-sensitive where the
+    unigram score only sees vocabulary). No smoothing needed: the model
+    corpus includes the scored doc, so every bigram has count >= 1.
+    Scale shape: bigrams come from ONE posexplode + lead window per doc
+    (partitioned by doc_id — sorts within a doc, never across docs);
+    both count tables are map-combinable aggregates; the score-back is
+    two shuffle equi-joins on token keys (bigram vocab is Zipf-bounded,
+    far smaller than the corpus; salting the head key is the standard
+    mitigation if one token dominates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("tok").over(wdoc))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", "tok", "nxt")
+    )
+    c12 = big.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = big.groupBy("tok").agg(F.count(F.lit(1)).alias("n1"))
+    return (
+        big.join(c12, ["tok", "nxt"])
+        .join(c1, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("n12") / F.col("n1"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

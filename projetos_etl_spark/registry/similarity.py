@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from projetos_etl_spark.operators.cosine import (
     brute_force_topk,
+    ivf_pq_topk,
     ivf_topk,
     pq_adc_topk,
     srp_lsh_topk,
@@ -95,6 +96,19 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return pq_adc_topk(queries, emb, k=TOP_K)
+
+
+@REG.add("sim_search_ivf_pq")  # approximate => rows-only check
+def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF + PQ-ADC approximate top-k
+    (``operators/cosine.ivf_pq_topk``) — the FAISS ``IVF16,PQ8`` shape:
+    coarse cells prune the corpus to ~n_probe/n_cells, ADC scores the
+    survivors by LUT-sum over 8 one-byte codes, and only the per-query
+    shortlist is exactly reranked. The engine's complete 100 TB ANN
+    path; recall asserted on clustered vectors in tests/test_dedup.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_pq_topk(queries, emb, k=TOP_K)
 
 
 @REG.add(

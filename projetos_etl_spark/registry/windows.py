@@ -556,3 +556,53 @@ def win_rolling_distinct_unbounded(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("__first").over(run).cast("int").alias("n_types_so_far"),
         )
     )
+
+
+@REG.add(
+    "win_gap_islands",
+    oracle=f"""
+    WITH hrs AS (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL '1 hour', ts) AS h
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, h,
+               CAST(epoch(h) AS BIGINT) // 3600
+                   - row_number() OVER (PARTITION BY user_id ORDER BY h) AS g
+        FROM hrs
+    )
+    SELECT user_id,
+           strftime(min(h), '{TS_FMT_DUCK}') AS island_start,
+           strftime(max(h), '{TS_FMT_DUCK}') AS island_end,
+           CAST(count(*) AS BIGINT)          AS n_hours
+    FROM grp GROUP BY user_id, g
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's activity into maximal runs
+    of consecutive active hours (the classic sequence-reconstruction
+    shape behind uptime spans, streak analytics, and contiguous-coverage
+    checks). The island key is the Tarjan difference trick — hour-index
+    minus row_number is constant within a consecutive run — so the whole
+    operator is one distinct, one window pass, and one hash aggregate,
+    all on the same user_id partitioning: Catalyst reuses a single
+    shuffle for the window and the final groupBy. No self-join, no
+    iteration — at 100 TB the alternative LEAD-based gap detection costs
+    the same one shuffle but a second window pass. Hour buckets (not raw
+    ts) bound island cardinality per user; deterministic because the
+    bucket grid is fixed."""
+    hrs = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("h")
+    grp = hrs.withColumn(
+        "g",
+        (F.unix_timestamp("h") / 3600).cast("bigint") - F.row_number().over(w),
+    )
+    return grp.groupBy("user_id", "g").agg(
+        F.date_format(F.min("h"), TS_FMT_SPARK).alias("island_start"),
+        F.date_format(F.max("h"), TS_FMT_SPARK).alias("island_end"),
+        F.count(F.lit(1)).alias("n_hours"),
+    ).drop("g")

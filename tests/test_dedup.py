@@ -143,6 +143,22 @@ def test_pq_adc_recall_on_clustered_data(clustered_vectors):
     assert recall >= 0.8, f"recall {recall}"
 
 
+def test_ivf_pq_recall_on_clustered_data(clustered_vectors):
+    """Composed IVF+PQ-ADC: the coarse prune (8 cells, probe 3) and the
+    compressed ADC scan together must still recover most true neighbors
+    on clustered vectors — the end-state 100 TB ANN path has BOTH error
+    sources at once, so it gets its own recall gate."""
+    from projetos_etl_spark.operators.cosine import ivf_pq_topk
+
+    queries = clustered_vectors.filter(F.col("vec_id") % 20 == 0)  # one per cluster
+    exact = brute_force_topk(queries, clustered_vectors, k=5)
+    approx = ivf_pq_topk(queries, clustered_vectors, k=5, n_cells=8, n_probe=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"recall {recall}"
+
+
 def test_brute_force_topk_is_exact(clustered_vectors):
     """Cross-check the Spark operator against numpy on the same vectors."""
     pdf = clustered_vectors.toPandas().sort_values("vec_id")
