@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "bitmap_distinct_rollup",
     "er_blocking_join",
     "graph_pagerank",
+    # round 4 additions: composed IVF+PQ ANN end-state, second-order LM
+    # quality scoring (compare per-query across rounds, as above).
+    "sim_search_ivf_pq",
+    "text_perplexity_bigram",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes
@@ -173,6 +177,12 @@ def _delta_vs_previous(timings: dict[str, float]) -> dict | None:
                 cand = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
+        # Driver-recorded artifacts wrap this script's JSON line under
+        # "parsed" (alongside rc/tail); a local run of this script emits
+        # the line bare. Accept both — r3's delta block silently compared
+        # against nothing because it only looked at the top level.
+        if isinstance(cand.get("parsed"), dict):
+            cand = cand["parsed"]
         if cand.get("sf") == sf and cand.get("queries"):
             prev_name, prev = os.path.basename(path), cand["queries"]
             break

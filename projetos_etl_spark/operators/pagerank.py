@@ -43,7 +43,15 @@ def pagerank(
     vertex appearing as src or dst. Rank mass sums to N (vertex count),
     so scores are comparable across graph sizes; divide by N for the
     probability formulation."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # The distinct-ed edge set is joined EVERY iteration: checkpoint it
+    # once so its scan + distinct shuffle don't re-execute in all
+    # ``iters`` checkpoint jobs (across-job plans don't reuse exchanges —
+    # without this the edge dedup dominated the whole operator's cost).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     vertices = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -63,23 +71,32 @@ def pagerank(
         dangling = ranks.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
         )
+        # Each vertex's base row (deg, inflow 0) UNIONs with its inbound
+        # contributions, then ONE hash aggregate per iteration produces
+        # both the summed inflow and the carried-along degree — fusing
+        # the old groupBy(dst) + left-join-back-to-ranks pair (two wide
+        # shuffles) into a single shuffle on the vertex key.
         contribs = (
             ranks.filter(F.col("deg") > 0)
             .join(e, ranks.id == e.src)
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("inflow"))
+            .select(
+                F.col("dst").alias("id"),
+                F.lit(None).cast("long").alias("deg"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
         )
+        base = ranks.select("id", F.col("deg").cast("long"), F.lit(0.0).alias("c"))
         ranks = (
-            ranks.join(contribs, "id", "left")
+            base.unionByName(contribs)
+            .groupBy("id")
+            .agg(F.max("deg").alias("deg"), F.sum("c").alias("inflow"))
             .crossJoin(dangling)  # 1-row broadcast scalar, not a real cross
             .select(
                 "id",
                 "deg",
                 (
                     F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("dmass") / n)
+                    + F.lit(damping) * (F.col("inflow") + F.col("dmass") / n)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -604,7 +604,12 @@ def er_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = c.alias("a")
     b = c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    # Thresholded levenshtein (Spark 3.5+): the DP early-terminates once
+    # the distance provably exceeds 1 — O(len*threshold) instead of
+    # O(len^2) per candidate pair, and the candidate volume is the whole
+    # cost of this operator (returns -1 above the threshold, so the
+    # filter is `>= 0` and the surviving value IS the exact distance).
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1)
     return (
         a.join(
             b,
@@ -612,7 +617,7 @@ def er_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .filter(dist <= 1)
+        .filter(dist >= 0)
         .select(
             F.col("a.c_custkey").alias("left_key"),
             F.col("b.c_custkey").alias("right_key"),

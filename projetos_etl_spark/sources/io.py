@@ -189,6 +189,11 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # ``df.rdd.getNumPartitions()`` is a plan-side RDD conversion: it
+    # fixes THIS df's partition count pre-AQE (runtime coalescing can
+    # still shrink downstream stages, but this probe won't see it).
+    # Acceptable here because the probe only gates a widen-if-narrow
+    # decision on the scan side, where AQE has nothing to re-plan yet.
     if df.rdd.getNumPartitions() >= target:
         return df
     if key_cols:
