@@ -72,25 +72,79 @@ def brute_force_topk(
     )
 
 
-def _sq_l2(v: Column, centroid: np.ndarray) -> Column:
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _nearest_cells(v: Column, centroids: np.ndarray, n: int) -> Column:
-    """Array of the ``n`` nearest centroid ids for a vector column —
-    array_sort on (dist, cell) structs, all JVM-side."""
-    entries = F.array(
-        *[
-            F.struct(_sq_l2(v, c).alias("d"), F.lit(i).alias("cell"))
-            for i, c in enumerate(centroids)
-        ]
+    """Array of the ``n`` nearest centroid ids for a vector column, as ONE
+    Arrow-batched pandas UDF: the (n_cells x dim) centroid matrix (KBs)
+    ships in the closure and each batch is a single matmul + stable
+    argsort. Ties break to the lowest cell id (stable sort over exact
+    float distances), matching a (distance, cell) struct sort.
+
+    Same deliberate Python island as ``_pq_assign_udf`` and for the same
+    reason: the pure-Catalyst alternative (array_sort over ``n_cells``
+    structs of 64-term fold expressions) builds a mega-expression whose
+    per-call analysis + codegen time dwarfs the actual math — measured
+    at ~2x the entire operator's runtime on the composed IVF+PQ entry.
+    Dense small-matrix kernels belong in a vectorized UDF."""
+    cm = np.ascontiguousarray(centroids, dtype=np.float64)  # (K, d)
+    c2 = np.sum(cm * cm, axis=1)[None, :]
+
+    @F.pandas_udf("array<int>")
+    def nearest(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vs.to_numpy()).astype(np.float64)  # (N, d)
+        d2 = np.sum(mat * mat, axis=1)[:, None] - 2.0 * (mat @ cm.T) + c2
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return nearest(v)
+
+
+#: Quantizer-training sample size: ``TakeOrderedAndProject`` collects the
+#: ``TRAIN_SAMPLE`` hash-lowest vectors (per-partition heaps + driver
+#: merge — no global sort), so driver training state is bounded at
+#: sample x dim floats no matter the corpus size.
+TRAIN_SAMPLE = 4096
+
+
+def _train_sample(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sample: int,
+    seed_mod: int,
+    normalize: bool = False,
+) -> np.ndarray:
+    """Deterministic hash-ordered training sample, collected ONCE."""
+    v = as_double_array(F.col(vec_col))
+    if normalize:
+        v = _l2_normalize(v)
+    rows = (
+        vectors.select(v.alias("v"), F.col(id_col).alias("_id"))
+        .orderBy(F.pmod(F.xxhash64(F.col("_id")), F.lit(seed_mod)), F.col("_id"))
+        .limit(n_sample)
+        .collect()
     )
-    return F.transform(F.slice(F.array_sort(entries), 1, n), lambda s: s.cell)
+    return np.array([r.v for r in rows])
+
+
+def _lloyd(x: np.ndarray, init: np.ndarray, iters: int) -> np.ndarray:
+    """In-memory Lloyd iterations on the (bounded) training sample.
+    Empty clusters keep their previous centroid; assignment ties break
+    to the lowest cell id (np.argmin first-occurrence)."""
+    centroids = init.copy()
+    for _ in range(iters):
+        d2 = (
+            np.sum(x * x, axis=1)[:, None]
+            - 2.0 * (x @ centroids.T)
+            + np.sum(centroids * centroids, axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        for c in range(centroids.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
 
 
 def train_ivf_centroids(
@@ -101,33 +155,19 @@ def train_ivf_centroids(
     iters: int = 2,
     seed_mod: int = 997,
 ) -> np.ndarray:
-    """Distributed Lloyd k-means for the IVF coarse quantizer.
-
-    Init is a deterministic hash-sample of the corpus; each iteration is
-    one distributed assign+average job. Driver state is only the
-    (n_cells x dim) centroid matrix — bounded regardless of corpus size,
-    which is what makes this trainable at 100 TB (FAISS trains IVF on a
-    sample for the same reason)."""
-    v = as_double_array(F.col(vec_col))
-    init = (
-        vectors.select(v.alias("v"), F.col(id_col))
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(seed_mod)), F.col(id_col))
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = np.array([r.v for r in init])
-    for _ in range(iters):
-        assigned = vectors.select(
-            v.alias("v"),
-            _nearest_cells(v, centroids, 1)[0].alias("cell"),
-        )
-        dim = centroids.shape[1]
-        means = assigned.groupBy("cell").agg(
-            *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)],
-        ).collect()
-        for r in means:
-            centroids[r.cell] = [r[f"m{i}"] for i in range(dim)]
-    return centroids
+    """IVF coarse quantizer trained FAISS-style on a bounded sample: ONE
+    distributed TakeOrdered collect of the ``TRAIN_SAMPLE`` hash-lowest
+    vectors, then Lloyd k-means in numpy on the driver. Driver state is
+    sample x dim + the (n_cells x dim) centroid matrix — bounded
+    regardless of corpus size. The earlier formulation ran each Lloyd
+    iteration as a distributed assign+average job; statistically
+    equivalent, but it paid ~2 jobs per iteration of pure scheduling
+    overhead to average a few thousand effective training points — the
+    sample-then-local-train shape is both the FAISS standard and
+    strictly cheaper until the sample stops fitting in driver memory
+    (KBs–MBs here)."""
+    x = _train_sample(vectors, id_col, vec_col, TRAIN_SAMPLE, seed_mod)
+    return _lloyd(x, x[:n_cells], iters)
 
 
 def ivf_topk(
@@ -390,51 +430,29 @@ def train_pq_codebooks(
     """Per-subspace codebooks for product quantization (Jegou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
     L2-normalized vectors split into ``n_subspaces`` contiguous slices;
-    each subspace gets ``n_codes`` centroids via distributed Lloyd.
+    each subspace gets ``n_codes`` centroids via Lloyd k-means.
 
-    Scale shape: ONE distributed assign+mean job per iteration covers
-    ALL subspaces — vectors explode to (subspace, slice) rows, nearest
-    code is a JVM expression, and one groupBy((s, c)) averages every
-    codebook cell at once. Driver state is the (n_subspaces x n_codes x
-    sub_dim) codebook tensor — a few KB regardless of corpus size
-    (FAISS trains PQ on a sample for the same reason)."""
+    Trained FAISS-style on a bounded sample (see ``train_ivf_centroids``
+    for the rationale): one distributed TakeOrdered collect of the
+    ``TRAIN_SAMPLE`` hash-lowest normalized vectors, then per-subspace
+    Lloyd in numpy. Driver state is sample x dim + the (n_subspaces x
+    n_codes x sub_dim) codebook tensor — bounded regardless of corpus
+    size. Encoding the corpus (``pq_encode``) stays a distributed
+    vectorized-UDF pass; only the statistics fit happens on the sample."""
     sub_dim = dim // n_subspaces
-    nv = _l2_normalize(as_double_array(F.col(vec_col)))
-    init = (
-        vectors.select(nv.alias("v"), F.col(id_col))
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(seed_mod)), F.col(id_col))
-        .limit(n_codes)
-        .collect()
+    x = _train_sample(
+        vectors, id_col, vec_col, TRAIN_SAMPLE, seed_mod, normalize=True
     )
     codebooks = np.array(
         [
-            [r.v[s * sub_dim : (s + 1) * sub_dim] for r in init]
+            _lloyd(
+                x[:, s * sub_dim : (s + 1) * sub_dim],
+                x[:n_codes, s * sub_dim : (s + 1) * sub_dim],
+                iters,
+            )
             for s in range(n_subspaces)
         ]
     )
-    for _ in range(iters):
-        assign = _pq_assign_udf(codebooks)
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.col("codes")[s].alias("c"),
-                    F.slice(F.col("v"), s * sub_dim + 1, sub_dim).alias("sub"),
-                )
-                for s in range(n_subspaces)
-            ]
-        )
-        means = (
-            vectors.select(nv.alias("v"))
-            .withColumn("codes", assign(F.col("v")))
-            .select(F.explode(entries).alias("e"))
-            .select("e.s", "e.c", "e.sub")
-            .groupBy("s", "c")
-            .agg(*[F.avg(F.col("sub")[i]).alias(f"m{i}") for i in range(sub_dim)])
-            .collect()
-        )
-        for r in means:
-            codebooks[r.s][r.c] = [r[f"m{i}"] for i in range(sub_dim)]
     return codebooks
 
 

@@ -228,3 +228,56 @@ def exact_ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def exact_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT over the same inverted index as
+    :func:`exact_ngram_jaccard_pairs`: ``C = |A∩B| / min(|A|, |B|)``.
+
+    Containment is the asymmetric dedup criterion Jaccard structurally
+    misses — a doc quoted whole inside a much longer doc has tiny
+    Jaccard (union is large) but containment ≈ 1. Training-corpus
+    dedup needs both: Jaccard for near-identical pairs, containment for
+    subsumption (boilerplate-wrapped reposts, quote farms, concat
+    crawls; cf. Broder's resemblance/containment pair, "On the
+    resemblance and containment of documents", 1997). Same scale shape
+    as the Jaccard tier: pairs only form where a shingle is shared,
+    one shuffle on the shingle key, aggregates map-combinable."""
+    cols = [id_col] + ([block_col] if block_col else [])
+    sh = df.select(
+        *cols, F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.sh") == F.col("b.sh")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -18,6 +18,7 @@ from projetos_etl_spark.operators.minhash import (
     DEFAULT_MAX_BUCKET,
     NUM_HASHES,
     SHINGLE_WORDS,
+    exact_containment_pairs,
     exact_ngram_jaccard_pairs,
     lsh_band_buckets,
     lsh_candidate_pairs,
@@ -650,3 +651,45 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iters=10)
     return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, source, unnest(list_distinct({_SHINGLES_SQL})) AS sh
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT doc_a, doc_b,
+               round(n_inter / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+                   AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.doc_a
+        JOIN sizes sb ON sb.doc_id = inter.doc_b
+    ) WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """
+
+
+@REG.add("dedup_ngram_containment", oracle=_containment_oracle())
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle containment
+    (``operators/minhash.exact_containment_pairs``): flags
+    doc-subsumes-doc pairs — quoted-whole reposts, boilerplate-wrapped
+    copies — whose Jaccard stays low because the union is dominated by
+    the longer doc. The complement of ``dedup_ngram_jaccard`` in a
+    training-corpus dedup stack; same inverted-index plan, different
+    denominator (min set size, not union)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_containment_pairs(
+        docs, "doc_id", "text", block_col="source", threshold=CONTAINMENT_THRESHOLD
+    )

@@ -460,3 +460,45 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_key")
     )
+
+
+@REG.add(
+    "scan_parquet_merge_schema",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(NULL AS VARCHAR) AS region_name
+    FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_regionkey <> 0
+    """,
+)
+def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on scan: two parquet batches written with
+    DIFFERENT schemas (an early batch before a ``region_name`` column
+    existed, a later batch with it) read back as ONE table via
+    ``mergeSchema`` — the added column is NULL-filled for old files.
+    This is the append-only schema-evolution contract every long-lived
+    lake table needs (new columns appear mid-stream; historical files
+    are never rewritten). ``mergeSchema`` is opt-in per scan because
+    footer-merging all files costs a distributed pass at 100 TB — the
+    production posture is a table format or a catalog-pinned schema,
+    with this flag for ad-hoc reads; the cost and the default-off are
+    the point, not an accident."""
+    out = tempfile.mkdtemp(prefix="pes_evo_")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    nat.filter(F.col("n_regionkey") == 0).select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(out + "/batch=old")
+    nat.filter(F.col("n_regionkey") != 0).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    ).write.mode("overwrite").parquet(out + "/batch=new")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("n_nationkey", "n_name", "region_name")
+    )
