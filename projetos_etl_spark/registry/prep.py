@@ -880,3 +880,122 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+import math as _math
+
+#: 24-hour half-life decay rate, one shared double constant injected into
+#: BOTH engines' expressions so the arithmetic is operand-identical.
+_DECAY_LAMBDA = _math.log(2) / 24.0
+
+
+@REG.add(
+    "agg_time_decayed_sum",
+    oracle=f"""
+    WITH mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp(-{_DECAY_LAMBDA!r}
+                 * ((mx.mx_us - epoch_us(ts)) / 3.6e9))), 6) AS decayed_value
+    FROM events, mx
+    GROUP BY user_id
+    """,
+)
+def agg_time_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay aggregate (24 h half-life): each event's
+    value is weighted by exp(-λ·age) relative to the corpus's newest
+    event — the standard recency-weighted feature (user activity scores,
+    trending rank, freshness-weighted training labels). Plain sum() of a
+    codegen'd per-row expression: map-combinable, one shuffle on the
+    user key, no window. The reference timestamp is a 1-row aggregate
+    broadcast via crossJoin (the repo's scalar-subquery pattern) — at
+    incremental refresh the λ-decay identity (old_sum · exp(-λΔ) +
+    new_batch) updates the score without rescanning history, which is
+    why λ-decay beats sliding windows for 100 TB-scale recency
+    features."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    mx = ev.agg(F.max("us").alias("mx_us"))
+    age_h = (F.col("mx_us") - F.col("us")) / F.lit(3.6e9)
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.exp(-F.lit(_DECAY_LAMBDA) * age_h)), 6
+            ).alias("decayed_value"),
+        )
+    )
+
+
+@REG.add(
+    "quality_psi_drift",
+    oracle="""
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    halves AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) < b.mid_us THEN 'early' ELSE 'late' END AS half
+        FROM events, b
+    ),
+    c AS (
+        SELECT event_type, half, count(*) AS n FROM halves GROUP BY event_type, half
+    ),
+    shares AS (
+        SELECT event_type, half,
+               n / CAST(sum(n) OVER (PARTITION BY half) AS DOUBLE) AS p
+        FROM c
+    )
+    SELECT e.event_type,
+           round(e.p, 6)                              AS share_early,
+           round(l.p, 6)                              AS share_late,
+           round((e.p - l.p) * ln(e.p / l.p), 6)      AS psi_term
+    FROM shares e JOIN shares l USING (event_type)
+    WHERE e.half = 'early' AND l.half = 'late'
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check: the event-type mix of the
+    stream's earlier half vs its later half, with the per-category PSI
+    contribution (p_early − p_late)·ln(p_early/p_late) — the standard
+    go/no-go monitor for "did the input distribution move" before a
+    model or mart refresh. The time midpoint is exact integer micros
+    arithmetic (identical in both engines); shares are per-half window
+    sums over the ALREADY-aggregated category counts (bounded
+    cardinality — a ~10-row window, never a corpus-wide one). Two scans
+    of the category-count table, zero scans of raw data beyond the
+    first aggregate: at 100 TB the whole check costs one
+    map-combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    b = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid_us")
+    )
+    halves = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.col("us") < F.col("mid_us"), "early").otherwise("late").alias("half"),
+    )
+    c = halves.groupBy("event_type", "half").agg(F.count(F.lit(1)).alias("n"))
+    shares = c.select(
+        "event_type",
+        "half",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("half"))).alias("p"),
+    )
+    e = shares.filter(F.col("half") == "early").select(
+        "event_type", F.col("p").alias("pe")
+    )
+    l = shares.filter(F.col("half") == "late").select(
+        "event_type", F.col("p").alias("pl")
+    )
+    return e.join(l, "event_type").select(
+        "event_type",
+        F.round("pe", 6).alias("share_early"),
+        F.round("pl", 6).alias("share_late"),
+        F.round((F.col("pe") - F.col("pl")) * F.log(F.col("pe") / F.col("pl")), 6)
+        .alias("psi_term"),
+    )

@@ -287,3 +287,43 @@ def test_resample_pick_is_hash_aggregate(spark, queries):
     # exactly one Window in the plan: the forward-fill itself
     assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
     assert "max_by" in plan or "HashAggregate" in plan
+
+
+def test_gap_islands_single_exchange_reused(spark, queries):
+    """win_gap_islands' window pass and final aggregate both key on
+    user_id — Catalyst must plan ONE shuffle on the user key (plus the
+    distinct's), not re-exchange between the window and the groupBy."""
+    from projetos_etl_spark.plans.inspect import explain_str
+
+    plan = explain_str(queries["win_gap_islands"](spark, SF))
+    # Exchanges: distinct (user_id, h) + window/groupBy key. The groupBy
+    # on (user_id, g) must NOT add a third full-width exchange because
+    # rows are already partitioned by user_id... Spark can't prove g is
+    # user-local, so allow <= 3 but require the window+agg adjacency.
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Window" in plan
+
+
+def test_resample_to_mix_thresholds_broadcast(spark, queries):
+    """corpus_resample_to_mix's per-source threshold table (~20 rows)
+    must reach the corpus scan as a BroadcastHashJoin — shuffling the
+    corpus on `source` to apply a 20-row filter would be the exact
+    anti-pattern the operator exists to avoid."""
+    df = queries["corpus_resample_to_mix"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "SortMergeJoin")
+
+
+def test_decayed_sum_is_single_hash_aggregate(spark, queries):
+    """agg_time_decayed_sum must plan as partial+final hash aggregates
+    (map-combinable) with the reference timestamp broadcast — no window,
+    no sort of the fact table."""
+    from projetos_etl_spark.plans.inspect import explain_str
+
+    df = queries["agg_time_decayed_sum"](spark, SF)
+    plan = explain_str(df)
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert has_operator(df, "BroadcastNestedLoopJoin") or has_operator(
+        df, "BroadcastHashJoin"
+    )
