@@ -999,3 +999,46 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("pe") - F.col("pl")) * F.log(F.col("pe") / F.col("pl")), 6)
         .alias("psi_term"),
     )
+
+
+@REG.add(
+    "text_normalize_dedup",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        FROM documents
+    )
+    SELECT doc_id, norm_md5,
+           min(doc_id) OVER (PARTITION BY norm_md5) AS canonical_doc_id,
+           doc_id = min(doc_id) OVER (PARTITION BY norm_md5) AS is_canonical
+    FROM n
+    """,
+)
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize-then-exact-dedup — the standard pre-pass before any
+    near-dup tier: lowercase, strip non-alphanumerics, collapse
+    whitespace, then md5 the normal form and elect the lowest doc_id per
+    hash as canonical. Catches trivially-reformatted copies (case,
+    punctuation, spacing) at exact-dedup cost: one narrow codegen'd
+    normalization pass and ONE shuffle on the hash key (window min —
+    the same partitioning a dropDuplicates would use, but keeping the
+    full cluster assignment instead of discarding it). Both regex
+    classes are literal-simple so Java and RE2 semantics agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    w = Window.partitionBy("norm_md5")
+    return (
+        docs.select("doc_id", F.md5(norm.cast("binary")).alias("norm_md5"))
+        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("canonical_doc_id"))
+        )
+    )
