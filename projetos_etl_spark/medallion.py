@@ -173,7 +173,13 @@ def run_pipeline(
     bronze = spread(spark.read.parquet(f"{base_dir}/bronze"))
     silver = require_nonempty(silver_conform(bronze, with_ingestion_ts=False))
     t1 = time.perf_counter()
-    sink_partitioned(silver, f"{base_dir}/silver", partition_cols or ["year"])
+    # file_groups=4: ~4 writers/files per partition value instead of one
+    # file per (task x value) — see sink_partitioned; halves the layer
+    # write by removing the small-file explosion while keeping the write
+    # parallel within each partition directory.
+    sink_partitioned(
+        silver, f"{base_dir}/silver", partition_cols or ["year"], file_groups=4
+    )
     _LAST_WRITE_SECONDS.set(write_secs + (time.perf_counter() - t1))
     return spark.read.parquet(f"{base_dir}/silver")
 

@@ -27,10 +27,20 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row (per ``on`` key)
     with ``right[right_ts] <= left[left_ts]``. Left rows with no prior
-    right row keep NULLs (left-asof semantics)."""
+    right row keep NULLs (left-asof semantics).
+
+    ``tolerance_seconds``: bounded-staleness variant (pandas
+    ``merge_asof(tolerance=...)`` semantics) — a match older than the
+    tolerance is treated as NO match and the carried values are NULLed.
+    This is the time-series norm for sensor/price lookups where a
+    too-stale reading is worse than none. Implemented by carrying the
+    matched right row's OWN timestamp through the same forward-fill
+    window and null-gating on its age: zero extra shuffles over the
+    plain as-of."""
     keys = [on] if isinstance(on, str) else list(on)
     out_cols = [f"{c}{suffix}" for c in right_value_cols]
 
@@ -39,12 +49,17 @@ def asof_join(
     )
     for c in out_cols:
         l_tagged = l_tagged.withColumn(c, F.lit(None))
-    # Right side contributes only key + ts + carried values.
+    # Right side contributes only key + ts + carried values (plus its own
+    # ts a second time when a staleness bound must be enforced).
+    src_ts_cols = (
+        [F.col(right_ts).alias("__asof_src_ts")] if tolerance_seconds else []
+    )
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        *src_ts_cols,
     )
     l_cols = [c for c in l_tagged.columns]
     unioned = l_tagged.select(*l_cols).unionByName(r_tagged, allowMissingColumns=True)
@@ -56,9 +71,19 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned
-    for c in out_cols:
+    fill_cols = out_cols + (["__asof_src_ts"] if tolerance_seconds else [])
+    for c in fill_cols:
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled.filter(F.col("__is_left") == 1).drop("__asof_ts", "__is_left")
+    result = filled.filter(F.col("__is_left") == 1)
+    if tolerance_seconds:
+        stale = F.col("__asof_src_ts").isNull() | (
+            F.unix_micros(F.col("__asof_ts")) - F.unix_micros(F.col("__asof_src_ts"))
+            > int(tolerance_seconds * 1_000_000)
+        )
+        for c in out_cols:
+            result = result.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        result = result.drop("__asof_src_ts")
+    return result.drop("__asof_ts", "__is_left")
 
 
 def _example_condition() -> Column:  # pragma: no cover - doc helper

@@ -764,3 +764,54 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
         F.round(F.coalesce("total_1997", F.lit(0.0)), 2).alias("total_1997"),
     ).orderBy("custkey")
+
+
+ASOF_TOLERANCE_SECONDS = 6 * 3600
+
+
+@REG.add(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           CASE WHEN e.ts IS NULL
+                  OR epoch_us(p.ts) - epoch_us(e.ts)
+                     > {ASOF_TOLERANCE_SECONDS * 1_000_000}
+                THEN NULL
+                ELSE strftime(e.ts, '{TS_FMT_DUCK}') END AS last_error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND e.ts <= p.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join (pandas ``merge_asof(tolerance=...)``
+    semantics): each purchase gets the user's most recent error at-or-
+    before it ONLY if that error is within 6 hours — older matches are
+    NULLed, because a too-stale reading is worse than none (price/sensor
+    lookups, feature freshness SLAs). Same single-shuffle window
+    emulation as ``join_asof_events`` (``operators/asof.py``); the bound
+    rides the existing forward-fill as one extra carried column and a
+    null-gate — no second shuffle, no range join."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        errors.withColumn("error_ts", F.col("ts")).select("user_id", "ts", "error_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["error_ts"],
+        suffix="",
+        tolerance_seconds=ASOF_TOLERANCE_SECONDS,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("error_ts", TS_FMT_SPARK).alias("last_error_ts"),
+    )
