@@ -486,3 +486,34 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1 ORDER BY n_events DESC, item
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based frequent items via the native ``approx_top_k``
+    aggregate (Spark 4): ONE mergeable sketch pass, no full group-by
+    materialization — the heavy-hitter primitive for high-cardinality
+    keys where ``agg_heavy_hitters``' exact group-by would carry every
+    distinct key through the shuffle. The sketch is provably EXACT when
+    maxItemsTracked >= the column's true cardinality (here 1000 >>
+    ~10 event types), which is what lets an exact SQL oracle verify
+    it; at real cardinality the same call degrades gracefully to
+    approximate counts with a bounded-memory guarantee. Output is
+    re-sorted by (count desc, item) because the sketch's own tie order
+    is unspecified."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 20, 1000)").alias("top"))
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("n_events"), "item")
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
 from projetos_etl_spark.sources.io import load_table
 
 REG = Registry()
@@ -1041,4 +1041,304 @@ def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "is_canonical", (F.col("doc_id") == F.col("canonical_doc_id"))
         )
+    )
+
+
+# --- feature-engineering tier (r4): the transforms a training-data ---
+# --- pipeline applies between dedup/quality gates and model input  ---
+
+_BUCKET_PS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _bucketize_oracle() -> str:
+    qcols = ",\n               ".join(
+        f"round(quantile_cont(l_extendedprice, {p}), 2) AS q{i}"
+        for i, p in enumerate(_BUCKET_PS, start=1)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN l.l_extendedprice > q.q{i} THEN 1 ELSE 0 END)"
+        for i in range(1, len(_BUCKET_PS) + 1)
+    )
+    return f"""
+    WITH q AS (
+        SELECT {qcols}
+        FROM lineitem
+    ),
+    b AS (
+        SELECT 1 + {terms} AS bucket, l.l_extendedprice AS price
+        FROM lineitem l CROSS JOIN q
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(price), 2) AS min_price,
+           round(max(price), 2) AS max_price
+    FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
+@REG.add("feat_quantile_bucketize", oracle=_bucketize_oracle())
+def feat_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing (decile discretization) of a numeric
+    feature — the QuantileDiscretizer shape, built scale-first: ONE
+    exact-percentile reduce produces the 9 cut points (a single 9-double
+    row, broadcast), then assignment is a codegen'd fold over the
+    broadcast boundary array — no global sort, no window, no second
+    shuffle (NTILE would need a total order over every row; this plan's
+    only per-row cost is 9 comparisons). Boundaries are rounded to the
+    feature's own 2-decimal grain so the strict ``>`` comparison is
+    engine-stable; at 100 TB swap ``percentile`` for
+    ``percentile_approx`` and the cut-point pass becomes mergeable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ps = ", ".join(f"{p}D" for p in _BUCKET_PS)
+    cuts = li.agg(
+        F.expr(
+            f"transform(percentile(l_extendedprice, array({ps})), x -> round(x, 2))"
+        ).alias("qs")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        "qs",
+        F.lit(0),
+        lambda acc, q: acc + (F.col("l_extendedprice") > q).cast("int"),
+    )
+    return (
+        li.crossJoin(F.broadcast(cuts))  # 1-row boundary table, not a real cross
+        .select(bucket.alias("bucket"), F.col("l_extendedprice").alias("price"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("price"), 2).alias("min_price"),
+            F.round(F.max("price"), 2).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@REG.add(
+    "feat_scale_normalize",
+    oracle="""
+    WITH s AS (
+        SELECT c_mktsegment AS segment,
+               min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+               avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd
+        FROM customer GROUP BY 1
+    )
+    SELECT c.c_custkey, s.segment, c.c_acctbal,
+           round((c.c_acctbal - s.lo) / (s.hi - s.lo), 6) AS minmax,
+           round((c.c_acctbal - s.mu) / s.sd, 4) AS zscore
+    FROM customer c JOIN s ON c.c_mktsegment = s.segment
+    ORDER BY c.c_custkey
+    """,
+)
+def feat_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling: min-max to [0,1] and z-score against
+    the group's own mean/stddev — the MinMaxScaler/StandardScaler pair,
+    fit and transform in one lineage. The fit is ONE map-combinable
+    groupBy over the grouping key (4 scalars per group); the transform
+    re-joins the tiny stats table by BROADCAST, so the fact side is
+    never shuffled — the exact economics a 100 TB feature pipeline
+    needs (stats rows = O(groups), facts untouched). z rounded to 4:
+    stddev accumulation order differs across engines at the ulp."""
+    c = load_table(spark, sf_dir, "customer")
+    stats = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sd"),
+    )
+    return (
+        c.join(F.broadcast(stats), c["c_mktsegment"] == stats["segment"])
+        .select(
+            "c_custkey",
+            "segment",
+            "c_acctbal",
+            F.round((F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6)
+            .alias("minmax"),
+            F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sd"), 4)
+            .alias("zscore"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@REG.add(
+    "feat_target_encode_loo",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS priority,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, s.priority,
+           round((CAST(s.tot AS DOUBLE) - o.o_totalprice) / (s.n - 1), 6)
+               AS loo_mean_price
+    FROM orders o JOIN s ON o.o_orderpriority = s.priority
+    ORDER BY o.o_orderkey
+    """,
+)
+def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical feature: each
+    row's category is replaced by the mean target over the OTHER rows
+    of its category, ``(sum - own) / (n - 1)`` — the leakage-safe mean
+    encoding used for high-cardinality categoricals. Same two-phase
+    broadcast shape as the scaler: one mergeable groupBy for per-
+    category (sum, n), broadcast re-join, per-row arithmetic. The sum
+    is accumulated as DECIMAL(18,2) — exact in both engines regardless
+    of partial-aggregation order — and only the final subtraction/
+    division is float, so the 6-dp rounding compares identical bits."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        o.join(F.broadcast(stats), o["o_orderpriority"] == stats["priority"])
+        .select(
+            "o_orderkey",
+            "priority",
+            F.round(
+                (F.col("tot").cast("double") - F.col("o_totalprice"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("loo_mean_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@REG.add(
+    "anomaly_zscore_rolling",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, ts, event_id, value,
+               avg(value)         OVER frame AS mu,
+               stddev_samp(value) OVER frame AS sd,
+               count(*)           OVER frame AS n_prev
+        FROM events
+        WINDOW frame AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts, value,
+           round((value - mu) / sd, 4) AS z
+    FROM w
+    WHERE n_prev >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def anomaly_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event is scored against
+    the mean/stddev of its user's own trailing 10 observations (frame
+    excludes the current row — no self-leakage) and flagged when
+    |z| > 2 with at least 5 rows of history. ONE window over ONE
+    user_id shuffle — the streaming-adjacent drift detector a feature
+    pipeline runs on metric columns; at 100 TB the frame is O(1) state
+    per row and the shuffle is the same user-key exchange every other
+    per-user op reuses. Deterministic (ts, event_id) frame order; z
+    rounded to 4 (stddev ulp across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("n_prev") >= 5) & (F.col("sd") > 0) & (F.abs(z) > 2)
+        )
+        .select(
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+            "value",
+            F.round(z, 4).alias("z"),
+            F.col("event_id").alias("_eid"),
+        )
+        .orderBy("user_id", "ts", "_eid")
+        .drop("_eid")
+    )
+
+
+def _spread_bits(x: str, shl) -> str:
+    """Expression that spreads a 16-bit value's bits into the even bit
+    positions of a 32-bit value (Morton/Z-order interleave half), via
+    the classic shift-and-mask ladder. ``shl(a, b)`` renders a left
+    shift in the target dialect."""
+    s1 = f"(({x} | {shl(x, 8)}) & 16711935)"
+    s2 = f"(({s1} | {shl(s1, 4)}) & 252645135)"
+    s3 = f"(({s2} | {shl(s2, 2)}) & 858993459)"
+    s4 = f"(({s3} | {shl(s3, 1)}) & 1431655765)"
+    return s4
+
+
+def _zorder_exprs() -> tuple[str, str]:
+    """(spark_expr, duckdb_expr) computing the same 32-bit Z-value over
+    (o_custkey low 16 bits, days-since-epoch low 16 bits)."""
+    spark_shl = lambda a, b: f"shiftleft({a}, {b})"  # noqa: E731
+    duck_shl = lambda a, b: f"({a} << {b})"  # noqa: E731
+    d1_s = "(o_custkey & 65535)"
+    d2_s = "(CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT) & 65535)"
+    d1_d = "(o_custkey & 65535)"
+    d2_d = "(CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) & 65535)"
+    z_s = f"({_spread_bits(d1_s, spark_shl)} | {spark_shl(_spread_bits(d2_s, spark_shl), 1)})"
+    z_d = f"({_spread_bits(d1_d, duck_shl)} | {_spread_bits(d2_d, duck_shl)} << 1)"
+    return z_s, z_d
+
+
+_Z_SPARK, _Z_DUCK = _zorder_exprs()
+
+
+@REG.add(
+    "maintenance_zorder_stats",
+    oracle=f"""
+    WITH z AS (
+        SELECT o_custkey, o_orderdate,
+               CAST({_Z_DUCK} >> 28 AS INTEGER) & 15 AS zbucket
+        FROM orders
+    )
+    SELECT zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS min_day,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_day
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """,
+)
+def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit — the OPTIMIZE ZORDER BY
+    primitive: interleave the bits of two filter dimensions (customer
+    key, order day) into one clustering key, bucket rows by the
+    Z-value's top 4 bits, and report each bucket's span in BOTH source
+    dimensions. Narrow spans on both axes are what make min/max file
+    stats prunable for predicates on EITHER column — the data-skipping
+    layout a 100 TB table wants when no single sort column dominates.
+    The interleave is pure integer shift/mask codegen; bucketing by bit
+    prefix (not NTILE) needs NO global sort — every row maps to its
+    bucket independently, so the full layout pass is one map + one
+    mergeable groupBy (in a real rewrite, ``repartitionByRange`` on the
+    Z-value replaces the groupBy and each range becomes one file)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.expr(f"CAST({_Z_SPARK} >> 28 AS INT) & 15").alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_day"),
+        )
+        .orderBy("zbucket")
     )

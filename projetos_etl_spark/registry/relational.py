@@ -815,3 +815,52 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
         F.date_format("error_ts", TS_FMT_SPARK).alias("last_error_ts"),
     )
+
+
+@REG.add(
+    "join_null_safe",
+    oracle="""
+    WITH left_side AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg_key
+        FROM customer
+    ),
+    dim AS (
+        SELECT DISTINCT seg_key,
+               coalesce(seg_key, 'UNSEGMENTED') AS seg_label
+        FROM left_side
+    )
+    SELECT d.seg_label,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM left_side l JOIN dim d ON l.seg_key IS NOT DISTINCT FROM d.seg_key
+    GROUP BY d.seg_label ORDER BY d.seg_label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): rows whose
+    join key is NULL still pair up, where a plain equi-join silently
+    drops them — the semantic trap in any enrichment join over a
+    nullable foreign key (here: customers whose segment is unknown
+    still land in an 'UNSEGMENTED' dim bucket instead of vanishing
+    from the mart). ``<=>`` stays a hash-joinable equality predicate
+    in Catalyst (EqualNullSafe is a valid shuffle/broadcast hash key,
+    NULL hashing to its own bucket) — same plan shape and cost as the
+    plain join, so the correctness fix is free at 100 TB. NOTE the
+    skew caveat: every NULL row hashes to ONE bucket, so a
+    mostly-null key wants the `join_salted_skew` treatment."""
+    c = load_table(spark, sf_dir, "customer")
+    left = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_key"),
+    )
+    dim = left.select("seg_key").distinct().select(
+        "seg_key", F.coalesce("seg_key", F.lit("UNSEGMENTED")).alias("seg_label")
+    )
+    return (
+        left.join(F.broadcast(dim), left["seg_key"].eqNullSafe(dim["seg_key"]))
+        .groupBy("seg_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("seg_label")
+    )

@@ -455,3 +455,57 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@REG.add(
+    "fn_try_arith",
+    oracle="""
+    WITH dirty AS (
+        SELECT p_partkey, p_size, p_retailprice,
+               CASE p_partkey % 3
+                   WHEN 0 THEN CAST(round(p_retailprice, 2) AS VARCHAR)
+                   WHEN 1 THEN concat('$', CAST(round(p_retailprice, 2) AS VARCHAR))
+                   ELSE 'N/A'
+               END AS price_str
+        FROM part
+    )
+    SELECT CAST(count(*) AS BIGINT)                          AS n_rows,
+           CAST(count(TRY_CAST(price_str AS DOUBLE)) AS BIGINT) AS n_parsed,
+           round(sum(TRY_CAST(price_str AS DOUBLE)), 2)      AS parsed_total,
+           CAST(sum(CASE WHEN p_retailprice / NULLIF(p_size - 5, 0) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)       AS n_div_by_zero,
+           round(sum(p_retailprice / NULLIF(p_size - 5, 0)), 2) AS ratio_total
+    FROM dirty
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar arithmetic over dirty inputs: ``try_cast``
+    turns unparseable numerics into NULL instead of failing the job,
+    and ``try_divide`` absorbs division-by-zero the same way — the
+    ANSI-mode-safe idiom for ingest columns you don't control. On a
+    100 TB scan this is the difference between one poisoned row
+    killing a 6-hour job and a NULL count you can alert on; every
+    expression here stays inside whole-stage codegen (no UDF escape
+    hatch for error handling). The audit aggregate reports parse and
+    divide failure volume — the numbers a quality gate thresholds."""
+    p = load_table(spark, sf_dir, "part")
+    price_str = (
+        F.when(F.col("p_partkey") % 3 == 0, F.round("p_retailprice", 2).cast("string"))
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(F.lit("$"), F.round("p_retailprice", 2).cast("string")),
+        )
+        .otherwise(F.lit("N/A"))
+    )
+    d = p.select(
+        "p_retailprice",
+        price_str.alias("price_str"),
+        F.expr("try_divide(p_retailprice, p_size - 5)").alias("ratio"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.expr("try_cast(price_str AS double)")).cast("long").alias("n_parsed"),
+        F.round(F.sum(F.expr("try_cast(price_str AS double)")), 2).alias("parsed_total"),
+        F.sum(F.col("ratio").isNull().cast("int")).cast("long").alias("n_div_by_zero"),
+        F.round(F.sum("ratio"), 2).alias("ratio_total"),
+    )

@@ -502,3 +502,44 @@ def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("n_nationkey", "n_name", "region_name")
     )
+
+
+@REG.add(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           concat(n_name, ', says "', n_name, '"', chr(10), 'line2') AS tricky
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan under RFC-4180 hostile content: fields carrying
+    embedded delimiters, double quotes, AND newlines are written with
+    quote-doubling (``escape='"'``) and read back with ``multiLine`` —
+    byte-identical (the oracle recomputes the derived strings directly;
+    equality proves the round-trip lost nothing). This is the format-
+    fidelity gate for the interchange format everything downstream of a
+    warehouse still speaks. Scale note: ``multiLine`` makes each CSV
+    file non-splittable (a record can straddle any byte offset), so at
+    100 TB hostile-content CSV wants many medium files, not few huge
+    ones — or parquet, which is the engine's default interchange."""
+    out = tempfile.mkdtemp(prefix="pes_csv_")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.concat(
+            F.col("n_name"),
+            F.lit(', says "'),
+            F.col("n_name"),
+            F.lit('"\nline2'),
+        ).alias("tricky"),
+    )
+    n.write.mode("overwrite").option("header", True).option("escape", '"').csv(out)
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, tricky STRING")
+        .option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(out)
+        .orderBy("n_nationkey")
+    )
