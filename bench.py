@@ -65,9 +65,15 @@ BENCH_QUERIES = [
     "er_blocking_join",
     "graph_pagerank",
     # round 4 additions: composed IVF+PQ ANN end-state, second-order LM
-    # quality scoring (compare per-query across rounds, as above).
+    # quality scoring, LSH+exact-verify dedup tier, and the feature-
+    # engineering representatives (compare per-query across rounds, as
+    # above).
     "sim_search_ivf_pq",
     "text_perplexity_bigram",
+    "dedup_minhash_verified",
+    "feat_quantile_bucketize",
+    "anomaly_zscore_rolling",
+    "maintenance_zorder_stats",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes

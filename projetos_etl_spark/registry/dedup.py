@@ -693,3 +693,72 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_containment_pairs(
         docs, "doc_id", "text", block_col="source", threshold=CONTAINMENT_THRESHOLD
     )
+
+
+def _minhash_verified_oracle() -> str:
+    jac = (
+        "len(list_intersect(sa.s, sb.s)) * 1.0 / "
+        "(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))"
+    )
+    return f"""
+    WITH {_bands_cte_sql()}, bands_capped AS (
+        SELECT doc_id, band_id, band_key FROM (
+            SELECT doc_id, band_id, band_key,
+                   row_number() OVER (PARTITION BY band_id, band_key
+                                      ORDER BY doc_id) AS brn
+            FROM bands
+        ) WHERE brn <= {DEFAULT_MAX_BUCKET}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_capped a JOIN bands_capped b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), sets AS (
+        SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           round({jac}, 4) AS jaccard,
+           {jac} >= 0.5    AS is_dup
+    FROM pairs p
+    JOIN sets sa ON sa.doc_id = p.doc_a
+    JOIN sets sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+@REG.add("dedup_minhash_verified", oracle=_minhash_verified_oracle())
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup shape: banded-LSH candidate
+    generation (sub-quadratic, hot-bucket-capped) followed by an EXACT
+    Jaccard verification pass on the candidate pairs only — LSH decides
+    WHAT to compare, the verify pass decides WHAT IS a duplicate, so
+    band-collision false positives never reach the drop list (the
+    precision guarantee ``dedup_near_minhash``'s signature estimate
+    alone can't give). Cost model at 100 TB: candidates are O(collisions)
+    not O(n²), and the exact pass touches only candidate docs' shingle
+    sets — two hash joins on doc_id plus an O(|A|+|B|) per-pair array
+    intersect, all JVM-side. Verdict column ``is_dup`` thresholds the
+    TRUE Jaccard at 0.5."""
+    docs = _t(spark, sf_dir, "documents")
+    from projetos_etl_spark.operators.minhash import shingles
+
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    cands = lsh_candidate_pairs(sigs, "doc_id").select("doc_a", "doc_b")
+    sets = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("s")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+            (jac >= 0.5).alias("is_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

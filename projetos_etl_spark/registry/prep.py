@@ -1342,3 +1342,55 @@ def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@REG.add(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(concat('s42:', CAST(doc_id AS VARCHAR))) AS k
+        FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, k,
+               (strpos('0123456789abcdef', substr(k, 1, 1)) - 1) % 8 AS shard
+        FROM keyed
+    )
+    SELECT shard, position, doc_id
+    FROM (
+        SELECT shard, doc_id,
+               row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                   AS position
+        FROM sharded
+    )
+    WHERE position <= 100
+    ORDER BY shard, position
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: every
+    document gets a content-stable pseudo-random key ``md5(seed:id)``,
+    its shard is the key's first nibble mod 8 (one shard per dataloader
+    worker), and its within-shard position is the key's rank — a
+    reproducible uniform shuffle with NO ``rand()`` (same order across
+    reruns, engines, partitionings; changing the seed string is a fresh
+    epoch permutation). The returned head (first 100 positions per
+    shard) is the audit slice. Scale: assignment is stateless per-row;
+    the only wide op is the per-shard rank, and a real 100 TB export
+    replaces the row_number with ``repartitionByRange(shard, k)`` +
+    ``sortWithinPartitions`` so each shard streams to its files in key
+    order without any global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string")))
+    shard = (F.expr("instr('0123456789abcdef', substr(k, 1, 1))") - 1) % 8
+    keyed = d.select("doc_id", k.alias("k")).select(
+        "doc_id", "k", shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        keyed.select("shard", "doc_id", F.row_number().over(w).alias("position"))
+        .filter(F.col("position") <= 100)
+        .select("shard", "position", "doc_id")
+        .orderBy("shard", "position")
+    )

@@ -327,3 +327,44 @@ def test_decayed_sum_is_single_hash_aggregate(spark, queries):
     assert has_operator(df, "BroadcastNestedLoopJoin") or has_operator(
         df, "BroadcastHashJoin"
     )
+
+
+def test_feat_scale_normalize_broadcasts_stats(spark, queries):
+    """The fit/transform re-join must be a broadcast of the tiny stats
+    table — a shuffled join here would re-shuffle the whole fact side
+    at 100 TB for a handful of per-group scalars."""
+    df = queries["feat_scale_normalize"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "SortMergeJoin")
+
+
+def test_feat_target_encode_broadcasts_stats(spark, queries):
+    df = queries["feat_target_encode_loo"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "SortMergeJoin")
+
+
+def test_join_null_safe_stays_hash_join(spark, queries):
+    """EqualNullSafe must remain a hash-joinable key (NULL hashes to its
+    own bucket) — falling back to BroadcastNestedLoopJoin would turn the
+    enrichment into an O(n*m) scan."""
+    df = queries["join_null_safe"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert not has_operator(df, "SortMergeJoin")
+
+
+def test_quantile_bucketize_no_window(spark, queries):
+    """Bucket assignment must be the broadcast-fold plan — an NTILE
+    formulation would plan a Window over a single global sort."""
+    df = queries["feat_quantile_bucketize"](spark, SF)
+    assert not has_operator(df, "Window")
+
+
+def test_zorder_stats_no_window_no_global_sort_for_bucketing(spark, queries):
+    """Prefix bucketing maps each row independently: the only Sort in
+    the plan is the final 16-row orderBy, never a pre-aggregation
+    total order; no Window anywhere."""
+    df = queries["maintenance_zorder_stats"](spark, SF)
+    assert not has_operator(df, "Window")
+    assert has_operator(df, "HashAggregate")
