@@ -140,6 +140,19 @@ def lsh_candidate_pairs(
     row_number shuffles on the same (band_id, band_key) keys the join
     needs anyway, so the guard adds a sort within each bucket partition
     but no extra exchange of a different key."""
+    # The signature table is consumed FOUR times below (both sides of
+    # the band self-join, both sides of the est-jaccard signature join),
+    # and the bucket self-join's broadcast side defeats exchange reuse —
+    # without materialization the md5-shingle signature computation
+    # executes 4x per call (verified in the physical plan: zero
+    # ReusedExchange, four copies of the digest subtree). One eager
+    # localCheckpoint computes it once. Measured at sf0.1/local[32]:
+    # wall-clock NEUTRAL (the duplicate subtrees ran concurrently on
+    # idle cores) but ~4x less signature CPU — on a busy cluster, where
+    # cores aren't free, the CPU saving is the real resource; the capped
+    # bucket checkpoint also preserves the window's (band_id, band_key)
+    # partitioning for the join.
+    sigs = sigs.localCheckpoint(eager=True)
     buckets = lsh_band_buckets(sigs, id_col, num_hashes, band_size)
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
@@ -148,6 +161,7 @@ def lsh_candidate_pairs(
             .filter(F.col("__rk") <= max_bucket)
             .drop("__rk")
         )
+    buckets = buckets.localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
