@@ -1394,3 +1394,69 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "position", "doc_id")
         .orderBy("shard", "position")
     )
+
+
+RANGE_N_QUERIES = 10
+RANGE_COS_THRESHOLD = 0.2
+
+
+def _range_search_oracle() -> str:
+    def _dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({x})),"
+            f" i -> {x}[i] * {y}[i]))"
+        )
+
+    def _norm(x: str) -> str:
+        return f"sqrt(list_sum(list_transform({x}, t -> t * t)))"
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_dot("q.v", "c.v")} / ({_norm("q.v")} * {_norm("c.v")}), 6)
+                   AS cosine_sim
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {RANGE_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM scored WHERE cosine_sim >= {RANGE_COS_THRESHOLD}
+    ORDER BY query_id, neighbor_id
+    """
+
+
+@REG.add("sim_range_search", oracle=_range_search_oracle())
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) retrieval: ALL corpus vectors within a cosine
+    threshold of each query — the retrieval shape for recall-critical
+    jobs (dedup sweeps, contamination scans, safety filters) where
+    top-k's fixed cutoff silently drops qualifying neighbors. Exact
+    tier: broadcast the bounded query set, one corpus scan, threshold
+    on the ROUNDED similarity so the boundary is engine-stable. At
+    100 TB the same call rides the SRP-LSH bucket join
+    (``operators/cosine.srp_lsh_topk``'s candidate stage) with the
+    threshold replacing the rank cutoff — range search is actually the
+    EASIER scale problem: no global ranking state, every (bucket,
+    candidate) partition filters independently."""
+    from projetos_etl_spark.operators.cosine import as_double_array, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < RANGE_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("cv"),
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= RANGE_COS_THRESHOLD)
+        .orderBy("query_id", "neighbor_id")
+    )
