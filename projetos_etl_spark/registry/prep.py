@@ -1460,3 +1460,118 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_sim") >= RANGE_COS_THRESHOLD)
         .orderBy("query_id", "neighbor_id")
     )
+
+
+@REG.add(
+    "feat_onehot_topn",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_brand,
+               row_number() OVER (ORDER BY count(*) DESC, p_brand) AS rnk
+        FROM part GROUP BY p_brand
+    )
+    SELECT p.p_partkey,
+           p.p_brand,
+           CAST(CASE WHEN r.rnk = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_top1,
+           CAST(CASE WHEN r.rnk = 2 THEN 1 ELSE 0 END AS INTEGER) AS is_top2,
+           CAST(CASE WHEN r.rnk = 3 THEN 1 ELSE 0 END AS INTEGER) AS is_top3,
+           CAST(CASE WHEN r.rnk = 4 THEN 1 ELSE 0 END AS INTEGER) AS is_top4,
+           CAST(CASE WHEN r.rnk = 5 THEN 1 ELSE 0 END AS INTEGER) AS is_top5,
+           CAST(CASE WHEN r.rnk > 5 THEN 1 ELSE 0 END AS INTEGER) AS is_other
+    FROM part p JOIN ranked r ON p.p_brand = r.p_brand
+    ORDER BY p.p_partkey
+    """,
+)
+def feat_onehot_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding restricted to the top-5 categories plus an
+    'other' bucket — the bounded-width categorical encoding that keeps
+    schemas STABLE while the category set drifts (full one-hot would
+    change column count whenever a new brand appears). The vocabulary
+    fit is one mergeable count aggregate over O(categories) rows with a
+    deterministic (count desc, value) tie-break; the transform is a
+    broadcast join + codegen'd flags, so the fact side is never
+    shuffled. Flag COLUMNS are positional (is_top1..is_top5), which is
+    what makes the output schema fixed across refits."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy(F.desc("n"), "p_brand")
+    ranked = (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("p_brand", F.row_number().over(w).alias("rnk"))
+    )
+    flags = [
+        (F.col("rnk") == i).cast("int").alias(f"is_top{i}") for i in range(1, 6)
+    ]
+    return (
+        p.join(F.broadcast(ranked), "p_brand")
+        .select(
+            "p_partkey",
+            "p_brand",
+            *flags,
+            (F.col("rnk") > 5).cast("int").alias("is_other"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+HASH_BUCKETS = 64
+
+
+def _hex_val(expr: str, pos: int) -> str:
+    """SQL (both dialects): value 0-15 of hex digit ``pos`` of ``expr``."""
+    return f"(instr('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
+
+
+@REG.add(
+    "feat_hashing_trick",
+    oracle=f"""
+    WITH features AS (
+        SELECT 'brand' AS fname, p_brand AS fval FROM part
+        UNION ALL
+        SELECT 'type', p_type FROM part
+    ),
+    hashed AS (
+        SELECT fname, fval,
+               ({_hex_val("md5(fname || ':' || fval)", 1)} * 16
+                + {_hex_val("md5(fname || ':' || fval)", 2)}) % {HASH_BUCKETS}
+                   AS bucket
+        FROM features
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT)                 AS n_values,
+           CAST(count(DISTINCT fname || ':' || fval) AS BIGINT)
+               AS n_distinct_features
+    FROM hashed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical features map to a FIXED-width
+    bucket space via a content hash (md5 first byte mod 64), so the
+    encoded vector width never depends on vocabulary size — no fit
+    pass, no vocabulary table, no schema drift, the featurizer of
+    choice when the category space is unbounded (URLs, tokens, user
+    agents). Stateless per-row assignment (zero shuffles to encode);
+    the audit aggregate reports per-bucket load and collision degree
+    (distinct features per bucket), the quantity you size the bucket
+    count against. DuckDB's instr == Spark's instr on hex strings, so
+    the bucket function is engine-portable by construction."""
+    p = load_table(spark, sf_dir, "part")
+    feats = p.selectExpr(
+        "stack(2, 'brand', p_brand, 'type', p_type) AS (fname, fval)"
+    )
+    bucket = (
+        (F.expr("instr('0123456789abcdef', substr(md5(fname || ':' || fval), 1, 1))") - 1) * 16
+        + (F.expr("instr('0123456789abcdef', substr(md5(fname || ':' || fval), 2, 1))") - 1)
+    ) % HASH_BUCKETS
+    return (
+        feats.select(
+            bucket.alias("bucket"),
+            F.concat_ws(":", "fname", "fval").alias("feature"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.countDistinct("feature").cast("long").alias("n_distinct_features"),
+        )
+        .orderBy("bucket")
+    )

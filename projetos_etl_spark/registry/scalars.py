@@ -509,3 +509,49 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ratio").isNull().cast("int")).cast("long").alias("n_div_by_zero"),
         F.round(F.sum("ratio"), 2).alias("ratio_total"),
     )
+
+
+@REG.add(
+    "fn_surrogate_key",
+    oracle="""
+    WITH sk AS (
+        SELECT c_custkey,
+               substr(md5(c_name || '|' || CAST(c_nationkey AS VARCHAR)), 1, 16)
+                   AS surrogate_key
+        FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_rows,
+           CAST(count(DISTINCT surrogate_key) AS BIGINT)  AS n_distinct_keys,
+           CAST(count(*) - count(DISTINCT surrogate_key) AS BIGINT)
+               AS n_collisions,
+           min(surrogate_key)                             AS min_key
+    FROM sk
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash surrogate keys: a 64-bit (16-hex) key derived from
+    the natural key — stateless, parallel, and identical on every
+    engine and every rerun, unlike ``monotonically_increasing_id``
+    (partition-layout-dependent) or database sequences (a serialization
+    point a 1000-executor load can't afford). The audit row counts hash
+    collisions — the check a warehouse runs once per key-width decision
+    (expected collisions ~ n²/2^65 at 64 bits; widen to the full digest
+    if the audit ever shows one)."""
+    c = load_table(spark, sf_dir, "customer")
+    sk = c.select(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("c_name"), F.col("c_nationkey").cast("string"))
+            ),
+            1,
+            16,
+        ).alias("surrogate_key")
+    )
+    return sk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("surrogate_key").cast("long").alias("n_distinct_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("surrogate_key"))
+        .cast("long")
+        .alias("n_collisions"),
+        F.min("surrogate_key").alias("min_key"),
+    )
