@@ -1575,3 +1575,138 @@ def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@REG.add(
+    "quality_expectation_suite",
+    oracle="""
+    WITH m AS (
+        SELECT count(*)                             AS n,
+               count(DISTINCT o_orderkey)           AS n_key,
+               count(o_custkey)                     AS n_cust,
+               CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2)) AS min_price,
+               sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                        THEN 1 ELSE 0 END)          AS n_bad_status,
+               year(min(o_orderdate))               AS y_lo,
+               year(max(o_orderdate))               AS y_hi
+        FROM orders
+    )
+    SELECT 'orderdate_year_in_1990_2005' AS constraint_name,
+           CAST(y_lo AS VARCHAR) || '..' || CAST(y_hi AS VARCHAR) AS observed,
+           y_lo >= 1990 AND y_hi <= 2005 AS passed FROM m
+    UNION ALL
+    SELECT 'orderkey_unique', CAST(n_key AS VARCHAR), n_key = n FROM m
+    UNION ALL
+    SELECT 'orderstatus_in_set', CAST(n_bad_status AS VARCHAR),
+           n_bad_status = 0 FROM m
+    UNION ALL
+    SELECT 'custkey_complete', CAST(n_cust AS VARCHAR), n_cust = n FROM m
+    UNION ALL
+    SELECT 'row_count_positive', CAST(n AS VARCHAR), n > 0 FROM m
+    UNION ALL
+    SELECT 'totalprice_positive', CAST(min_price AS VARCHAR),
+           min_price > 0 FROM m
+    ORDER BY constraint_name
+    """,
+)
+def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the Deequ/Great Expectations
+    shape): a SUITE of constraints — completeness, uniqueness, value
+    bounds, set membership, volume — evaluated in ONE aggregation pass
+    over the table, emitted as one row per constraint with the observed
+    value and a pass/fail verdict. This is the op a pipeline runs
+    between ingest and publish; computing all constraints in a single
+    scan+aggregate (not one job per check) is what makes a 50-check
+    suite affordable at 100 TB — the only non-mergeable member here is
+    the exact uniqueness count, which at scale degrades gracefully to
+    approx_count_distinct with a tolerance."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("n_key"),
+        F.count("o_custkey").alias("n_cust"),
+        F.round(F.min("o_totalprice"), 2).cast("decimal(18,2)").alias("min_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("F", "O", "P")).cast("int")
+        ).alias("n_bad_status"),
+        F.year(F.min("o_orderdate")).alias("y_lo"),
+        F.year(F.max("o_orderdate")).alias("y_hi"),
+    )
+    return m.selectExpr(
+        """stack(6,
+            'row_count_positive',  CAST(n AS STRING),            n > 0,
+            'orderkey_unique',     CAST(n_key AS STRING),        n_key = n,
+            'custkey_complete',    CAST(n_cust AS STRING),       n_cust = n,
+            'totalprice_positive', CAST(min_price AS STRING),    min_price > 0,
+            'orderstatus_in_set',  CAST(n_bad_status AS STRING), n_bad_status = 0,
+            'orderdate_year_in_1990_2005',
+                CAST(y_lo AS STRING) || '..' || CAST(y_hi AS STRING),
+                y_lo >= 1990 AND y_hi <= 2005
+        ) AS (constraint_name, observed, passed)"""
+    ).orderBy("constraint_name")
+
+
+@REG.add(
+    "incremental_var_merge",
+    oracle="""
+    WITH raw AS (
+        SELECT event_type,
+               CAST(value AS DECIMAL(28,10))          AS v,
+               CAST(value * value AS DECIMAL(38,10))  AS v2
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type, count(*) AS p_n, sum(v) AS p_sum, sum(v2) AS p_sumsq
+        FROM raw GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(p_n AS BIGINT) AS n_events,
+           round(CAST(p_sum AS DOUBLE) / p_n, 6) AS mean_value,
+           round((CAST(p_sumsq AS DOUBLE)
+                  - CAST(p_sum AS DOUBLE) * CAST(p_sum AS DOUBLE) / p_n)
+                 / (p_n - 1), 6) AS var_value
+    FROM daily ORDER BY event_type
+    """,
+)
+def incremental_var_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance for SECOND moments: variance is not
+    mergeable, but its sufficient statistics (n, Σv, Σv²) are — facts
+    reduce to per-(event_type, day) partial triples, the day tier merges
+    by plain addition, and variance is derived once at the end as
+    (Σv² − (Σv)²/n)/(n−1). This extends ``incremental_agg_merge``'s
+    algebraic-decomposition story to the stats a feature pipeline
+    monitors (drift = mean/var movement), with the same economics: a
+    late-arriving day recomputes only its own partial. The per-row
+    products are accumulated as DECIMAL so the sums are EXACT and
+    engine/partition-order independent (the float formula's
+    catastrophic-cancellation risk is confined to the final, determinate
+    subtraction); the oracle computes the same statistics directly from
+    raw rows — equality proves the partial tier lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("value").cast("decimal(28,10)").alias("v"),
+        (F.col("value") * F.col("value")).cast("decimal(38,10)").alias("v2"),
+    )
+    daily = raw.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum("v").alias("p_sum"),
+        F.sum("v2").alias("p_sumsq"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.sum("p_n").alias("n"),
+        F.sum("p_sum").alias("s"),
+        F.sum("p_sumsq").alias("s2"),
+    )
+    s, s2, n = (
+        F.col("s").cast("double"),
+        F.col("s2").cast("double"),
+        F.col("n"),
+    )
+    return merged.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.round(s / n, 6).alias("mean_value"),
+        F.round((s2 - s * s / n) / (n - 1), 6).alias("var_value"),
+    ).orderBy("event_type")
