@@ -543,3 +543,40 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
         .orderBy("n_nationkey")
     )
+
+
+@REG.add(
+    "sink_pyds_jsonl",
+    oracle="""
+    SELECT n_nationkey, upper(n_name) AS name_uc, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def sink_pyds_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source SINK round-trip (Spark 4 writer API,
+    ``sources/jsonlsink.py``): nation-derived rows written by the
+    executor-parallel ``jsonldir`` sink — per-task shard files, a real
+    two-phase commit (tasks report shards, only the driver's commit
+    publishes the _SUCCESS manifest) — then read back with the builtin
+    JSON scan and proven byte-faithful against the direct compute. The
+    write-side twin of ``source_http_datasource``: together they cover
+    both halves of the Data Source extension point a user needs when a
+    format Spark doesn't ship has to scale out."""
+    import json as _json
+
+    from projetos_etl_spark.sources.jsonlsink import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="pes_jsonl_") + "/shards"
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.upper("n_name").alias("name_uc"), "n_regionkey"
+    )
+    n.write.format("jsonldir").option("path", out).mode("append").save()
+    with open(f"{out}/_SUCCESS") as f:
+        manifest = _json.load(f)
+    assert manifest["rows"] == n.count(), "jsonldir manifest row-count drift"
+    return (
+        spark.read.schema("n_nationkey INT, name_uc STRING, n_regionkey INT")
+        .json(f"{out}/part-*.jsonl")
+        .orderBy("n_nationkey")
+    )

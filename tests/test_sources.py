@@ -92,3 +92,28 @@ def test_scan_csv_explicit_schema_quoting(spark, tmp_path):
     back = scan_csv(spark, out, schema)
     assert {tuple(r) for r in back.collect()} == {(1, 'comma, "quote"'), (2, None)}
     assert back.schema == schema
+
+
+def test_jsonldir_sink_manifest_and_shards(spark, tmp_path):
+    """The custom Python Data Source sink's commit protocol: one shard
+    file per input partition, and the driver-side _SUCCESS manifest
+    names exactly the committed shards with the exact row total."""
+    import glob
+    import json
+
+    from projetos_etl_spark.sources.jsonlsink import register
+
+    register(spark)
+    out = str(tmp_path / "shards")
+    df = spark.range(100).selectExpr("id", "CAST(id * 2 AS STRING) AS s").repartition(4)
+    df.write.format("jsonldir").option("path", out).mode("append").save()
+
+    with open(f"{out}/_SUCCESS") as f:
+        manifest = json.load(f)
+    shards = sorted(glob.glob(f"{out}/part-*.jsonl"))
+    assert len(shards) == 4  # one per partition — executor-parallel write
+    assert manifest["files"] == shards
+    assert manifest["rows"] == 100
+    back = spark.read.schema("id LONG, s STRING").json(f"{out}/part-*.jsonl")
+    assert back.count() == 100
+    assert back.selectExpr("sum(id)").first()[0] == sum(range(100))
