@@ -1710,3 +1710,108 @@ def incremental_var_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s / n, 6).alias("mean_value"),
         F.round((s2 - s * s / n) / (n - 1), 6).alias("var_value"),
     ).orderBy("event_type")
+
+
+#: Interval-overlap parameters: each event spans [ts, ts + 10 s); the
+#: grid bucket width equals the max interval length so an interval
+#: lands in at most 2 buckets.
+OVERLAP_SECONDS = 10
+
+
+@REG.add(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH iv AS (
+        -- integer micros // 1e6, NOT epoch(ts)::BIGINT: epoch() returns a
+        -- double whose BIGINT cast ROUNDS, while Spark's unix_timestamp
+        -- FLOORS — sub-second timestamps would land in different buckets.
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000                       AS s,
+               epoch_us(ts) // 1000000 + {OVERLAP_SECONDS}   AS e
+        FROM events
+    ),
+    bucketed AS (
+        SELECT user_id, event_id, s, e,
+               unnest(generate_series(s // {OVERLAP_SECONDS},
+                                      (e - 1) // {OVERLAP_SECONDS})) AS bkt
+        FROM iv
+    ),
+    pairs AS (
+        SELECT DISTINCT a.user_id,
+               a.event_id AS event_a, b.event_id AS event_b,
+               a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+        FROM bucketed a JOIN bucketed b
+          ON a.user_id = b.user_id AND a.bkt = b.bkt
+         AND a.event_id < b.event_id
+    )
+    SELECT user_id, event_a, event_b,
+           CAST(least(ea, eb) - greatest(sa, sb) AS BIGINT) AS overlap_seconds
+    FROM pairs
+    WHERE sa < eb AND sb < ea
+    ORDER BY user_id, event_a, event_b
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join via grid bucketing — the interval-
+    algebra representative (concurrent-session detection, double-bill
+    audits, maintenance-window collision): each event's [ts, ts+10s)
+    interval is exploded onto a 10 s bucket grid (bucket width = max
+    interval length, so ≤ 2 buckets per interval), candidate pairs meet
+    by an EQUI-join on (user, bucket), and the exact overlap predicate
+    runs on candidates only. This is how you express overlap joins
+    without a theta-join's O(n·m) per key: the bucket grid turns the
+    range predicate into hash-join keys exactly like
+    ``join_spatial_grid_radius`` does in 2D, cost tracks true collision
+    density, and the distinct-before-predicate dedups the ≤ 2× bucket
+    fan-out. Same-user shuffle key reused end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        sec.alias("s"),
+        (sec + OVERLAP_SECONDS).alias("e"),
+    )
+    bucketed = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {OVERLAP_SECONDS}"),
+                F.expr(f"(e - 1) div {OVERLAP_SECONDS}"),
+            )
+        ).alias("bkt"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            F.col("a.s").alias("sa"),
+            F.col("a.e").alias("ea"),
+            F.col("b.s").alias("sb"),
+            F.col("b.e").alias("eb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.filter((F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea")))
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            (F.least("ea", "eb") - F.greatest("sa", "sb"))
+            .cast("long")
+            .alias("overlap_seconds"),
+        )
+        .orderBy("user_id", "event_a", "event_b")
+    )
