@@ -123,16 +123,17 @@ def lsh_band_buckets(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_candidate_ids(
     sigs: DataFrame,
     id_col: str,
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band key become a candidate pair;
-    output (doc_a, doc_b, est_jaccard) with est = matching-signature
-    fraction, doc_a < doc_b.
+    """Banded LSH candidate GENERATION only: distinct (doc_a, doc_b)
+    pairs sharing any band key, doc_a < doc_b — for callers that score
+    candidates their own way (e.g. the exact-Jaccard verify tier, which
+    would otherwise pay for an est_jaccard it discards).
 
     ``max_bucket`` caps each (band_id, band_key) bucket at its lowest-id
     members before the self-join (see :data:`DEFAULT_MAX_BUCKET`); pass
@@ -140,19 +141,6 @@ def lsh_candidate_pairs(
     row_number shuffles on the same (band_id, band_key) keys the join
     needs anyway, so the guard adds a sort within each bucket partition
     but no extra exchange of a different key."""
-    # The signature table is consumed FOUR times below (both sides of
-    # the band self-join, both sides of the est-jaccard signature join),
-    # and the bucket self-join's broadcast side defeats exchange reuse —
-    # without materialization the md5-shingle signature computation
-    # executes 4x per call (verified in the physical plan: zero
-    # ReusedExchange, four copies of the digest subtree). One eager
-    # localCheckpoint computes it once. Measured at sf0.1/local[32]:
-    # wall-clock NEUTRAL (the duplicate subtrees ran concurrently on
-    # idle cores) but ~4x less signature CPU — on a busy cluster, where
-    # cores aren't free, the CPU saving is the real resource; the capped
-    # bucket checkpoint also preserves the window's (band_id, band_key)
-    # partitioning for the join.
-    sigs = sigs.localCheckpoint(eager=True)
     buckets = lsh_band_buckets(sigs, id_col, num_hashes, band_size)
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "band_key").orderBy(id_col)
@@ -161,9 +149,12 @@ def lsh_candidate_pairs(
             .filter(F.col("__rk") <= max_bucket)
             .drop("__rk")
         )
+    # Both sides of the self-join read the bucket table; materializing it
+    # computes the explode+cap once and preserves the window's
+    # (band_id, band_key) partitioning for the join.
     buckets = buckets.localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -175,6 +166,31 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band key become a candidate pair;
+    output (doc_a, doc_b, est_jaccard) with est = matching-signature
+    fraction, doc_a < doc_b. Candidate generation is
+    :func:`lsh_candidate_ids`; this adds the signature-agreement score."""
+    # The signature table is consumed FOUR times across this call (both
+    # sides of the band self-join, both sides of the est-jaccard
+    # signature join), and the bucket self-join's broadcast side defeats
+    # exchange reuse — without materialization the md5-shingle signature
+    # computation executes 4x per call (verified in the physical plan:
+    # zero ReusedExchange, four copies of the digest subtree). One eager
+    # localCheckpoint computes it once. Measured at sf0.1/local[32]:
+    # wall-clock NEUTRAL (the duplicate subtrees ran concurrently on
+    # idle cores) but ~4x less signature CPU — on a busy cluster, where
+    # cores aren't free, the CPU saving is the real resource.
+    sigs = sigs.localCheckpoint(eager=True)
+    pairs = lsh_candidate_ids(sigs, id_col, num_hashes, band_size, max_bucket)
     sa = sigs.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)],

@@ -742,8 +742,13 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from projetos_etl_spark.operators.minhash import shingles
 
+    from projetos_etl_spark.operators.minhash import lsh_candidate_ids
+
     sigs = minhash_signatures(docs, "doc_id", "text")
-    cands = lsh_candidate_pairs(sigs, "doc_id").select("doc_a", "doc_b")
+    # ids-only candidate generation: the est_jaccard score would be
+    # discarded here (the exact pass re-scores), so don't pay its two
+    # signature joins.
+    cands = lsh_candidate_ids(sigs, "doc_id")
     sets = docs.select(
         "doc_id", F.array_distinct(shingles(F.col("text"))).alias("s")
     )
