@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "feat_quantile_bucketize",
     "anomaly_zscore_rolling",
     "maintenance_zorder_stats",
+    "join_interval_overlap",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes

@@ -368,3 +368,18 @@ def test_zorder_stats_no_window_no_global_sort_for_bucketing(spark, queries):
     df = queries["maintenance_zorder_stats"](spark, SF)
     assert not has_operator(df, "Window")
     assert has_operator(df, "HashAggregate")
+
+
+def test_interval_overlap_is_hash_join(spark, queries):
+    """The grid-bucket trick must keep the overlap join an EQUI hash
+    join — a nested-loop fallback would mean the range predicate leaked
+    into the join condition."""
+    df = queries["join_interval_overlap"](spark, SF)
+    assert not has_operator(df, "BroadcastNestedLoopJoin")
+    assert not has_operator(df, "CartesianProduct")
+
+
+def test_onehot_topn_broadcasts_vocab(spark, queries):
+    df = queries["feat_onehot_topn"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "SortMergeJoin")
