@@ -580,3 +580,50 @@ def sink_pyds_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(f"{out}/part-*.jsonl")
         .orderBy("n_nationkey")
     )
+
+
+RETENTION_CUTOFF = "2024-01-15 12:00:00"
+
+
+@REG.add(
+    "maintenance_retention_sweep",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts
+    FROM events
+    WHERE ts >= TIMESTAMP '{RETENTION_CUTOFF}'
+    GROUP BY 1 ORDER BY day
+    """,
+)
+def maintenance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention enforcement on a day-partitioned layer, executed the
+    way a 100 TB table has to do it: partitions wholly past the cutoff
+    are DROPPED as pure directory deletes (zero data read — removing
+    14 days of a petabyte layer costs 14 metadata ops), and ONLY the
+    single boundary partition (the day the cutoff bisects) is read,
+    row-filtered, and rewritten in place. Partitions newer than the
+    boundary are never opened (pinned by file-level identity in
+    tests/test_sources.py). A WHERE-filter-and-rewrite-everything
+    retention job — the naive formulation — rewrites the entire table
+    to delete old rows; partition-aligned retention is why layers are
+    date-partitioned in the first place. Readback is the standard
+    partition-discovering scan; the oracle recomputes the surviving
+    rows from the raw table."""
+    from projetos_etl_spark.sources.io import retention_sweep
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="pes_retention_") + "/layer"
+    ev.withColumn("d", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")).write.partitionBy(
+        "d"
+    ).parquet(base)
+    retention_sweep(spark, base, "ts", RETENTION_CUTOFF)
+    kept = spark.read.parquet(base)
+    return (
+        kept.groupBy(F.col("d").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("min_ts"),
+        )
+        .orderBy("day")
+    )

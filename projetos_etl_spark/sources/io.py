@@ -12,6 +12,8 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -219,3 +221,36 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)
+
+
+def retention_sweep(spark: SparkSession, base: str, ts_col: str, cutoff: str) -> None:
+    """Enforce a retention cutoff on a day-partitioned parquet layer
+    (``d=YYYY-MM-DD`` directories) the partition-aligned way:
+
+    - partitions wholly BEFORE the cutoff day: dropped as pure directory
+      deletes — zero data read, one metadata op per expired day;
+    - the single BOUNDARY partition (the day the cutoff bisects): read,
+      row-filtered on ``ts_col >= cutoff``, rewritten in place;
+    - partitions after the boundary: never opened, never rewritten.
+
+    The naive ``WHERE``-and-rewrite formulation reads and rewrites the
+    whole table to delete old rows; this is why layers are
+    date-partitioned. See ``registry/sources.maintenance_retention_sweep``
+    for the audited entry and tests/test_sources.py for the
+    file-identity pin on the untouched partitions."""
+    import shutil
+
+    cutoff_day = cutoff[:10]
+    for entry in sorted(os.listdir(base)):
+        if not entry.startswith("d="):
+            continue
+        if entry[2:] < cutoff_day:
+            shutil.rmtree(os.path.join(base, entry))  # metadata-only drop
+    bpath = f"{base}/d={cutoff_day}"
+    if os.path.isdir(bpath):
+        boundary = spark.read.parquet(bpath).filter(
+            F.col(ts_col) >= F.lit(cutoff).cast("timestamp")
+        )
+        # Materialize before overwriting the directory being read.
+        boundary = boundary.localCheckpoint(eager=True)
+        boundary.write.mode("overwrite").parquet(bpath)

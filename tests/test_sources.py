@@ -117,3 +117,50 @@ def test_jsonldir_sink_manifest_and_shards(spark, tmp_path):
     back = spark.read.schema("id LONG, s STRING").json(f"{out}/part-*.jsonl")
     assert back.count() == 100
     assert back.selectExpr("sum(id)").first()[0] == sum(range(100))
+
+
+def test_retention_sweep_touches_only_boundary_partition(spark, tmp_path):
+    """The retention sweep must DROP old partitions and REWRITE only the
+    boundary day — every newer partition's data files must survive with
+    identical identity (same paths, same inodes, same mtimes)."""
+    import glob
+    import os
+
+    from projetos_etl_spark.sources.io import load_table, retention_sweep
+    from pyspark.sql import functions as F
+
+    cutoff = "2024-01-15 12:00:00"
+    cutoff_day = cutoff[:10]
+    base = str(tmp_path / "layer")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.withColumn(
+        "d", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    ).write.partitionBy("d").parquet(base)
+
+    def identity(day: str) -> set[tuple]:
+        return {
+            (p, os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+            for p in glob.glob(f"{base}/d={day}/*.parquet")
+        }
+
+    newer_days = sorted(
+        e[2:] for e in os.listdir(base) if e.startswith("d=") and e[2:] > cutoff_day
+    )
+    assert newer_days, "fixture must span past the cutoff"
+    before = {d: identity(d) for d in newer_days}
+
+    retention_sweep(spark, base, "ts", cutoff)
+
+    days = sorted(e[2:] for e in os.listdir(base) if e.startswith("d="))
+    assert all(d >= cutoff_day for d in days), "an expired partition survived"
+    for d in newer_days:  # byte-identical survival: path + inode + mtime
+        assert identity(d) == before[d], f"partition d={d} was rewritten"
+    # Row-level correctness: exactly the at-or-after-cutoff rows remain.
+    import duckdb
+
+    kept = spark.read.parquet(base).count()
+    expect = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/events.parquet') "
+        f"WHERE ts >= TIMESTAMP '{cutoff}'"
+    ).fetchone()[0]
+    assert kept == expect
