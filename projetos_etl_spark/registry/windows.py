@@ -606,3 +606,57 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("h"), TS_FMT_SPARK).alias("island_end"),
         F.count(F.lit(1)).alias("n_hours"),
     ).drop("g")
+
+
+@REG.add(
+    "win_rolling_median",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, ts, event_id, value,
+               quantile_cont(value, 0.5) OVER frame AS med,
+               count(*)                  OVER frame AS n_prev
+        FROM events
+        WINDOW frame AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts,
+           round(value, 6) AS value, round(med, 6) AS rolling_median
+    FROM w WHERE n_prev >= 5
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over each user's trailing-10 frame (self-excluding)
+    — the robust companion to ``anomaly_zscore_rolling``'s mean/stddev:
+    a single spike in the history corrupts a rolling mean for 10 rows
+    but moves the rolling median at most one rank, which is why
+    monitoring baselines prefer it. Exact interpolated percentile as a
+    WINDOW aggregate — O(frame) state per row, same single user_id
+    exchange as every other per-user window; at 100 TB frames stay
+    O(1) and the cost profile is identical to the moving average."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.expr("percentile(value, 0.5D)").over(w).alias("med"),
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+    )
+    return (
+        scored.filter(F.col("n_prev") >= 5)
+        .select(
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("rolling_median"),
+            F.col("event_id").alias("_eid"),
+        )
+        .orderBy("user_id", "ts", "_eid")
+        .drop("_eid")
+    )
