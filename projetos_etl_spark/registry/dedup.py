@@ -842,3 +842,93 @@ def er_blocking_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("left_key", "right_key", dist.cast("long").alias("edit_dist"))
         .orderBy("left_key", "right_key")
     )
+
+
+EVAL_JACCARD_THRESHOLD = 0.5
+
+
+def _lsh_recall_oracle() -> str:
+    return f"""
+    WITH {_bands_cte_sql()}, bands_capped AS (
+        SELECT doc_id, band_id, band_key FROM (
+            SELECT doc_id, band_id, band_key,
+                   row_number() OVER (PARTITION BY band_id, band_key
+                                      ORDER BY doc_id) AS brn
+            FROM bands
+        ) WHERE brn <= {DEFAULT_MAX_BUCKET}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_capped a JOIN bands_capped b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), tsh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh
+        FROM documents
+    ), tsizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM tsh GROUP BY doc_id
+    ), tinter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM tsh a JOIN tsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS j
+            FROM tinter
+            JOIN tsizes sa ON sa.doc_id = tinter.doc_a
+            JOIN tsizes sb ON sb.doc_id = tinter.doc_b
+        ) WHERE j >= {EVAL_JACCARD_THRESHOLD}
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand)  AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM truth t JOIN cand c
+                 ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS BIGINT) AS n_hit,
+           round((SELECT count(*) FROM truth t JOIN cand c
+                  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+                 / nullif((SELECT count(*) FROM truth), 0), 4)  AS recall,
+           round((SELECT count(*) FROM truth t JOIN cand c
+                  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) * 1.0
+                 / nullif((SELECT count(*) FROM cand), 0), 4)   AS precision_at_t
+    """
+
+
+@REG.add("dedup_lsh_recall_eval", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH quality, not asserted: exact shingle-Jaccard ground
+    truth (inverted-index join — complete above threshold, since any
+    pair with J ≥ 0.5 shares shingles) is compared against the banded-
+    LSH candidate set, yielding RECALL (what fraction of true dups the
+    bands surface) and PRECISION (what fraction of candidates are true
+    dups) in one row. This is how LSH parameters (hashes, bands, cap)
+    are validated before a corpus-scale run: execute THIS evaluation on
+    a sample, read recall, then commit the parameters — the
+    sample-then-sweep methodology, here as a first-class operator. All
+    three inputs are bounded joins (no all-pairs anywhere: truth pairs
+    form only on shared shingles, candidates only on shared band keys)."""
+    from projetos_etl_spark.operators.minhash import lsh_candidate_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = exact_ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=EVAL_JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    cand = lsh_candidate_ids(sigs, "doc_id")
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    h = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        t.crossJoin(c)  # three 1-row aggregates, not a real cross
+        .crossJoin(h)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_truth"), F.lit(0)), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.nullif(F.col("n_candidates"), F.lit(0)), 4
+            ).alias("precision_at_t"),
+        )
+    )
