@@ -134,6 +134,12 @@ def main() -> None:
                 )
 
     timings = {n: sorted(ts)[len(ts) // 2] for n, ts in runs.items() if ts}
+    # The median is the headline (robust to one bad run), but this box's
+    # run-to-run variance across SESSIONS can exceed 2x under host
+    # contention — the min is the contention-free floor and the steadier
+    # cross-round statistic. Informational; `value` stays the median sum
+    # so the series remains comparable with earlier rounds.
+    timings_min = {n: min(ts) for n, ts in runs.items() if ts}
     # The reported split is the component-wise median across runs, so it
     # decomposes a number of the same robustness as the headline median
     # (a single run's split can disagree with the median total).
@@ -151,6 +157,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "queries_runs": runs,
                 "write_split": write_split,
                 "write_split_runs": split_runs,
