@@ -517,3 +517,45 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_events"), "item")
     )
+
+
+@REG.add(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0)
+               AS finished_revenue,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_large
+    FROM orders GROUP BY 1 ORDER BY priority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard FILTER-clause aggregates: several differently-
+    conditioned metrics (overall volume, finished-only volume and
+    revenue, large-order count) computed in ONE pass over ONE shuffle —
+    the pattern that replaces N filtered subquery scans with N
+    conditional accumulators. Every FILTER stays inside the same
+    partial/final hash aggregate, so adding a segment metric costs one
+    register, not one job; this is how dashboard fact rollups stay
+    single-scan as the metric list grows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("count(*) FILTER (WHERE o_orderstatus = 'F')")
+            .cast("long")
+            .alias("n_finished"),
+            F.round(
+                F.expr("sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')"), 0
+            ).alias("finished_revenue"),
+            F.expr("count(*) FILTER (WHERE o_totalprice > 200000)")
+            .cast("long")
+            .alias("n_large"),
+        )
+        .orderBy("priority")
+    )

@@ -1815,3 +1815,99 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_a", "event_b")
     )
+
+
+@REG.add(
+    "quality_benford_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, count(*) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT obs.d AS first_digit,
+           CAST(obs.n AS BIGINT) AS n_values,
+           round(obs.n * 1.0 / tot.total, 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / obs.d), 6) AS benford_freq,
+           round(obs.n * 1.0 / tot.total - log10(1.0 + 1.0 / obs.d), 6)
+               AS deviation
+    FROM obs CROSS JOIN tot
+    ORDER BY first_digit
+    """,
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on a money column — the forensic
+    data-quality check for fabricated or truncated numeric data (organic
+    multi-scale amounts follow P(d) = log10(1 + 1/d); synthetic,
+    capped, or hand-entered values visibly don't). One narrow projection
+    (first digit of the integer part, pure string codegen) and one
+    9-group aggregate; the expected distribution is a closed form, so
+    the whole audit is a single cheap pass at any scale. NOTE the
+    fixture's uniform-ish synthetic prices intentionally FAIL Benford —
+    the deviation column is the signal, not an assertion."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    freq = F.col("n") / F.col("total")
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))  # 1-row total, not a real cross
+        .select(
+            F.col("d").alias("first_digit"),
+            F.col("n").cast("long").alias("n_values"),
+            F.round(freq, 6).alias("observed_freq"),
+            F.round(benford, 6).alias("benford_freq"),
+            F.round(freq - benford, 6).alias("deviation"),
+        )
+        .orderBy("first_digit")
+    )
+
+
+@REG.add(
+    "ts_autocorr_lag",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_value
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(value, prev_value), 4) AS autocorr_lag1
+    FROM lagged WHERE prev_value IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= 10
+    ORDER BY user_id
+    """,
+)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series — the diagnostic that decides
+    whether a metric is forecastable signal (|r| near 1), mean-reverting
+    noise (r near 0), or oscillating (r < 0), and the standard residual
+    check after any forecast. One lag window and one corr aggregate on
+    the SAME user_id exchange — the window's shuffle is the aggregate's
+    shuffle, so the whole diagnostic is a single wide op; corr's
+    (n, Σx, Σy, Σxy, Σx², Σy²) state is mergeable, keeping the
+    aggregate map-combinable at 100 TB. Rounded to 4 (covariance
+    accumulation order differs across engines at the ulp)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    ).filter(F.col("prev_value").isNotNull())
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.corr("value", "prev_value"), 4).alias("autocorr_lag1"),
+        )
+        .filter(F.col("n_pairs") >= 10)
+        .orderBy("user_id")
+    )
