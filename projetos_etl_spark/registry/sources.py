@@ -627,3 +627,73 @@ def maintenance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+DATE_DIM_START, DATE_DIM_END = "1992-01-01", "1998-12-31"
+
+
+@REG.add(
+    "gen_date_dim",
+    oracle=f"""
+    SELECT strftime(d, '%Y-%m-%d')                       AS date_key,
+           CAST(year(d) AS INTEGER)                      AS year,
+           CAST(quarter(d) AS INTEGER)                   AS quarter,
+           CAST(month(d) AS INTEGER)                     AS month,
+           CAST(isodow(d) AS INTEGER)                    AS iso_dow,
+           CAST(isodow(d) IN (6, 7) AS BOOLEAN)          AS is_weekend,
+           strftime(date_trunc('month', d), '%Y-%m-%d')  AS month_start
+    FROM (
+        SELECT unnest(generate_series(DATE '{DATE_DIM_START}',
+                                      DATE '{DATE_DIM_END}',
+                                      INTERVAL 1 DAY))::DATE AS d
+    )
+    ORDER BY date_key
+    """,
+)
+def gen_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension — the date spine every warehouse
+    joins its facts against (fiscal rollups, weekend/weekday splits,
+    gap-free reporting axes). Generated DISTRIBUTED, not on the driver:
+    one ``sequence`` literal exploded into rows, derived attributes as
+    pure codegen — the idiom that replaces loading a hand-maintained
+    calendar CSV. At 100 TB the date dim is broadcast-sized by
+    construction (a century is ~36.5k rows), which is exactly why the
+    fact-side join to it should always be a BroadcastHashJoin; the
+    engine's partition-pruned layers use the same derived day key."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(DATE_DIM_START).cast("date"),
+                    F.lit(DATE_DIM_END).cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("d")
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("date_key"),
+            F.year("d").cast("int").alias("year"),
+            F.quarter("d").cast("int").alias("quarter"),
+            F.month("d").cast("int").alias("month"),
+            F.dayofweek("d").alias("__dow"),
+            F.date_format(F.date_trunc("month", F.col("d")), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+        .select(
+            "date_key",
+            "year",
+            "quarter",
+            "month",
+            # Spark dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday.
+            F.when(F.col("__dow") == 1, 7).otherwise(F.col("__dow") - 1)
+            .cast("int")
+            .alias("iso_dow"),
+            (
+                F.when(F.col("__dow") == 1, 7).otherwise(F.col("__dow") - 1) >= 6
+            ).alias("is_weekend"),
+            "month_start",
+        )
+        .orderBy("date_key")
+    )
