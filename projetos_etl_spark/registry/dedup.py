@@ -932,3 +932,62 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_at_t"),
         )
     )
+
+
+@REG.add(
+    "graph_degree_stats",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT concat('c', o_custkey)  AS src,
+                        concat('s', l_suppkey)  AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (
+        SELECT src AS id, count(*) AS degree FROM e GROUP BY src
+        UNION ALL
+        SELECT dst, count(*) FROM e GROUP BY dst
+    )
+    SELECT CAST(substr(id, 1, 1) = 'c' AS BOOLEAN) AS is_customer,
+           CAST(degree AS BIGINT)                  AS degree,
+           CAST(count(*) AS BIGINT)                AS n_vertices
+    FROM deg
+    GROUP BY 1, 2
+    ORDER BY is_customer, degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the purchase graph (out-degree per
+    customer, in-degree per supplier) — the first diagnostic run on any
+    graph before an iterative algorithm: the max degree bounds every
+    per-vertex shuffle bucket, and a heavy-tailed histogram here is the
+    advance warning that PageRank/components need the skew remedies
+    (salting, AQE split) before they're launched on 100 TB of edges.
+    Two mergeable aggregates over the deduped edge set (degree per
+    vertex, then vertex count per degree) — the histogram shuffle
+    carries one row per DISTINCT degree value, essentially nothing."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+        .unionByName(
+            e.groupBy(F.col("dst").alias("id")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+        )
+    )
+    return (
+        deg.groupBy(
+            (F.substring("id", 1, 1) == "c").alias("is_customer"),
+            F.col("degree").cast("long").alias("degree"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        .orderBy("is_customer", "degree")
+    )
