@@ -95,9 +95,14 @@ class JsonlDirDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration. Ships the package zip first:
+    the writer class deserializes ON EXECUTORS, which on a real cluster
+    don't share the driver's sys.path (local mode masks this)."""
     key = "_pes_jsonldir_registered"
     if getattr(spark, key, False):
         return
+    from projetos_etl_spark.session import ship_package
+
+    ship_package(spark)
     spark.dataSource.register(JsonlDirDataSource)
     setattr(spark, key, True)
