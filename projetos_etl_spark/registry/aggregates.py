@@ -594,3 +594,40 @@ def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@REG.add(
+    "agg_mean_family",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT)                       AS n_parts,
+           round(avg(p_retailprice), 4)                   AS arith_mean,
+           round(exp(avg(ln(p_retailprice))), 4)          AS geo_mean,
+           round(count(*) / sum(1.0 / p_retailprice), 4)  AS harm_mean
+    FROM part WHERE p_retailprice > 0
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per group in one pass: arithmetic,
+    geometric (exp∘avg∘ln — the right average for ratios and the
+    aggregate behind composite eval scores like BLEU), and harmonic
+    (n/Σ(1/x) — the right average for rates). All three reduce to
+    plain sum/count accumulators under a log/reciprocal projection, so
+    the whole family stays ONE map-combinable hash aggregate — no
+    second pass, no window. Zero/negative inputs are excluded up front
+    (ln and 1/x are undefined there) and that predicate pushes to the
+    scan."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("arith_mean"),
+            F.round(F.exp(F.avg(F.log("p_retailprice"))), 4).alias("geo_mean"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(1.0 / F.col("p_retailprice")), 4
+            ).alias("harm_mean"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1954,3 +1954,106 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@REG.add(
+    "quality_entropy_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority AS v, count(*) AS n FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS total, count(*) AS k FROM counts)
+    SELECT CAST(tot.k AS BIGINT) AS n_distinct,
+           round(-sum((counts.n * 1.0 / tot.total)
+                      * ln(counts.n * 1.0 / tot.total)), 6) AS entropy_nats,
+           round(-sum((counts.n * 1.0 / tot.total)
+                      * ln(counts.n * 1.0 / tot.total)) / ln(tot.k), 6)
+               AS normalized_entropy
+    FROM counts CROSS JOIN tot
+    GROUP BY tot.k
+    """,
+)
+def quality_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of a categorical column's distribution — the
+    scalar that distinguishes a healthy balanced dimension
+    (normalized entropy near 1) from a degenerate one (near 0: one
+    value dominates, the column carries no information and any join on
+    it is maximally skewed). Profiling tier beyond null/distinct
+    counts: two cheap aggregates, the second over O(cardinality) rows
+    — at 100 TB the first is the only one that sees data, and it's
+    map-combinable. Entropy is also the direct input to choosing
+    partition/bucket columns: log2(distinct) capacity vs actual
+    entropy measures how evenly a key would spread."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_orderpriority").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    p_i = F.col("n") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(tot))  # 1-row totals, not a real cross
+        .groupBy("k")
+        .agg(
+            F.round(-F.sum(p_i * F.log(p_i)), 6).alias("entropy_nats"),
+            F.round(
+                -F.sum(p_i * F.log(p_i)) / F.log(F.col("k").cast("double")), 6
+            ).alias("normalized_entropy"),
+        )
+        .select(
+            F.col("k").cast("long").alias("n_distinct"),
+            "entropy_nats",
+            "normalized_entropy",
+        )
+    )
+
+
+@REG.add(
+    "ts_week_over_week",
+    oracle=f"""
+    WITH daily AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+               round(sum(value), 2) AS day_value
+        FROM events GROUP BY 1
+    ),
+    wow AS (
+        SELECT day, day_value,
+               lag(day_value, 7) OVER (ORDER BY day) AS prior_week
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, day_value, prior_week,
+           round((day_value - prior_week) / prior_week, 4) AS wow_change
+    FROM wow WHERE prior_week IS NOT NULL
+    ORDER BY day
+    """,
+)
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change: daily totals compared against the value
+    seven rows (= seven days, the aggregation grain guarantees
+    gap-free... see caveat) earlier — the seasonal-offset comparison
+    every reporting layer ships, expressed as lag(7) over the ALREADY
+    aggregated daily tier so the window state is O(days), never
+    O(events). Caveat encoded honestly: lag(7) is row-offset, so a
+    missing day would shift the comparison — on gappy data compose
+    with ``ts_gap_detect``/a `gen_date_dim` spine join first. Daily
+    sums rounded to 2 before the ratio so both engines divide
+    identical inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("day_value")
+    )
+    w = Window.orderBy("day")
+    wow = daily.withColumn("prior_week", F.lag("day_value", 7).over(w))
+    return (
+        wow.filter(F.col("prior_week").isNotNull())
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_value",
+            "prior_week",
+            F.round(
+                (F.col("day_value") - F.col("prior_week")) / F.col("prior_week"), 4
+            ).alias("wow_change"),
+        )
+        .orderBy("day")
+    )
