@@ -864,3 +864,77 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("seg_label")
     )
+
+
+SCD2_PIT_SWITCH_TS = "1995-06-01 00:00:00"
+
+
+@REG.add(
+    "join_scd2_point_in_time",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN TIMESTAMP '{SCD2_PIT_SWITCH_TS}' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'MACHINERY',
+               TIMESTAMP '{SCD2_PIT_SWITCH_TS}', NULL
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.segment,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o.o_totalprice), 0) AS revenue
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.segment ORDER BY d.segment
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ side of SCD Type-2 — the point-in-time join:
+    each fact row joins the dimension VERSION that was valid at the
+    fact's own timestamp (``valid_from <= ts < valid_to``), so history
+    reports attribute facts as the world was, not as it is
+    (``scd2_dimension_upsert`` writes these versions; this is how they
+    are consumed). Plan shape: an EQUI hash join on the dimension key
+    carries the whole cost — the validity predicate filters the ≤
+    version-count-per-key joined rows afterward, so cost tracks
+    (facts × avg versions/key), never a range-join blowup; an SCD2 dim
+    is broadcastable exactly like its Type-1 projection. Orders before
+    the 1995 segment switch resolve to the original segment, later
+    ones to MACHINERY — the oracle totals prove temporal resolution,
+    not just join cardinality."""
+    c = load_table(spark, sf_dir, "customer")
+    switch = F.lit(SCD2_PIT_SWITCH_TS).cast("timestamp")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(F.col("c_custkey") % 3 == 0, switch).alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("segment"),
+        switch.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (o["o_custkey"] == dim["c_custkey"])
+            & (dim["valid_from"] <= o["o_orderdate"])
+            & (dim["valid_to"].isNull() | (o["o_orderdate"] < dim["valid_to"])),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
