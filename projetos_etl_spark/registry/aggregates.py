@@ -631,3 +631,35 @@ def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@REG.add(
+    "agg_bitwise",
+    oracle="""
+    SELECT p_brand,
+           CAST(bit_and(p_size) AS BIGINT) AS size_and,
+           CAST(bit_or(p_size) AS BIGINT)  AS size_or,
+           CAST(bit_xor(p_size) AS BIGINT) AS size_xor,
+           CAST(count(*) AS BIGINT)        AS n_parts
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) — the
+    flag-column rollup: OR accumulates 'any row has capability X', AND
+    'every row has it', XOR parity-checks. All three are commutative,
+    associative single-word accumulators — the cheapest mergeable
+    aggregates that exist — so flag rollups over 100 TB cost exactly
+    one map-combinable pass with 8 bytes of state per group per
+    function."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.expr("bit_and(p_size)").cast("long").alias("size_and"),
+            F.expr("bit_or(p_size)").cast("long").alias("size_or"),
+            F.expr("bit_xor(p_size)").cast("long").alias("size_xor"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )

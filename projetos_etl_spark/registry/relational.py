@@ -938,3 +938,55 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@REG.add(
+    "subquery_not_exists_vs_not_in",
+    oracle="""
+    WITH probe AS (
+        SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT 'not_exists' AS variant,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+    UNION ALL
+    SELECT 'not_in', CAST(count(*) AS BIGINT)
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT k FROM probe)
+    ORDER BY variant
+    """,
+)
+def subquery_not_exists_vs_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, demonstrated side by side: against a probe
+    list CONTAINING A NULL, ``NOT EXISTS`` excludes exactly the matched
+    keys (planned as a clean left-anti hash join), while SQL-standard
+    ``NOT IN`` returns ZERO rows — ``k <> NULL`` is UNKNOWN for every
+    candidate, so no row can prove membership-absence. Both engines
+    implement the standard, so the oracle pins the trap itself; the
+    plan difference is the scale story — NOT IN with a nullable probe
+    forces a null-aware anti join (broadcast-only in Spark: the whole
+    probe must be visible to every task), where NOT EXISTS stays an
+    ordinary shuffle-able anti join. Rewrite-to-NOT-EXISTS (or filter
+    the NULLs) is the fix this entry documents."""
+    c = load_table(spark, sf_dir, "customer")
+    probe = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    )
+    c.createOrReplaceTempView("pes_cust_ne")
+    probe.createOrReplaceTempView("pes_probe_ne")
+    return spark.sql(
+        """
+        SELECT 'not_exists' AS variant, CAST(count(*) AS BIGINT) AS n_customers
+        FROM pes_cust_ne c
+        WHERE NOT EXISTS (SELECT 1 FROM pes_probe_ne p WHERE p.k = c.c_custkey)
+        UNION ALL
+        SELECT 'not_in', CAST(count(*) AS BIGINT)
+        FROM pes_cust_ne c
+        WHERE c.c_custkey NOT IN (SELECT k FROM pes_probe_ne)
+        ORDER BY variant
+        """
+    )
