@@ -660,3 +660,56 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "_eid")
         .drop("_eid")
     )
+
+
+@REG.add(
+    "win_time_range_frame",
+    oracle=f"""
+    SELECT user_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts,
+           CAST(count(*) OVER w AS BIGINT)   AS n_last_hour,
+           round(sum(value) OVER w, 2)       AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based window frame (everything within the trailing HOUR of
+    each event, however many rows that is) — the frame row-based
+    windows cannot express on irregular streams: a burst contributes
+    many rows to its neighbors' hour, a quiet stretch few, and
+    ``ROWS BETWEEN N`` would silently mix timescales. Expressed as
+    RANGE over integer epoch seconds in BOTH engines (Spark's
+    rangeBetween needs a numeric ordering key; the integer cast also
+    sidesteps the DuckDB epoch-rounding trap documented at
+    ``join_interval_overlap``). Same single user-key shuffle as every
+    per-user window; frame state is O(events-in-window), bounded by
+    the stream's peak hourly rate, which is the same bound a streaming
+    sliding window would hold."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+            F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+        )
+        .select(
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+            "n_last_hour",
+            "sum_last_hour",
+            F.col("event_id").alias("_eid"),
+        )
+        .orderBy("user_id", "ts", "_eid")
+        .drop("_eid")
+    )
