@@ -991,3 +991,104 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
         .orderBy("is_customer", "degree")
     )
+
+
+#: Hamming radius for the simhash pair search; the pigeonhole blocking
+#: below splits the 16-bit signature into HAMMING_MAX_DIST + 1 segments.
+HAMMING_MAX_DIST = 2
+_SH_SEGMENTS = [(1, 6), (7, 5), (12, 5)]  # (start, length), 1-based, covers 16 bits
+
+
+def _simhash_pairs_oracle() -> str:
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {i}, 1) <> substr(b.simhash, {i}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for i in range(1, NUM_BITS + 1)
+    )
+    return f"""
+    WITH {_simhash_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {HAMMING_MAX_DIST}
+    ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_cte() -> str:
+    """The simhash-signature CTE, shared with ``_simhash_oracle``'s
+    logic (same constants, so the twins can't drift)."""
+    high = ", ".join(f"'{h}'" for h in ["8", "9", "a", "b", "c", "d", "e", "f"])
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN substr(digest, {i + 1}, 1) IN ({high}) THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(NUM_BITS)
+    )
+    bits = ", ".join(
+        f"CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END" for i in range(NUM_BITS)
+    )
+    return f"""tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), d AS (
+        SELECT doc_id, md5('sh|' || tok) AS digest FROM tok
+    ), v AS (
+        SELECT doc_id,
+               {votes}
+        FROM d GROUP BY doc_id
+    ), sigs AS (
+        SELECT doc_id, concat({bits}) AS simhash FROM v
+    )"""
+
+
+@REG.add("dedup_simhash_hamming", oracle=_simhash_pairs_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance 2, found WITHOUT
+    an all-pairs scan — the Manku/Jain/Das Sarma (WWW'07) pigeonhole
+    design: the 16-bit signature splits into 3 segments (6/5/5 bits);
+    any pair differing in ≤ 2 bits must agree EXACTLY on at least one
+    segment (3 segments, 2 differences — one segment is untouched), so
+    the union of three equi-joins on (segment index, segment value) is
+    a COMPLETE candidate set, and the exact 16-bit Hamming check runs
+    on candidates only. The oracle is the brute-force all-pairs filter
+    — equality proves the pigeonhole recall guarantee, not just
+    plausibility. At 100 TB: 64-bit simhash / radius 3 → 4 segment
+    tables, same shape; candidates track true near-dup density, never
+    n²."""
+    docs = _t(spark, sf_dir, "documents")
+    from projetos_etl_spark.operators.simhash import hamming_distance
+
+    sigs = simhash_signatures(docs, "doc_id", "text").localCheckpoint(eager=True)
+    seg_tables = [
+        sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("seg_id"),
+            F.substring("simhash", start, length).alias("seg_val"),
+        )
+        for i, (start, length) in enumerate(_SH_SEGMENTS)
+    ]
+    segs = seg_tables[0]
+    for t in seg_tables[1:]:
+        segs = segs.unionByName(t)
+    a, b = segs.alias("a"), segs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = hamming_distance("sig_a", "sig_b")
+    return (
+        cands.filter(ham <= HAMMING_MAX_DIST)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
