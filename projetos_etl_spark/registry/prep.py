@@ -2057,3 +2057,57 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+DOMAIN_CAP = 40
+
+
+@REG.add(
+    "corpus_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap42:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                                  AS n_docs,
+           CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk <= {DOMAIN_CAP} THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the anti-domination rule every
+    pretraining corpus applies (no single domain/source may contribute
+    more than N documents, so one crawler-friendly site can't swamp the
+    mixture): docs rank within their source by a content-stable hash (a
+    deterministic lottery — same winners on every rerun and engine,
+    unlike rand()), the first N survive, and the audit reports
+    kept/total per source. One window over one source-key shuffle; at
+    100 TB the rank can stop early via WindowGroupLimit exactly like
+    the LSH bucket cap (same top-k-per-group plan shape), so state per
+    source is O(cap), not O(docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    lottery = F.md5(F.concat(F.lit("cap42:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(lottery, "doc_id")
+    ranked = d.select(
+        "doc_id", "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    kept = F.col("rk") <= DOMAIN_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
