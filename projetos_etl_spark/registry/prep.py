@@ -2111,3 +2111,69 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@REG.add(
+    "pipeline_quality_gate_fused",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id,
+               len(string_split(text, ' '))                            AS n_tokens,
+               len(replace(text, ' ', ''))                            AS n_alpha,
+               list_max(list_transform(string_split(text, ' '),
+                                       t -> len(t)))                  AS max_word_len,
+               len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                   / len(text)                                        AS digit_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           n_tokens >= 10
+               AND (n_alpha * 1.0 / n_tokens) BETWEEN 2 AND 12
+               AND max_word_len <= 30
+               AND digit_ratio <= 0.3                                 AS keep,
+           concat_ws('|',
+               CASE WHEN n_tokens < 10 THEN 'too_few_tokens' END,
+               CASE WHEN (n_alpha * 1.0 / n_tokens) < 2
+                         OR (n_alpha * 1.0 / n_tokens) > 12
+                    THEN 'word_len_out_of_range' END,
+               CASE WHEN max_word_len > 30 THEN 'megatoken' END,
+               CASE WHEN digit_ratio > 0.3 THEN 'too_many_digits' END
+           ) AS reasons
+    FROM sig ORDER BY doc_id
+    """,
+)
+def pipeline_quality_gate_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED quality gate — every signal (token count, mean word
+    length, mega-token detection, digit density) computed in ONE narrow
+    codegen projection over ONE scan, with a keep verdict AND a
+    machine-readable reasons trail per document (the audit column that
+    lets curation thresholds be tuned from rejected-reason histograms
+    instead of re-running the corpus). Running the same four signals as
+    separate jobs — the naive composition of this family's individual
+    entries — costs four scans; production gates fuse, which is the
+    point this entry pins. Zero shuffles except the output sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    mean_wl = n_alpha / n_tokens
+    max_wl = F.array_max(F.transform(toks, F.length))
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) / F.length("text")
+    )
+    keep = (
+        (n_tokens >= 10)
+        & mean_wl.between(2, 12)
+        & (max_wl <= 30)
+        & (digit_ratio <= 0.3)
+    )
+    reasons = F.concat_ws(
+        "|",
+        F.when(n_tokens < 10, "too_few_tokens"),
+        F.when((mean_wl < 2) | (mean_wl > 12), "word_len_out_of_range"),
+        F.when(max_wl > 30, "megatoken"),
+        F.when(digit_ratio > 0.3, "too_many_digits"),
+    )
+    return d.select(
+        "doc_id", keep.alias("keep"), reasons.alias("reasons")
+    ).orderBy("doc_id")
