@@ -663,3 +663,101 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@REG.add(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               sum(l_quantity) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, price,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+               sum(w) OVER (PARTITION BY l_returnflag)                AS tot
+        FROM g
+    )
+    SELECT l_returnflag, round(min(price), 2) AS weighted_median
+    FROM c WHERE cum >= tot / 2
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (price weighted by quantity) per group —
+    the robust 'typical unit price' a mean can't give when a few huge
+    line items dominate. Distributed shape: pre-aggregate weights by
+    (group, value) FIRST (mergeable hash agg — the shuffle then carries
+    one row per distinct value, not one per input row), then a single
+    window sort per group turns cumulative weight into the median pick.
+    At 100 TB the distinct-value set per group is the binding quantity;
+    when the value domain is unbounded (continuous measures), swap the
+    exact window stage for ``percentile_approx`` — the pre-aggregation
+    stage and the cum-weight>=half rule are unchanged."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum("l_quantity").alias("w"))
+    wo = Window.partitionBy("l_returnflag").orderBy("price")
+    wp = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wo).alias("cum"),
+        F.sum("w").over(wp).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("price"), 2).alias("weighted_median"))
+        .orderBy("l_returnflag")
+    )
+
+
+@REG.add(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CASE grouping(o_orderstatus, o_orderpriority)
+                WHEN 0 THEN 'cell' WHEN 1 THEN 'status_total'
+                WHEN 2 THEN 'priority_total' ELSE 'grand_total' END AS level,
+           CAST(count(*) AS BIGINT)        AS n_orders,
+           round(sum(o_totalprice), 0)     AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping_id()`` level labeling over a CUBE: the bitmask that
+    tells subtotal rows apart from data cells whose key value happens
+    to be NULL — the only correct way to consume multi-level rollup
+    output downstream (filtering on ``key IS NULL`` misattributes real
+    NULL groups). Same single Expand + hash-agg plan as ``agg_cube``;
+    the id is computed from the Expand's grouping bitvector, zero
+    extra shuffle or pass."""
+    o = load_table(spark, sf_dir, "orders")
+    gid = F.grouping_id()
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            gid.cast("long").alias("gid"),
+            F.when(gid == 0, "cell")
+            .when(gid == 1, "status_total")
+            .when(gid == 2, "priority_total")
+            .otherwise("grand_total")
+            .alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("total_price"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

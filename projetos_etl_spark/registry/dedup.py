@@ -749,16 +749,23 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discarded here (the exact pass re-scores), so don't pay its two
     # signature joins.
     cands = lsh_candidate_ids(sigs, "doc_id")
-    sets = docs.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("s")
-    )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    # Join RAW text first, shingle AFTER: the exact pass only ever needs
+    # shingle sets for candidate-pair docs (O(collisions) rows), so
+    # computing them before the join would shingle the whole corpus
+    # twice for nothing.
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter / (F.size("sa") + F.size("sb") - inter)
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.array_distinct(shingles(F.col("text_a"))).alias("sa"),
+            F.array_distinct(shingles(F.col("text_b"))).alias("sb"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -1091,4 +1098,93 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.filter(ham <= HAMMING_MAX_DIST)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@REG.add(
+    "graph_triangle_count",
+    oracle="""
+    WITH trade AS (
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey)    AS a,
+                        greatest(c.c_nationkey, s.s_nationkey) AS b
+        FROM orders o
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > 150000
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM trade e1
+        JOIN trade e2 ON e1.b = e2.a
+        JOIN trade e3 ON e1.a = e3.a AND e2.b = e3.b
+    ),
+    pertri AS (
+        SELECT x AS nationkey FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT n.n_name,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM nation n
+    LEFT JOIN (
+        SELECT nationkey, count(*) AS n_triangles FROM pertri GROUP BY 1
+    ) t ON n.n_nationkey = t.nationkey
+    ORDER BY n.n_name
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counting on the international trade graph
+    (nations linked by high-value urgent cross-border orders) — the
+    clustering diagnostic behind community detection and spam-graph
+    pruning. The algorithm is the standard distributed one: ORIENT each
+    undirected edge low-id -> high-id (every triangle then appears
+    exactly once as a<b<c), join the oriented edge list with itself on
+    the wedge vertex (b), then verify the closing edge with a second
+    equi-join. Orientation is the scale lever: it makes wedge counts
+    depend on out-degree only, and at 100 TB you orient by DEGREE
+    (low-degree -> high-degree, the node-iterator++ trick) so hub
+    vertices generate no wedges — same two equi-joins, skew bounded by
+    sqrt(|E|). Here the vertex set is 25 nations so id-orientation
+    suffices; the edge build itself is the usual broadcast-dim star
+    join, deduped to one row per nation pair."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    pertri = (
+        tri.select(F.col("x").alias("nationkey"))
+        .unionByName(tri.select(F.col("y").alias("nationkey")))
+        .unionByName(tri.select(F.col("z").alias("nationkey")))
+    )
+    counts = pertri.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n.join(counts, n.n_nationkey == counts.nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+        .orderBy("n_name")
     )

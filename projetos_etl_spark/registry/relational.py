@@ -990,3 +990,57 @@ def subquery_not_exists_vs_not_in(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY variant
         """
     )
+
+
+@REG.add(
+    "join_bloom_prune",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-07-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (semi-join reduction): the
+    selective predicate lives on ``orders`` but the bytes live in
+    ``lineitem`` — a plain shuffle join moves ALL of lineitem before the
+    join discards ~90% of it. Catalyst's runtime row-level filter builds
+    a bloom filter over the filtered build-side join keys and injects
+    ``might_contain(l_orderkey)`` into the lineitem SCAN, so pruned rows
+    never enter the shuffle. This is THE 100 TB lever for
+    fact-to-filtered-dim joins that outgrow broadcast: shuffle bytes
+    drop by the predicate's selectivity for the cost of one ~MB bloom
+    broadcast. Locally the filtered side is broadcastable so Spark
+    plans BHJ (also shuffle-free — same destination, smaller mechanism);
+    the bloom-injection plan itself is pinned under forced-shuffle confs
+    in ``tests/test_plans.py::test_runtime_bloom_filter_injected``. The
+    confs set here are session-safe: injection self-gates on build-side
+    size/selectivity, so enabling it cannot regress other plans."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # Injection also requires the APPLICATION side to look big enough to
+    # be worth filtering; local fixtures are far below the 10 GB default.
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )

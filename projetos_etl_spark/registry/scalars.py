@@ -555,3 +555,40 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_collisions"),
         F.min("surrogate_key").alias("min_key"),
     )
+
+
+@REG.add(
+    "fn_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS k_total,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS k_max
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary-encoded variant, then typed
+    ``variant_get`` path reads. Versus per-path ``get_json_object``
+    (``fn_json_extract``), VARIANT parses the document ONCE and each
+    path access is a byte-offset lookup into the encoded form — the
+    right trade at 100 TB where telemetry payloads carry many keys and
+    queries touch several per row. Parquet can store the variant
+    columnar ("shredded") so pushdown reaches sub-fields; here the
+    parse happens at scan time from the JSON string fixture."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("k_total"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )

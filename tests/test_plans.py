@@ -383,3 +383,60 @@ def test_onehot_topn_broadcasts_vocab(spark, queries):
     df = queries["feat_onehot_topn"](spark, SF)
     assert has_operator(df, "BroadcastHashJoin")
     assert not has_operator(df, "SortMergeJoin")
+
+
+def test_runtime_bloom_filter_injected(spark, queries):
+    """join_bloom_prune's 100 TB story: when the filtered build side is
+    too big to broadcast, Catalyst injects a runtime bloom filter
+    (``might_contain``) on the application-side scan so pruned lineitem
+    rows never enter the shuffle. Broadcast is disabled here to force
+    the shuffle-join regime the entry documents (locally the filtered
+    side is tiny, so the entry itself plans BHJ)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = queries["join_bloom_prune"](spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert df.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_triangle_count_dims_broadcast(spark, queries):
+    """The triangle edge build is a star join: customer/supplier dims
+    must broadcast (no SortMergeJoin for them); the wedge/closing joins
+    run on the 25-node oriented edge list and are trivially small."""
+    df = queries["graph_triangle_count"](spark, SF)
+    from projetos_etl_spark.plans import explain_str
+
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_median_preaggregates_before_window(spark, queries):
+    """agg_weighted_median must hash-aggregate (group, value) BEFORE the
+    window sort — the window then runs over distinct values, not raw
+    rows. A plan whose Window consumes the scan directly would sort the
+    full fact table at 100 TB."""
+    df = queries["agg_weighted_median"](spark, SF)
+    from projetos_etl_spark.plans import explain_str
+
+    plan = explain_str(df)
+    win = plan.find("Window")
+    agg = plan.rfind("HashAggregate")
+    assert win != -1 and agg != -1
+    # In explain output children print BELOW parents, so the pre-agg
+    # HashAggregate must appear after (deeper than) the Window line.
+    assert agg > win, plan[:3000]
