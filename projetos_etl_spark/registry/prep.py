@@ -2177,3 +2177,67 @@ def pipeline_quality_gate_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", keep.alias("keep"), reasons.alias("reasons")
     ).orderBy("doc_id")
+
+
+@REG.add(
+    "quality_outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT c_mktsegment AS segment,
+               quantile_cont(c_acctbal, 0.5) AS med
+        FROM customer GROUP BY 1
+    ),
+    mad AS (
+        SELECT m.segment, m.med,
+               quantile_cont(abs(c.c_acctbal - m.med), 0.5) AS mad
+        FROM customer c JOIN med m ON c.c_mktsegment = m.segment
+        GROUP BY m.segment, m.med
+    )
+    SELECT s.segment,
+           round(s.med, 2) AS med,
+           round(s.mad, 2) AS mad,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN abs(0.6745 * (c.c_acctbal - s.med) / s.mad) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM customer c JOIN mad s ON c.c_mktsegment = s.segment
+    GROUP BY s.segment, s.med, s.mad
+    ORDER BY s.segment
+    """,
+)
+def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier audit (modified z-score,
+    Iglewicz-Hoaglin |0.6745*(x-med)/MAD| > 3.5) — the robust sibling
+    of ``quality_outlier_iqr`` and the mean/stddev z-score: a single
+    corrupted magnitude can drag a mean-based fence arbitrarily far,
+    but breaks down MAD only past 50% contamination. Cost shape: two
+    grouped exact-median reduces (the second over |x - med| needs the
+    first's one-row-per-group table, broadcast back), then a broadcast
+    verdict join — the fact table shuffles only for the median sorts,
+    and at 100 TB both swap to ``percentile_approx`` and become
+    map-combinable, leaving the facts entirely unshuffled."""
+    c = load_table(spark, sf_dir, "customer")
+    med = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("med")
+    )
+    mad = (
+        c.join(F.broadcast(med), c["c_mktsegment"] == med["segment"])
+        .groupBy("segment", "med")
+        .agg(F.expr("percentile(abs(c_acctbal - med), 0.5)").alias("mad"))
+    )
+    rz = 0.6745 * (F.col("c_acctbal") - F.col("med")) / F.col("mad")
+    return (
+        c.join(F.broadcast(mad), c["c_mktsegment"] == mad["segment"])
+        .groupBy("segment", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.abs(rz) > 3.5).cast("int")).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "segment",
+            F.round("med", 2).alias("med"),
+            F.round("mad", 2).alias("mad"),
+            "n_rows",
+            "n_outliers",
+        )
+        .orderBy("segment")
+    )
