@@ -761,3 +761,73 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@REG.add(
+    "agg_moments_family",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*)                  AS n,
+               avg(l_quantity)           AS mu,
+               sum(l_quantity * l_quantity)                            AS s2,
+               sum(l_quantity * l_quantity * l_quantity)               AS s3,
+               sum(l_quantity * l_quantity * l_quantity * l_quantity)  AS s4,
+               sum(l_quantity)           AS s1
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT l_returnflag, n, mu,
+               (s2 - n * mu * mu) / n                                    AS m2,
+               (s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n * mu * mu * mu)  AS cm3,
+               (s4 - 4 * mu * s3 + 6 * mu * mu * s2
+                   - 4 * mu * mu * mu * s1 + n * mu * mu * mu * mu)      AS cm4
+        FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT)                              AS n_rows,
+           round(mu, 4)                                   AS mean_qty,
+           round(sqrt(m2), 4)                             AS std_pop,
+           round((cm3 / n) / pow(m2, 1.5), 4)             AS skewness,
+           round((cm4 / n) / (m2 * m2) - 3, 4)            AS kurtosis_excess
+    FROM c ORDER BY l_returnflag
+    """,
+)
+def agg_moments_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third and fourth standardized moments (skewness, excess
+    kurtosis) from raw power sums — the tail-shape profile a feature
+    audit wants next to mean/std. Built from sum(x), sum(x^2..x^4) so
+    the whole family is ONE map-combinable hash aggregate (5 doubles of
+    state per group, mergeable across 1000 executors by addition);
+    the central-moment algebra happens on the one-row-per-group result.
+    The same formula runs verbatim in the oracle — engine built-ins
+    disagree on bias correction (sample vs population), raw power sums
+    don't. Population definitions; excess kurtosis (normal = 0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(q).alias("mu"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+        F.sum(q).alias("s1"),
+    )
+    n, mu = F.col("n"), F.col("mu")
+    m2 = (F.col("s2") - n * mu * mu) / n
+    cm3 = F.col("s3") - 3 * mu * F.col("s2") + 3 * mu * mu * F.col("s1") - n * mu * mu * mu
+    cm4 = (
+        F.col("s4")
+        - 4 * mu * F.col("s3")
+        + 6 * mu * mu * F.col("s2")
+        - 4 * mu * mu * mu * F.col("s1")
+        + n * mu * mu * mu * mu
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(mu, 4).alias("mean_qty"),
+        F.round(F.sqrt(m2), 4).alias("std_pop"),
+        F.round((cm3 / n) / F.pow(m2, 1.5), 4).alias("skewness"),
+        F.round((cm4 / n) / (m2 * m2) - 3, 4).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")

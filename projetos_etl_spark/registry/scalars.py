@@ -592,3 +592,36 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "fn_regex_extract_all",
+    oracle="""
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, '\\b(ba[a-z]+)\\b'), ','), '')
+               AS b_words,
+           CAST(len(regexp_extract_all(text, '\\b(ba[a-z]+)\\b')) AS BIGINT)
+               AS n_b_words,
+           regexp_extract(text, '\\b(s[a-z]+)\\b', 1)         AS first_s_word
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction (``regexp_extract_all``) next to the
+    single-match form — the log/telemetry field-mining primitive. Both
+    are JVM codegen expressions over the scan (one compiled automaton
+    per task, no UDF, no explode unless the caller asks) — at 100 TB
+    regex cost is CPU-linear in bytes scanned and this stays inside
+    whole-stage codegen."""
+    ev = _t(spark, sf_dir, "documents")
+    return ev.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\b(ba[a-z]+)\b")), ","
+        ).alias("b_words"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b(ba[a-z]+)\b")))
+        .cast("long")
+        .alias("n_b_words"),
+        F.regexp_extract("text", r"\b(s[a-z]+)\b", 1).alias("first_s_word"),
+    ).orderBy("doc_id")
