@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     "anomaly_zscore_rolling",
     "maintenance_zorder_stats",
     "join_interval_overlap",
+    # continuing-r4 additions: runtime bloom-filter join pruning, exact
+    # weighted median (pre-agg + window over distinct values), and
+    # oriented-edge triangle counting (compare per-query across rounds).
+    "join_bloom_prune",
+    "agg_weighted_median",
+    "graph_triangle_count",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes
