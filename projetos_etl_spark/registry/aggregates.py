@@ -831,3 +831,80 @@ def agg_moments_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((cm3 / n) / F.pow(m2, 1.5), 4).alias("skewness"),
         F.round((cm4 / n) / (m2 * m2) - 3, 4).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+@REG.add(
+    "agg_pareto_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+               round(sum(o.o_totalprice), 2) AS spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, custkey, spend,
+               sum(spend) OVER (PARTITION BY segment
+                                ORDER BY spend DESC, custkey) AS cum,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY spend DESC, custkey) AS rk
+        FROM spend
+    ),
+    tot AS (
+        SELECT segment, custkey, spend, cum, rk,
+               max(cum) OVER (PARTITION BY segment) AS total
+        FROM ranked
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN cum - spend < 0.8 * total THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top80,
+           round(sum(CASE WHEN rk <= 10 THEN spend ELSE 0 END) / max(total), 6)
+               AS top10_share
+    FROM tot GROUP BY segment ORDER BY segment
+    """,
+)
+def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC concentration audit: per market segment, how many
+    customers carry 80% of revenue, and the top-10 share — the
+    skew-awareness report that decides whether a key needs salting
+    before it ever burns a 100 TB shuffle (the same heavy-hitter shape
+    `graph_degree_stats` reads off the purchase graph). Plan: one
+    grouped sum, one window sort per segment over the CUSTOMER-grain
+    rows (already reduced — never the raw facts), then a one-row-per-
+    segment aggregate. The cumulative threshold compare is engine-
+    stable because both engines fold the identical 2dp-rounded values
+    in the identical (spend DESC, custkey) frame order."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    wo = Window.partitionBy("segment").orderBy(F.col("spend").desc(), "custkey")
+    wp = Window.partitionBy("segment")
+    ranked = spend.select(
+        "segment",
+        "custkey",
+        "spend",
+        F.sum("spend").over(wo).alias("cum"),
+        F.row_number().over(wo).alias("rk"),
+    ).withColumn("total", F.max("cum").over(wp))
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(((F.col("cum") - F.col("spend")) < 0.8 * F.col("total")).cast("int"))
+            .cast("long")
+            .alias("n_top80"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 10, F.col("spend")).otherwise(0.0))
+                / F.max("total"),
+                6,
+            ).alias("top10_share"),
+        )
+        .orderBy("segment")
+    )
