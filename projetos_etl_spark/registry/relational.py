@@ -28,7 +28,7 @@ from projetos_etl_spark.registry._core import (
     TS_FMT_SPARK,
     Registry,
 )
-from projetos_etl_spark.sources.io import load_table
+from projetos_etl_spark.sources.io import load_table, register_views
 
 REG = Registry()
 
@@ -1043,4 +1043,135 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("l_linestatus")
+    )
+
+
+@REG.add(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM orders o
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+          AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > 200000
+    ),
+    reach(dst, hop) AS (
+        SELECT dst, 1 AS hop FROM edges WHERE src = 0
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE r.hop < 3
+    )
+    SELECT n.n_name,
+           CAST(min(r.hop) AS BIGINT) AS min_hops
+    FROM reach r JOIN nation n ON n.n_nationkey = r.dst
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0+): BFS reachability over the directed
+    trade graph — minimum hops from nation 0 through high-value urgent
+    order flows, the transitive-closure query class (bill-of-materials,
+    org rollups, lineage chase) that previously forced a driver-side
+    loop of joins (the ``connected_components`` shape). The engine
+    executes each recursion step as a distributed join against the
+    previous frontier; the hop guard bounds depth exactly like the
+    iteration cap in ``operators/components.py``. Frontier dedup
+    (min-per-node) happens in the final aggregate; at 100 TB you would
+    aggregate per step instead (semi-naive evaluation) to stop frontier
+    re-expansion — same algebra, one extra groupBy inside the loop."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+            FROM orders o
+            JOIN customer c ON o.o_custkey  = c.c_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND o.o_totalprice > 200000
+        ),
+        reach(dst, hop) AS (
+            SELECT dst, 1 AS hop FROM edges WHERE src = 0
+            UNION ALL
+            SELECT e.dst, r.hop + 1
+            FROM reach r JOIN edges e ON r.dst = e.src
+            WHERE r.hop < 3
+        )
+        SELECT n.n_name,
+               CAST(min(r.hop) AS BIGINT) AS min_hops
+        FROM reach r JOIN nation n ON n.n_nationkey = r.dst
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+    )
+
+
+@REG.add(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)    AS n_items,
+           round(sum(l_quantity), 2)   AS total_qty
+    FROM lineitem
+    WHERE l_discount > 0.05
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0+, the GoogleSQL ``|>`` operator
+    chain): the same scan -> filter -> aggregate plan as the classic
+    form — pipes are pure syntax, Catalyst sees an identical logical
+    plan, so pushdown/pruning/codegen are unchanged. Registered so a
+    reference user migrating analyst-written pipe queries knows the
+    engine runs them natively; the oracle is the classic-SQL spelling
+    of the same query, proving the equivalence."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_discount > 0.05
+        |> AGGREGATE count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+@REG.add(
+    "sql_declared_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice * 0.19), 0) AS est_margin
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_declared_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared scalar function (Spark 4.0+ ``CREATE FUNCTION ...
+    RETURN expr``): business logic shared as a catalog object instead
+    of a Python closure — and, unlike a Python UDF, the body is
+    INLINED into the plan, so it stays inside whole-stage codegen with
+    zero serialization boundary (the fastest kind of 'UDF' there is;
+    the Python tier in ``udf_scalar``/``udf_pandas_vec`` exists for
+    logic SQL can't express). The oracle inlines the same expression
+    by hand, proving the substitution semantics."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION est_margin(x DOUBLE) "
+        "RETURNS DOUBLE RETURN x * 0.19"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(sum(est_margin(o_totalprice)), 0) AS est_margin
+        FROM orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
     )
