@@ -1175,3 +1175,41 @@ def sql_declared_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority ORDER BY o_orderpriority
         """
     )
+
+
+@REG.add(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — the
+    per-row-subquery spelling analysts reach for, supported natively.
+    Catalyst DECORRELATES it: the per-customer LIMIT becomes a
+    rank-within-partition over one join, i.e. the exact
+    ``win_rank_topk_per_group`` plan — no per-row subquery execution
+    ever happens, which is why this is safe at 100 TB while a naive
+    nested-loop interpretation would be quadratic. Registered so the
+    SQL surface parity is explicit; the oracle runs the identical
+    statement."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
