@@ -2241,3 +2241,59 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+#: Weighted-reservoir sample size (A-ES top-k over the whole corpus).
+WRES_K = 100
+
+
+@REG.add(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               round(
+                   ln((('0x' || substr(md5('wres42:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 1)
+                      / 16777217.0) / n_chars,
+                   12) AS res_key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, res_key
+    FROM keyed
+    ORDER BY res_key DESC, doc_id
+    LIMIT {WRES_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each doc draws a deterministic hash uniform u and ranks by
+    ``ln(u)/w`` (equivalent to ``u^(1/w)``); the global top-k IS an
+    exact weighted sample — here weight = document length, the usual
+    proxy when sampling a corpus by token mass. Why this shape at
+    100 TB: the key is a per-row projection (no pre-pass to total the
+    weights, unlike inverse-CDF sampling) and top-k plans
+    TakeOrderedAndProject — per-partition heaps of k rows merged on the
+    driver, never a global sort. Deterministic-by-construction: the
+    uniform comes from md5, so every engine and every rerun selects the
+    same sample (rand() would be unverifiable); keys are rounded to 12
+    decimals in BOTH engines so libm ulp differences can't flip the
+    boundary rank, with doc_id as the final tie-break."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    hex6 = F.substring(
+        F.md5(F.concat(F.lit("wres42:"), F.col("doc_id").cast("string")).cast("binary")),
+        1,
+        6,
+    )
+    u = (F.conv(hex6, 16, 10).cast("long") + 1) / F.lit(16777217.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("res_key"),
+        )
+        .orderBy(F.col("res_key").desc(), "doc_id")
+        .limit(WRES_K)
+    )
