@@ -154,6 +154,7 @@ def train_ivf_centroids(
     n_cells: int = 16,
     iters: int = 2,
     seed_mod: int = 997,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """IVF coarse quantizer trained FAISS-style on a bounded sample: ONE
     distributed TakeOrdered collect of the ``TRAIN_SAMPLE`` hash-lowest
@@ -165,8 +166,14 @@ def train_ivf_centroids(
     overhead to average a few thousand effective training points — the
     sample-then-local-train shape is both the FAISS standard and
     strictly cheaper until the sample stops fitting in driver memory
-    (KBs–MBs here)."""
-    x = _train_sample(vectors, id_col, vec_col, TRAIN_SAMPLE, seed_mod)
+    (KBs–MBs here). ``sample`` lets a composed caller (ivf_pq_topk)
+    share ONE collected sample across both trainers instead of running
+    the TakeOrdered collect job twice."""
+    x = (
+        sample
+        if sample is not None
+        else _train_sample(vectors, id_col, vec_col, TRAIN_SAMPLE, seed_mod)
+    )
     return _lloyd(x, x[:n_cells], iters)
 
 
@@ -257,9 +264,18 @@ def ivf_pq_topk(
     which is what makes a 100 TB fp32 corpus scannable at all."""
     from pyspark.sql import Window
 
-    centroids = train_ivf_centroids(candidates, id_col, vec_col, n_cells)
+    # ONE TakeOrdered sample collect serves both trainers: IVF trains on
+    # the raw rows, PQ on the same rows L2-normalized in numpy (bitwise
+    # the rows a fresh normalize=True draw would return, hash order is
+    # value-independent) — halves the training-job count per call.
+    x_raw = _train_sample(candidates, id_col, vec_col, TRAIN_SAMPLE, 997)
+    norms = np.sqrt((x_raw * x_raw).sum(axis=1, keepdims=True))
+    x_norm = x_raw / np.where(norms == 0.0, 1.0, norms)
+    centroids = train_ivf_centroids(
+        candidates, id_col, vec_col, n_cells, sample=x_raw
+    )
     codebooks = train_pq_codebooks(
-        candidates, id_col, vec_col, dim, n_subspaces, n_codes
+        candidates, id_col, vec_col, dim, n_subspaces, n_codes, sample=x_norm
     )
     nv = _l2_normalize(as_double_array(F.col(vec_col)))
     assign = _pq_assign_udf(codebooks)
@@ -426,6 +442,7 @@ def train_pq_codebooks(
     n_codes: int = 16,
     iters: int = 2,
     seed_mod: int = 997,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace codebooks for product quantization (Jegou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
@@ -440,8 +457,15 @@ def train_pq_codebooks(
     size. Encoding the corpus (``pq_encode``) stays a distributed
     vectorized-UDF pass; only the statistics fit happens on the sample."""
     sub_dim = dim // n_subspaces
-    x = _train_sample(
-        vectors, id_col, vec_col, TRAIN_SAMPLE, seed_mod, normalize=True
+    # ``sample`` must be the L2-NORMALIZED training rows when provided
+    # (ivf_pq_topk normalizes its shared raw sample in numpy — same
+    # rows, so the codebooks are identical to a fresh normalized draw).
+    x = (
+        sample
+        if sample is not None
+        else _train_sample(
+            vectors, id_col, vec_col, TRAIN_SAMPLE, seed_mod, normalize=True
+        )
     )
     codebooks = np.array(
         [
