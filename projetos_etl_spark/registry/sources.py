@@ -697,3 +697,47 @@ def gen_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_key")
     )
+
+
+@REG.add(
+    "obs_inline_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)                            AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_big,
+           round(avg(o_totalprice), 2)                         AS avg_price,
+           round(max(o_totalprice), 2)                         AS max_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def obs_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline pipeline observability (``DataFrame.observe`` +
+    ``Observation``): data-quality metrics computed as accumulator-style
+    side outputs OF THE MAIN JOB — row counts, threshold counts, avg/max
+    — with ZERO extra scan. The alternative every naive pipeline ships
+    is a second ``df.agg(...)`` pass that re-reads the table; at 100 TB
+    that doubles the I/O bill just to fill a metrics dashboard. The
+    observed batch here is a filter+project job driven to the noop sink
+    (the metrics attach to whatever real sink the pipeline uses); the
+    oracle recomputes the same aggregates relationally, proving the
+    piggybacked values are exact, not sampled."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    obs = Observation()
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("o_totalprice") > 300000).cast("int")).cast("long").alias("n_big"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    # Drive the observed job through a real (noop) sink; obs.get blocks
+    # until the action's metrics arrive.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_big"], m["avg_price"], m["max_price"])],
+        "n_rows long, n_big long, avg_price double, max_price double",
+    )
