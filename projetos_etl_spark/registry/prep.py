@@ -2297,3 +2297,50 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("res_key").desc(), "doc_id")
         .limit(WRES_K)
     )
+
+
+@REG.add(
+    "quality_table_checksum",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey  AS VARCHAR) || '|' ||
+                 o_orderstatus   || '|' ||
+                 o_orderpriority || '|' ||
+                 strftime(o_orderdate, '%Y-%m-%d')
+               ), 1, 14))::BIGINT)  -- HUGEINT accumulator in DuckDB
+               % 9007199254740993 AS BIGINT) AS checksum
+    FROM orders
+    """,
+)
+def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: per-row md5 over a canonical
+    column rendering, folded with + (commutative) into one value — how
+    you validate that a 100 TB copy/migration/backfill produced the
+    same table WITHOUT sorting either side or moving rows between
+    systems (each side computes its own scalar; compare two numbers).
+    Fully map-combinable: one scan, 16 bytes of state per partition, no
+    shuffle beyond the final 1-row reduce. The accumulator is
+    DECIMAL(38) (Spark) / HUGEINT (DuckDB): 2^56-scale terms times
+    petabyte row counts stay under 1e38 exactly, where a BIGINT sum
+    overflows (ANSI mode raises) and a double sum silently loses the
+    low bits the checksum exists to compare. The canonical rendering
+    sticks to int/string/formatted-date columns because float-to-string
+    formatting is engine-specific."""
+    o = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    term = F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 14), 16, 10).cast("long")
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(term.cast("decimal(38,0)")) % F.lit(9007199254740993))
+        .cast("long")
+        .alias("checksum"),
+    )
