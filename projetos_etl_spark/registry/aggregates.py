@@ -788,8 +788,8 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT)                              AS n_rows,
            round(mu, 4)                                   AS mean_qty,
            round(sqrt(m2), 4)                             AS std_pop,
-           round((cm3 / n) / pow(m2, 1.5), 4)             AS skewness,
-           round((cm4 / n) / (m2 * m2) - 3, 4)            AS kurtosis_excess
+           round((cm3 / n) / nullif(pow(m2, 1.5), 0), 4)  AS skewness,
+           round((cm4 / n) / nullif(m2 * m2, 0) - 3, 4)   AS kurtosis_excess
     FROM c ORDER BY l_returnflag
     """,
 )
@@ -802,7 +802,9 @@ def agg_moments_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     the central-moment algebra happens on the one-row-per-group result.
     The same formula runs verbatim in the oracle — engine built-ins
     disagree on bias correction (sample vs population), raw power sums
-    don't. Population definitions; excess kurtosis (normal = 0)."""
+    don't. Population definitions; excess kurtosis (normal = 0); a
+    zero-variance group yields NULL via nullif (ANSI mode would
+    otherwise raise on the division)."""
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     m = li.groupBy("l_returnflag").agg(
@@ -828,8 +830,8 @@ def agg_moments_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_rows"),
         F.round(mu, 4).alias("mean_qty"),
         F.round(F.sqrt(m2), 4).alias("std_pop"),
-        F.round((cm3 / n) / F.pow(m2, 1.5), 4).alias("skewness"),
-        F.round((cm4 / n) / (m2 * m2) - 3, 4).alias("kurtosis_excess"),
+        F.round((cm3 / n) / F.nullif(F.pow(m2, 1.5), F.lit(0.0)), 4).alias("skewness"),
+        F.round((cm4 / n) / F.nullif(m2 * m2, F.lit(0.0)) - 3, 4).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
 
 

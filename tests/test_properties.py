@@ -243,3 +243,138 @@ def test_cdc_apply_matches_reference(spark, changes):
         for r in apply_cdc(base, chg, key="key").collect()
     }
     assert got == ref
+
+
+def _weighted_median_py(pairs: list[tuple[float, int]]) -> float:
+    """Reference: smallest value whose cumulative weight reaches half
+    the total (matching the engine's cum >= tot/2 rule)."""
+    total = sum(w for _, w in pairs)
+    cum = 0
+    for v, w in sorted(pairs):
+        cum += w
+        if cum >= total / 2:
+            return v
+    return sorted(pairs)[-1][0]
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 500),  # value (int-valued double: exact compare)
+            st.integers(1, 20),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_median_matches_python(spark, pairs):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(float(v), w) for v, w in pairs], "price double, w int"
+    )
+    # Same shape as registry agg_weighted_median: pre-agg -> cum window.
+    g = df.groupBy("price").agg(F.sum("w").alias("w"))
+    wo = Window.orderBy("price")
+    c = g.select(
+        "price",
+        F.sum("w").over(wo).alias("cum"),
+        F.sum("w").over(Window.partitionBy()).alias("tot"),
+    )
+    got = (
+        c.filter(F.col("cum") >= F.col("tot") / 2)
+        .agg(F.min("price"))
+        .collect()[0][0]
+    )
+    assert got == _weighted_median_py([(float(v), w) for v, w in pairs])
+
+
+def _moments_py(xs: list[int]) -> tuple[float, float]:
+    import math
+
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum((x - mu) ** 2 for x in xs) / n
+    m3 = sum((x - mu) ** 3 for x in xs) / n
+    m4 = sum((x - mu) ** 4 for x in xs) / n
+    if m2 == 0:
+        return float("nan"), float("nan")
+    return m3 / m2**1.5, m4 / m2**2 - 3
+
+
+@PROP
+@given(st.lists(st.integers(0, 50), min_size=3, max_size=80))
+def test_power_sum_moments_match_python(spark, xs):
+    # Degenerate constant lists divide by zero variance; reference
+    # returns nan and the engine null — both mean "undefined", skip.
+    df = spark.createDataFrame([(float(x),) for x in xs], "q double")
+    q = F.col("q")
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(q).alias("mu"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+        F.sum(q).alias("s1"),
+    )
+    n, mu = F.col("n"), F.col("mu")
+    m2 = (F.col("s2") - n * mu * mu) / n
+    cm3 = F.col("s3") - 3 * mu * F.col("s2") + 3 * mu * mu * F.col("s1") - n * mu * mu * mu
+    cm4 = (
+        F.col("s4")
+        - 4 * mu * F.col("s3")
+        + 6 * mu * mu * F.col("s2")
+        - 4 * mu * mu * mu * F.col("s1")
+        + n * mu * mu * mu * mu
+    )
+    row = m.select(
+        ((cm3 / n) / F.nullif(F.pow(m2, 1.5), F.lit(0.0))).alias("skew"),
+        ((cm4 / n) / F.nullif(m2 * m2, F.lit(0.0)) - 3).alias("kurt"),
+    ).collect()[0]
+    ref_skew, ref_kurt = _moments_py(xs)
+    import math
+
+    if math.isnan(ref_skew):
+        assert row.skew is None or math.isnan(row.skew)
+    else:
+        # Power-sum algebra cancels catastrophically near zero variance;
+        # the integer-valued inputs here keep both forms well within 1e-6.
+        assert abs(row.skew - ref_skew) < 1e-6, (row.skew, ref_skew)
+        assert abs(row.kurt - ref_kurt) < 1e-6, (row.kurt, ref_kurt)
+
+
+def _triangles_py(edges: set[tuple[int, int]]) -> int:
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    count = 0
+    for a, b in edges:
+        count += len(adj[a] & adj[b])
+    # Every triangle counted once per edge = 3 times.
+    return count // 3
+
+
+@PROP
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_join_matches_python(spark, raw_edges):
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges}
+    if not edges:
+        return
+    e = spark.createDataFrame(sorted(edges), "a int, b int")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")))
+    )
+    assert tri.count() == _triangles_py(edges)
