@@ -2197,7 +2197,7 @@ def pipeline_quality_gate_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(s.med, 2) AS med,
            round(s.mad, 2) AS mad,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN abs(0.6745 * (c.c_acctbal - s.med) / s.mad) > 3.5
+           CAST(sum(CASE WHEN abs(0.6745 * (c.c_acctbal - s.med) / nullif(s.mad, 0)) > 3.5
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM customer c JOIN mad s ON c.c_mktsegment = s.segment
     GROUP BY s.segment, s.med, s.mad
@@ -2224,13 +2224,20 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", "med")
         .agg(F.expr("percentile(abs(c_acctbal - med), 0.5)").alias("mad"))
     )
-    rz = 0.6745 * (F.col("c_acctbal") - F.col("med")) / F.col("mad")
+    # nullif: a constant group has MAD 0 — the modified z-score is
+    # undefined there (NULL, counted as not-outlier) instead of an
+    # ANSI divide-by-zero error.
+    rz = 0.6745 * (F.col("c_acctbal") - F.col("med")) / F.nullif(
+        F.col("mad"), F.lit(0.0)
+    )
     return (
         c.join(F.broadcast(mad), c["c_mktsegment"] == mad["segment"])
         .groupBy("segment", "med", "mad")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum((F.abs(rz) > 3.5).cast("int")).cast("long").alias("n_outliers"),
+            F.sum(F.coalesce((F.abs(rz) > 3.5).cast("int"), F.lit(0)))
+            .cast("long")
+            .alias("n_outliers"),
         )
         .select(
             "segment",
