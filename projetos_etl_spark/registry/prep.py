@@ -2351,3 +2351,108 @@ def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("checksum"),
     )
+
+
+def _phash_sql() -> str:
+    # 3 pigeonhole segments cover 16 bits => complete radius-2 candidates.
+    return f"""
+    WITH sig AS (
+        SELECT doc_id,
+               lpad(bin(('0x' || substr(md5(text), 1, 4))::INT), 16, '0') AS phash
+        FROM documents
+    ),
+    seg_tbl AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS seg_id, {start} AS seg_start, {length} AS seg_len"
+            for i, (start, length) in enumerate([(1, 6), (7, 5), (12, 5)])
+        )}
+    ),
+    keyed AS (
+        SELECT s.doc_id, s.phash, t.seg_id,
+               substr(s.phash, t.seg_start, t.seg_len) AS seg_val
+        FROM sig s CROSS JOIN seg_tbl t
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa,
+                        b.doc_id AS doc_b, b.phash AS pb
+        FROM keyed a JOIN keyed b
+          ON a.seg_id = b.seg_id AND a.seg_val = b.seg_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(generate_series(1, 16),
+                    i -> substr(pa, i, 1) <> substr(pb, i, 1))) AS BIGINT)
+               AS hamming
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 16),
+              i -> substr(pa, i, 1) <> substr(pb, i, 1))) <= 2
+    ORDER BY doc_a, doc_b
+    """
+
+
+@REG.add("multimodal_dedup_phash", oracle=_phash_sql())
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over OPAQUE MEDIA BYTES — the
+    image/audio twin of text MinHash: a 16-bit signature per payload,
+    pigeonhole-blocked hamming join (3 segments ⇒ every radius-2 pair
+    shares ≥1 exact segment — complete candidates, never all pairs),
+    exact hamming on candidates only. The signature kernel here is a
+    content-hash STUB (md5 prefix of the bytes — this container has no
+    image codec, per the multimodal family's declared pattern); a real
+    pHash/DCT kernel slots into the same column position and the ENTIRE
+    downstream plan — segment explode, bucket equi-join, hamming
+    verify — is unchanged, which is the part that must survive 100 TB
+    of media. Media bytes come from ``bundle_media`` (binary column +
+    typed meta), so the hash runs on the binary payload, not the
+    source text."""
+    from projetos_etl_spark.operators.multimodal import bundle_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = bundle_media(docs)
+    sig = media.select(
+        "doc_id",
+        F.lpad(F.bin(F.conv(F.substring(F.md5("media"), 1, 4), 16, 10)), 16, "0").alias(
+            "phash"
+        ),
+    )
+    segs = [(0, 1, 6), (1, 7, 5), (2, 12, 5)]
+    keyed = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_id"),
+                        F.substring("phash", start, length).alias("seg_val"),
+                    )
+                    for i, start, length in segs
+                ]
+            )
+        ).alias("seg"),
+    ).select("doc_id", "phash", "seg.seg_id", "seg.seg_val")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.when(F.substring("pa", i + 1, 1) != F.substring("pb", i + 1, 1), 1).otherwise(0)
+        for i in range(16)
+    )
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+        .orderBy("doc_a", "doc_b")
+    )
