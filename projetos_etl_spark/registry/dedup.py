@@ -1167,6 +1167,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("b"),
         )
         .distinct()
+        # Referenced three times (e1/e2/e3) — deliberately NOT
+        # checkpointed: the three subtrees are identical, so runtime
+        # exchange reuse serves one physical star join to all of them
+        # (measured: an eager localCheckpoint here is ~1.8x SLOWER at
+        # sf0.1 — it adds a barrier and hides the join from AQE).
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
