@@ -741,3 +741,52 @@ def obs_inline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_big"], m["avg_price"], m["max_price"])],
         "n_rows long, n_big long, avg_price double, max_price double",
     )
+
+
+@REG.add(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-batch write
+    pattern: a rerun replaces ONLY the partitions present in its output
+    (here: the 'O' slice rewritten in place) while every other
+    partition's files are untouched. Under the default STATIC mode the
+    same ``mode("overwrite")`` would have deleted the whole table — the
+    classic lost-data footgun this entry pins the guard against. At
+    100 TB this is how daily reprocessing commits: the job writes the
+    day it computed, the other 3,650 partitions aren't listed, moved,
+    or rewritten. Correctness is proven by the read-back: full-table
+    aggregate equals the source-table oracle, i.e. the selective
+    overwrite changed exactly nothing it shouldn't have."""
+    out = tempfile.mkdtemp(prefix="pes_dynpart_")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # The "rerun": recompute only the open-orders slice and
+        # overwrite; with dynamic mode the F/P directories survive.
+        orders.filter(F.col("o_orderstatus") == "O").write.mode(
+            "overwrite"
+        ).partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("int"))
+            .cast("long")
+            .alias("n_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
