@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from projetos_etl_spark.functions.currency import clean_currency
 from projetos_etl_spark.registry._core import Registry
-from projetos_etl_spark.sources.io import load_table
+from projetos_etl_spark.sources.io import load_table, register_views
 
 REG = Registry()
 
@@ -625,3 +625,51 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_b_words"),
         F.regexp_extract("text", r"\b(s[a-z]+)\b", 1).alias("first_s_word"),
     ).orderBy("doc_id")
+
+
+@REG.add(
+    "fn_collation_groupby",
+    oracle="""
+    WITH mangled AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                    ELSE lower(o_orderpriority) END AS pri
+        FROM orders
+    )
+    SELECT lower(pri)            AS pri_norm,
+           min(pri)              AS first_variant,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM mangled
+    GROUP BY lower(pri)
+    ORDER BY pri_norm
+    """,
+)
+def fn_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4 COLLATIONS
+    (``COLLATE UTF8_LCASE``) — dirty categorical columns ('Ship' /
+    'SHIP' / 'ship') grouped as one key by the COLUMN TYPE instead of
+    wrapping every reference in ``lower()``: the collation rides the
+    column through joins/sorts/aggregates, so no call site can forget
+    the wrap (the classic silent-key-split bug). The hash aggregate
+    computes collation-aware key hashes — same single-shuffle plan,
+    no extra projection. Input case-variance is synthesized
+    deterministically from the order key; the oracle is the explicit
+    ``lower()`` spelling, proving the equivalence; the surfaced key is
+    ``lower()``-normalized plus the binary-min variant (the collated
+    group's representative would be first-seen, i.e. nondeterministic)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH mangled AS (
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                        ELSE lower(o_orderpriority)
+                   END COLLATE UTF8_LCASE AS pri
+            FROM orders
+        )
+        SELECT lower(pri)                  AS pri_norm,
+               min(pri COLLATE UTF8_BINARY) AS first_variant,
+               CAST(count(*) AS BIGINT)    AS n_orders
+        FROM mangled
+        GROUP BY pri
+        ORDER BY pri_norm
+        """
+    )
