@@ -673,3 +673,49 @@ def fn_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY pri_norm
         """
     )
+
+
+@REG.add(
+    "fn_map_functions",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_keys,
+           CAST(len(list_filter(ts, t -> length(t) >= 6)) AS BIGINT)
+               AS n_long_keys,
+           CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT)
+               AS sum_len,
+           coalesce(array_to_string(list_sort(list_filter(ts, t -> length(t) >= 6)), ','), '')
+               AS long_keys_sorted
+    FROM toks ORDER BY doc_id
+    """,
+)
+def fn_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column surface: build a token -> length map per document
+    (``map_from_arrays``), then ``map_filter`` / ``map_keys`` /
+    ``map_values`` / higher-order traversal — the per-row key-value
+    workhorse for feature dictionaries and sparse counters. All JVM
+    codegen expressions, no explode (the map lives inside the row, so
+    no shuffle is introduced to query it). Map iteration order is
+    engine-specific, so every surfaced value is an order-insensitive
+    reduction or explicitly sorted; the oracle computes the same
+    results from the key list directly — same values, no map type
+    needed on that side."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    m = F.map_from_arrays(toks, F.transform(toks, lambda t: F.length(t)))
+    filtered = F.map_filter(m, lambda k, v: v >= 6)
+    return d.select(
+        "doc_id",
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.size(F.map_keys(filtered)).cast("long").alias("n_long_keys"),
+        F.aggregate(F.map_values(m), F.lit(0), lambda acc, v: acc + v)
+        .cast("long")
+        .alias("sum_len"),
+        F.array_join(F.array_sort(F.map_keys(filtered)), ",").alias(
+            "long_keys_sorted"
+        ),
+    ).orderBy("doc_id")
