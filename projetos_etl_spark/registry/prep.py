@@ -2184,12 +2184,12 @@ def pipeline_quality_gate_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH med AS (
         SELECT c_mktsegment AS segment,
-               quantile_cont(c_acctbal, 0.5) AS med
+               quantile_disc(c_acctbal, 0.5) AS med
         FROM customer GROUP BY 1
     ),
     mad AS (
         SELECT m.segment, m.med,
-               quantile_cont(abs(c.c_acctbal - m.med), 0.5) AS mad
+               quantile_disc(abs(c.c_acctbal - m.med), 0.5) AS mad
         FROM customer c JOIN med m ON c.c_mktsegment = m.segment
         GROUP BY m.segment, m.med
     )
@@ -2209,20 +2209,31 @@ def quality_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iglewicz-Hoaglin |0.6745*(x-med)/MAD| > 3.5) — the robust sibling
     of ``quality_outlier_iqr`` and the mean/stddev z-score: a single
     corrupted magnitude can drag a mean-based fence arbitrarily far,
-    but breaks down MAD only past 50% contamination. Cost shape: two
+    but breaks down MAD only past 50% contamination. Medians are
+    DISCRETE (percentile_disc): actual data values, engine-identical —
+    interpolated medians diverge at the last ulp across engines. Cost shape: two
     grouped exact-median reduces (the second over |x - med| needs the
     first's one-row-per-group table, broadcast back), then a broadcast
     verdict join — the fact table shuffles only for the median sorts,
     and at 100 TB both swap to ``percentile_approx`` and become
     map-combinable, leaving the facts entirely unshuffled."""
     c = load_table(spark, sf_dir, "customer")
+    # percentile_disc, not percentile/quantile_cont: the DISCRETE median
+    # is an actual data value, so both engines return the identical
+    # double — interpolated medians differ at the last ulp across
+    # engines ((a+b)/2 vs a+(b-a)/2), which flips a .xx5 rounding
+    # boundary (seen live on this entry at sf0.01).
     med = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
-        F.expr("percentile(c_acctbal, 0.5)").alias("med")
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").alias("med")
     )
     mad = (
         c.join(F.broadcast(med), c["c_mktsegment"] == med["segment"])
         .groupBy("segment", "med")
-        .agg(F.expr("percentile(abs(c_acctbal - med), 0.5)").alias("mad"))
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(c_acctbal - med))"
+            ).alias("mad")
+        )
     )
     # nullif: a constant group has MAD 0 — the modified z-score is
     # undefined there (NULL, counted as not-outlier) instead of an
