@@ -910,3 +910,53 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@REG.add(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH cuts AS (
+        SELECT o_orderpriority AS priority,
+               quantile_cont(o_totalprice, 0.1) AS lo,
+               quantile_cont(o_totalprice, 0.9) AS hi
+        FROM orders GROUP BY 1
+    )
+    SELECT c.priority,
+           CAST(count(*) AS BIGINT)        AS n_all,
+           CAST(sum(CASE WHEN o.o_totalprice >= c.lo AND o.o_totalprice <= c.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(avg(o.o_totalprice), 2)   AS mean_raw,
+           round(avg(CASE WHEN o.o_totalprice >= c.lo AND o.o_totalprice <= c.hi
+                          THEN o.o_totalprice END), 2) AS mean_trimmed
+    FROM orders o JOIN cuts c ON o.o_orderpriority = c.priority
+    GROUP BY c.priority ORDER BY c.priority
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-90 trimmed mean per group next to the raw mean — the robust
+    eval-metric aggregate (a handful of degenerate outliers moves a raw
+    benchmark average; the trimmed one ignores both tails). Two passes
+    over one broadcast-joined fence table, exactly the
+    ``quality_outlier_iqr`` economics: the fence aggregate is the only
+    shuffle, facts re-join by broadcast. Cut points are percentiles of
+    the RAW column (verified bit-identical across engines — derived-
+    value percentiles are the ones that diverge, see
+    ``quality_outlier_mad``); the trimmed mean averages inside [lo, hi]
+    inclusively so kept rows are an exact data-defined set."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr("percentile(o_totalprice, 0.1)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("hi"),
+    )
+    kept = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") <= F.col("hi"))
+    return (
+        o.join(F.broadcast(cuts), o["o_orderpriority"] == cuts["priority"])
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
+            F.round(F.avg(F.when(kept, F.col("o_totalprice"))), 2).alias("mean_trimmed"),
+        )
+        .orderBy("priority")
+    )
