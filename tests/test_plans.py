@@ -440,3 +440,28 @@ def test_weighted_median_preaggregates_before_window(spark, queries):
     # In explain output children print BELOW parents, so the pre-agg
     # HashAggregate must appear after (deeper than) the Window line.
     assert agg > win, plan[:3000]
+
+
+def test_weighted_reservoir_plans_take_ordered(spark, queries):
+    """A-ES weighted sampling must plan TakeOrderedAndProject —
+    per-partition k-row heaps merged on the driver. A global Sort +
+    Limit here would total-sort the corpus at 100 TB."""
+    df = queries["sample_weighted_reservoir"](spark, SF)
+    assert has_operator(df, "TakeOrderedAndProject")
+    from projetos_etl_spark.plans import explain_str
+
+    assert "GlobalLimit" not in explain_str(df)
+
+
+def test_pareto_window_runs_over_customer_grain(spark, queries):
+    """The concentration window must consume the customer-grain
+    REDUCE (HashAggregate below Window), never raw orders — the
+    pre-aggregation is what bounds window state at scale."""
+    df = queries["agg_pareto_concentration"](spark, SF)
+    from projetos_etl_spark.plans import explain_str
+
+    plan = explain_str(df)
+    win = plan.find("Window")
+    agg = plan.rfind("HashAggregate")
+    assert win != -1 and agg != -1
+    assert agg > win, plan[:3000]
