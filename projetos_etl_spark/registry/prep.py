@@ -2467,3 +2467,55 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 2)
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: k-anonymity threshold for the privacy audit.
+K_ANON = 5
+
+
+@REG.add(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS cell_n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT)                               AS n_cells,
+           CAST(sum(CASE WHEN cell_n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_cells,
+           CAST(min(cell_n) AS BIGINT)                            AS min_cell,
+           CAST(sum(CASE WHEN cell_n < {K_ANON} THEN cell_n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           round(sum(CASE WHEN cell_n < {K_ANON} THEN cell_n ELSE 0 END)
+                 * 1.0 / sum(cell_n), 6)                          AS risk_fraction
+    FROM cells
+    """,
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation x market
+    segment): any combination shared by fewer than k individuals can
+    re-identify them, so a release gate needs the count of sub-k cells,
+    the worst cell, and the fraction of rows at risk — BEFORE the data
+    ships to a training pipeline (the privacy twin of the quality
+    gates). Cost shape: one hash aggregate over the quasi-identifier
+    key (mergeable counts), then a scalar rollup over the cell table —
+    the facts shuffle once, the audit itself is O(cells). The remedy
+    for failing cells (generalize a column, suppress the rows) plugs
+    into ``corpus_domain_cap``-style curation; this entry is the
+    detector."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    )
+    small = F.col("cell_n") < K_ANON
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(small.cast("int")).cast("long").alias("n_small_cells"),
+        F.min("cell_n").cast("long").alias("min_cell"),
+        F.sum(F.when(small, F.col("cell_n")).otherwise(0)).cast("long").alias(
+            "n_rows_at_risk"
+        ),
+        F.round(
+            F.sum(F.when(small, F.col("cell_n")).otherwise(0)) / F.sum("cell_n"), 6
+        ).alias("risk_fraction"),
+    )
