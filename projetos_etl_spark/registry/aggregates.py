@@ -960,3 +960,59 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@REG.add(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment AS segment,
+               c_acctbal - min(c_acctbal) OVER (PARTITION BY c_mktsegment) AS x,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS i,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           round(sum((2.0 * i - n - 1) * x) / (max(n) * nullif(sum(x), 0)), 6)
+               AS gini
+    FROM ranked GROUP BY segment ORDER BY segment
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient per group (0 = perfectly even, 1 = one member
+    holds everything) via the rank formula
+    ``sum((2i - n - 1) * x) / (n * sum(x))`` — the single-number
+    inequality measure that complements ``agg_pareto_concentration``'s
+    cutoff counts and ``quality_entropy_profile``'s categorical
+    balance. Values are shifted non-negative per group (Gini is
+    defined on non-negative quantities; account balances go negative)
+    by subtracting the group minimum. Cost: one window sort per group
+    over the grouping key's shuffle — the same single-exchange shape
+    as every keyed window; the i*x products fold map-side in the final
+    hash aggregate. Deterministic: ties rank by the unique customer
+    key, identically in both engines."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    wp = Window.partitionBy("c_mktsegment")
+    wo = wp.orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal") - F.min("c_acctbal").over(wp)).alias("x"),
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.round(
+                F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("x"))
+                / (F.max("n") * F.nullif(F.sum("x"), F.lit(0.0))),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("segment")
+    )
