@@ -1193,3 +1193,78 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@REG.add(
+    "er_golden_record",
+    oracle="""
+    WITH keyed AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               substring(c_name, 1, 15) AS blk
+        FROM customer
+    ),
+    rep AS (
+        SELECT c_nationkey, blk, min(c_custkey) AS rep_key
+        FROM keyed GROUP BY 1, 2
+    ),
+    members AS (
+        SELECT k.*, r.rep_key, rk.c_name AS rep_name
+        FROM keyed k
+        JOIN rep r ON k.c_nationkey = r.c_nationkey AND k.blk = r.blk
+        JOIN keyed rk ON rk.c_custkey = r.rep_key
+        WHERE levenshtein(k.c_name, rk.c_name) <= 1
+    )
+    SELECT rep_key,
+           CAST(count(*) AS BIGINT)      AS n_members,
+           min(c_name)                   AS golden_name,
+           round(max(c_acctbal), 2)      AS golden_acctbal,
+           min(c_mktsegment)             AS golden_segment
+    FROM members
+    GROUP BY rep_key
+    HAVING count(*) > 1
+    ORDER BY rep_key
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship (MDM 'golden record'): after
+    blocking finds duplicate customer identities, each cluster merges
+    into ONE surviving record under explicit field rules (earliest key
+    as stable id, lexicographic-min name, max balance — the
+    most-complete-value policy). Clustering here is STAR-shaped: the
+    block's minimum key is the hub and members attach by edit distance
+    to it — one deterministic pass, no transitive closure (the
+    full-closure variant is ``dedup_connected_components``; star is
+    what production MDM runs when clusters are known-small). Cost:
+    block-key hash agg + two broadcast-able joins + thresholded JVM
+    levenshtein on block-mates only; survivorship itself is one
+    mergeable aggregate per cluster. Only multi-member clusters
+    surface (HAVING count > 1) — the audit of what merging changed."""
+    c = load_table(spark, sf_dir, "customer")
+    keyed = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.substring("c_name", 1, 15).alias("blk"),
+    )
+    rep = keyed.groupBy("c_nationkey", "blk").agg(F.min("c_custkey").alias("rep_key"))
+    rep_names = keyed.select(
+        F.col("c_custkey").alias("rep_key"), F.col("c_name").alias("rep_name")
+    )
+    members = (
+        keyed.join(rep, ["c_nationkey", "blk"])
+        .join(F.broadcast(rep_names), "rep_key")
+        .filter(F.levenshtein("c_name", "rep_name") <= 1)
+    )
+    return (
+        members.groupBy("rep_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("c_name").alias("golden_name"),
+            F.round(F.max("c_acctbal"), 2).alias("golden_acctbal"),
+            F.min("c_mktsegment").alias("golden_segment"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("rep_key")
+    )
