@@ -2519,3 +2519,58 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(small, F.col("cell_n")).otherwise(0)) / F.sum("cell_n"), 6
         ).alias("risk_fraction"),
     )
+
+
+#: Freshness SLA for the events monitor (hours).
+FRESHNESS_SLA_H = 24
+
+
+@REG.add(
+    "quality_freshness_sla",
+    oracle=f"""
+    WITH now_ref AS (SELECT max(ts) AS now_ts FROM events),
+    last_seen AS (
+        SELECT event_type, max(ts) AS last_ts, count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT l.event_type,
+           strftime(l.last_ts, '{{TS_FMT_DUCK}}') AS last_seen,
+           CAST(l.n_events AS BIGINT)             AS n_events,
+           round(date_diff('second', l.last_ts, n.now_ts) / 3600.0, 4)
+               AS hours_stale,
+           date_diff('second', l.last_ts, n.now_ts) / 3600.0 > {FRESHNESS_SLA_H}
+               AS sla_breached
+    FROM last_seen l CROSS JOIN now_ref n
+    ORDER BY l.event_type
+    """.replace("{{TS_FMT_DUCK}}", "{TS_FMT_DUCK}").format(TS_FMT_DUCK=TS_FMT_DUCK),
+)
+def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA monitor: per event stream, when data last
+    arrived and whether staleness breaches the SLA — the first page of
+    every pipeline dashboard, computed here against the corpus maximum
+    timestamp so the check is deterministic (a wall-clock 'now' can
+    never be oracle-compared; in production swap the reference scalar
+    for ``current_timestamp()`` and nothing else changes). Cost: ONE
+    mergeable max/count aggregate per key plus a broadcast 1-row
+    reference join — at 100 TB this reads as a metadata-light full
+    scan, or prunes to recent partitions when the layout is
+    date-partitioned (the layer-write discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    now_ref = ev.agg(F.max("ts").alias("now_ts"))
+    last = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    stale_h = (
+        F.col("now_ts").cast("long") - F.col("last_ts").cast("long")
+    ) / 3600.0
+    return (
+        last.crossJoin(F.broadcast(now_ref))  # 1-row reference scalar
+        .select(
+            "event_type",
+            F.date_format("last_ts", TS_FMT_SPARK).alias("last_seen"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(stale_h, 4).alias("hours_stale"),
+            (stale_h > FRESHNESS_SLA_H).alias("sla_breached"),
+        )
+        .orderBy("event_type")
+    )
