@@ -2574,3 +2574,63 @@ def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "quality_join_cardinality_forecast",
+    oracle="""
+    WITH lc AS (SELECT l_orderkey AS k, count(*) AS n_l FROM lineitem GROUP BY 1),
+    oc AS (SELECT o_orderkey AS k, count(*) AS n_o FROM orders GROUP BY 1),
+    prod AS (
+        SELECT coalesce(lc.k, oc.k) AS k,
+               coalesce(n_l, 0) AS n_l, coalesce(n_o, 0) AS n_o,
+               coalesce(n_l, 0) * coalesce(n_o, 0) AS out_rows
+        FROM lc FULL JOIN oc ON lc.k = oc.k
+    )
+    SELECT CAST(count(*) AS BIGINT)                                AS n_keys,
+           CAST(sum(out_rows) AS BIGINT)                           AS predicted_rows,
+           CAST(sum(CASE WHEN out_rows = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dangling_keys,
+           CAST(max(out_rows) AS BIGINT)                           AS max_key_rows,
+           CAST(sum(CASE WHEN out_rows > 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blowup_keys
+    FROM prod
+    """,
+)
+def quality_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality forecast WITHOUT running the join: per-key
+    counts of both sides, full-outer-merged, give the exact output size
+    (sum of per-key products), the dangling-key count, and — the number
+    that matters at 100 TB — the hottest key's output and how many keys
+    exceed a blowup threshold. This is the pre-flight a pipeline runs
+    before an unfamiliar fact-fact join: a many-to-many key nobody
+    expected turns a 1 TB shuffle into a 100 TB one, and THIS query
+    costs two count-aggregates + a count-table join (rows = distinct
+    keys, not facts) instead of the blowup itself. The same
+    per-key-count tables feed the salting decision
+    (``join_salted_skew``) when max_key_rows says AQE alone won't
+    save you. Exact by construction — the cheap HLL variant loses
+    exactly the per-key product this forecast exists to compute."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("n_l"))
+    oc = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("n_o"))
+    prod = (
+        lc.join(oc, "k", "full")
+        .select(
+            F.coalesce(F.col("n_l"), F.lit(0)).alias("n_l"),
+            F.coalesce(F.col("n_o"), F.lit(0)).alias("n_o"),
+        )
+        .withColumn("out_rows", F.col("n_l") * F.col("n_o"))
+    )
+    return prod.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("out_rows").cast("long").alias("predicted_rows"),
+        F.sum((F.col("out_rows") == 0).cast("int")).cast("long").alias(
+            "n_dangling_keys"
+        ),
+        F.max("out_rows").cast("long").alias("max_key_rows"),
+        F.sum((F.col("out_rows") > 100).cast("int")).cast("long").alias(
+            "n_blowup_keys"
+        ),
+    )
