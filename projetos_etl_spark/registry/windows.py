@@ -713,3 +713,55 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "_eid")
         .drop("_eid")
     )
+
+
+@REG.add(
+    "win_skyline_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT p_size AS x, p_retailprice AS y FROM part
+    ),
+    swept AS (
+        SELECT x, y,
+               max(y) OVER (ORDER BY x DESC, y DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_y_right
+        FROM pts
+    )
+    SELECT x AS p_size, round(y, 2) AS p_retailprice
+    FROM swept
+    WHERE best_y_right IS NULL OR y > best_y_right
+    ORDER BY p_size, p_retailprice
+    """,
+)
+def win_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts no other part dominates
+    on (size, retail price) — the multi-criteria shortlist operator
+    behind 'best tradeoff' queries (price/quality, latency/cost). The
+    naive spelling is a quadratic NOT EXISTS self-join; the engine uses
+    the SWEEP formulation instead: sort by x descending and keep a
+    running max of y over STRICTLY PRECEDING rows — a point is on the
+    frontier iff it beats every y seen at larger-or-equal x. One
+    distinct-reduce plus ONE window pass; the (y DESC) secondary sort
+    makes equal-x groups resolve to their best y, and the 1 PRECEDING
+    frame keeps a point from being compared against itself. The global
+    ORDER BY window serializes onto one task — correct here because
+    the window input is the DISTINCT (x, y) reduce (bounded by the
+    value-pair domain, not the fact count); at 100 TB with a large
+    domain, pre-filter per x-bucket to local maxima first (same
+    sweep per bucket, then one merge pass over bucket frontiers)."""
+    pts = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_size").alias("x"), F.col("p_retailprice").alias("y"))
+        .distinct()
+    )
+    w = (
+        Window.orderBy(F.col("x").desc(), F.col("y").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = pts.select("x", "y", F.max("y").over(w).alias("best_y_right"))
+    return (
+        swept.filter(F.col("best_y_right").isNull() | (F.col("y") > F.col("best_y_right")))
+        .select(F.col("x").alias("p_size"), F.round("y", 2).alias("p_retailprice"))
+        .orderBy("p_size", "p_retailprice")
+    )
