@@ -1016,3 +1016,41 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@REG.add(
+    "agg_histogram_2d",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT)           AS qty_bin,
+           CAST(floor(l_extendedprice / 10000) AS BIGINT)   AS price_bin,
+           CAST(count(*) AS BIGINT)                         AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY qty_bin, price_bin
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap binning): quantity x price cells with
+    count and revenue — the joint-distribution profile behind every
+    density heatmap and the binned sketch a BI layer renders instead of
+    600 k raw points. Binning is two integer floor-divisions in the
+    projection, so the whole thing is ONE map-combinable hash aggregate
+    whose state is O(occupied cells) — at 100 TB the cell grid, not the
+    row count, bounds memory, and the same cells re-aggregate to
+    coarser grids without rescanning facts (the bitmap/HLL tier
+    argument, applied to density)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
+            F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("price_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("qty_bin", "price_bin")
+    )
