@@ -378,3 +378,73 @@ def test_triangle_join_matches_python(spark, raw_edges):
         .join(e3, (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")))
     )
     assert tri.count() == _triangles_py(edges)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.text(alphabet="abcxyz", min_size=0, max_size=8)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    st.randoms(),
+)
+def test_table_checksum_is_order_insensitive_and_content_sensitive(spark, rows, rnd):
+    """The commutative md5 fold must be invariant under row order (the
+    property that lets two 100 TB copies be compared without sorting)
+    and must move when any row's content changes."""
+
+    def checksum(data):
+        df = spark.createDataFrame(data, "k long, s string")
+        row_str = F.concat_ws("|", F.col("k").cast("string"), F.col("s"))
+        term = F.conv(
+            F.substring(F.md5(row_str.cast("binary")), 1, 14), 16, 10
+        ).cast("long")
+        return df.agg(
+            (F.sum(term.cast("decimal(38,0)")) % F.lit(9007199254740993)).cast("long")
+        ).collect()[0][0]
+
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    base = checksum(rows)
+    assert checksum(shuffled) == base
+    mutated = [(k + 1, s) if i == 0 else (k, s) for i, (k, s) in enumerate(rows)]
+    assert checksum(mutated) != base
+
+
+def _gini_py(xs: list[int]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    total = sum(xs)
+    if total == 0:
+        return 0.0
+    return sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * total)
+
+
+@PROP
+@given(st.lists(st.integers(0, 1000), min_size=2, max_size=60))
+def test_gini_rank_formula_matches_python(spark, xs):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(float(x), i) for i, x in enumerate(xs)], "x double, id int"
+    )
+    wo = Window.orderBy("x", "id")
+    wp = Window.partitionBy()
+    ranked = df.select(
+        "x",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    got = ranked.agg(
+        (
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("x"))
+            / (F.max("n") * F.nullif(F.sum("x"), F.lit(0.0)))
+        ).alias("g")
+    ).collect()[0][0]
+    ref = _gini_py(xs)
+    if sum(xs) == 0:
+        assert got is None
+    else:
+        assert abs(got - ref) < 1e-9, (got, ref)
