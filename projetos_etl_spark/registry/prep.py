@@ -2634,3 +2634,73 @@ def quality_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataF
             "n_blowup_keys"
         ),
     )
+
+
+@REG.add(
+    "quality_table_reconcile",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0
+                    THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    j AS (
+        SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+               a.o_totalprice AS pa, b.o_totalprice AS pb
+        FROM orders a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT CAST(sum(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_left,
+           CAST(sum(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_right,
+           CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                          AND pa <> pb THEN 1 ELSE 0 END) AS BIGINT)   AS n_changed,
+           CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                          AND pa = pb THEN 1 ELSE 0 END) AS BIGINT)    AS n_identical
+    FROM j
+    """,
+)
+def quality_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation of two table versions — the drill-down
+    that runs when ``quality_table_checksum``'s scalars disagree:
+    full-outer join on the key classifies every row as
+    only-left / only-right / changed / identical, the exact accounting
+    a migration sign-off needs. The 'right side' here is a
+    deterministic simulated drift of orders (keys dropped at %97,
+    prices perturbed at %101) so the expected counts are reproducible;
+    in production both sides are real scans. Cost: ONE key-shuffle
+    full-outer join carrying only (key, compare-hash) — project the
+    comparison down to a digest per row before the join and 100 TB
+    reconciles moving ~16 bytes/row, not the row bodies."""
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 101 == 0,
+                F.round(F.col("o_totalprice") * 1.1, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
+    )
+    ka, kb = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    pa, pb = F.col("a.o_totalprice"), F.col("b.o_totalprice")
+    return j.agg(
+        F.sum(kb.isNull().cast("int")).cast("long").alias("n_only_left"),
+        F.sum(ka.isNull().cast("int")).cast("long").alias("n_only_right"),
+        F.sum((ka.isNotNull() & kb.isNotNull() & (pa != pb)).cast("int"))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum((ka.isNotNull() & kb.isNotNull() & (pa == pb)).cast("int"))
+        .cast("long")
+        .alias("n_identical"),
+    )
