@@ -2704,3 +2704,76 @@ def quality_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_identical"),
     )
+
+
+#: (table, primary-key column) for the corpus-wide uniqueness audit.
+#: lineitem's key is composite (orderkey, linenumber) — both listed.
+_PK_AUDIT = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def _pk_audit_oracle() -> str:
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+        f"count(DISTINCT ({' , '.join(cols) if len(cols) == 1 else '(' + ', '.join(cols) + ')'})) AS n_distinct_pk "
+        f"FROM {t}"
+        for t, cols in _PK_AUDIT
+    )
+    return f"""
+    WITH u AS (
+    {selects}
+    )
+    SELECT table_name,
+           CAST(n_rows AS BIGINT)                 AS n_rows,
+           CAST(n_distinct_pk AS BIGINT)          AS n_distinct_pk,
+           CAST(n_rows - n_distinct_pk AS BIGINT) AS n_dup_rows,
+           n_rows = n_distinct_pk                 AS pk_unique
+    FROM u ORDER BY table_name
+    """
+
+
+@REG.add("quality_pk_uniqueness_audit", oracle=_pk_audit_oracle())
+def quality_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide primary-key uniqueness audit: every table's declared
+    key checked in one report — the PK half of the integrity dashboard
+    (`quality_referential_integrity` is the FK half). A silently
+    duplicated key is the classic upstream-retry symptom and breaks
+    every downstream join's cardinality assumption, so this runs before
+    anything else trusts the layer. Per table: one count-distinct
+    aggregate over the key (the shuffle carries distinct keys, not
+    rows); tables audit independently and union at the end — on a
+    cluster the ten audits run concurrently as independent jobs."""
+    import functools
+
+    parts = []
+    for t, cols in _PK_AUDIT:
+        df = load_table(spark, sf_dir, t)
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        parts.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(key).cast("long").alias("n_distinct_pk"),
+            )
+        )
+    u = functools.reduce(lambda x, y: x.unionByName(y), parts)
+    return (
+        u.select(
+            "table_name",
+            "n_rows",
+            "n_distinct_pk",
+            (F.col("n_rows") - F.col("n_distinct_pk")).cast("long").alias("n_dup_rows"),
+            (F.col("n_rows") == F.col("n_distinct_pk")).alias("pk_unique"),
+        )
+        .orderBy("table_name")
+    )
