@@ -2777,3 +2777,86 @@ def quality_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+#: Matryoshka evaluation: leading dims kept by the truncated ranker.
+MRL_DIMS = 16
+_MRL_QUERIES = 10
+_MRL_K = 5
+
+
+def _mrl_oracle() -> str:
+    def _dot(x: str, y: str) -> str:
+        return f"list_sum(list_transform(generate_series(1, len({x})), i -> {x}[i] * {y}[i]))"
+
+    def _norm(x: str) -> str:
+        return f"sqrt(list_sum(list_transform({x}, t -> t * t)))"
+
+    def _ranked(vec: str, name: str) -> str:
+        return f"""{name} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_dot(f"q.{vec}", f"c.{vec}")}
+                                 / ({_norm(f"q.{vec}")} * {_norm(f"c.{vec}")}), 6) DESC,
+                                c.vec_id) AS rank
+            FROM e q JOIN e c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {_MRL_QUERIES}
+        ) WHERE rank <= {_MRL_K}
+    )"""
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[])         AS v,
+               CAST(embedding[1:{MRL_DIMS}] AS DOUBLE[]) AS t
+        FROM embeddings
+    ), {_ranked("v", "full_k")}, {_ranked("t", "trunc_k")}
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT)             AS n_common,
+           round(count(t.neighbor_id) * 1.0 / {_MRL_K}, 2)  AS overlap_frac
+    FROM full_k f
+    LEFT JOIN trunc_k t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id ORDER BY f.query_id
+    """
+
+
+@REG.add("emb_matryoshka_overlap", oracle=_mrl_oracle())
+def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation: rank neighbors with
+    only the LEADING 16 of 64 dimensions and measure top-k overlap
+    against the full-dimension ranking, per query — the decision table
+    for the MRL trade (truncated embeddings cost 4x less to store and
+    scan; this query says what that buys you in ranking agreement,
+    before anyone commits an index to the cheap representation). Both
+    rankings are exact brute-force over the broadcast bounded query set
+    (the ``sim_search_topk`` contract — see ``registry/similarity.py``);
+    the overlap join touches k rows per query. On ISOTROPIC fixture
+    vectors the leading dims carry no privileged variance so overlap is
+    honestly low — with real MRL-trained embeddings this number is the
+    model's advertised property, and THIS is the query that audits it."""
+    from projetos_etl_spark.operators.cosine import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select("vec_id", F.slice("embedding", 1, MRL_DIMS).alias("embedding"))
+    q_full = emb.filter(F.col("vec_id") < _MRL_QUERIES)
+    q_trunc = trunc.filter(F.col("vec_id") < _MRL_QUERIES)
+    full_k = brute_force_topk(q_full, emb, k=_MRL_K).select("query_id", "neighbor_id")
+    trunc_k = brute_force_topk(q_trunc, trunc, k=_MRL_K).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    j = full_k.join(
+        trunc_k,
+        (F.col("query_id") == F.col("tq")) & (F.col("neighbor_id") == F.col("tn")),
+        "left",
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("tn").cast("long").alias("n_common"),
+            F.round(F.count("tn") / _MRL_K, 2).alias("overlap_frac"),
+        )
+        .orderBy("query_id")
+    )
