@@ -2860,3 +2860,68 @@ def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@REG.add(
+    "quality_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    tot AS (SELECT sum(a) AS n_a, sum(1 - a) AS n_b FROM s),
+    e AS (
+        SELECT v,
+               sum(a)     OVER (ORDER BY v) AS ca,
+               sum(1 - a) OVER (ORDER BY v) AS cb
+        FROM s
+    )
+    SELECT CAST(max(t.n_a) AS BIGINT) AS n_a,
+           CAST(max(t.n_b) AS BIGINT) AS n_b,
+           round(max(abs(e.ca * 1.0 / t.n_a - e.cb * 1.0 / t.n_b)), 6) AS ks_stat
+    FROM e CROSS JOIN tot t
+    """,
+)
+def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (max ECDF gap) between
+    two slices of a numeric column — the nonparametric drift detector
+    beside ``quality_psi_drift``'s binned PSI: KS needs no bin choice
+    and catches shape changes PSI's coarse bins smear out. Computed
+    exactly: one ordered cumulative window over the unioned sample
+    (RANGE-default frames make ties evaluate the ECDF at <=v on both
+    sides, the textbook definition), then a max reduce. Cumulative
+    counts are integers, so both engines derive bit-identical ECDF
+    doubles. The global ORDER BY window is the honest cost — at 100 TB
+    run KS per partition key (the window gains a PARTITION BY and the
+    sort distributes), or pre-aggregate to distinct values with
+    weights, exactly like ``agg_weighted_median``'s reduce."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("a"),
+    )
+    from pyspark.sql import Window
+
+    wo = Window.orderBy("v")
+    tot = s.agg(
+        F.sum("a").alias("n_a"), F.sum(1 - F.col("a")).alias("n_b")
+    )
+    e = s.select(
+        F.sum("a").over(wo).alias("ca"),
+        F.sum(1 - F.col("a")).over(wo).alias("cb"),
+    )
+    return (
+        e.crossJoin(F.broadcast(tot))  # 1-row totals scalar
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.max(F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
