@@ -2925,3 +2925,73 @@ def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+@REG.add(
+    "ts_business_days_to_ship",
+    oracle="""
+    WITH first_ship AS (
+        SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship_d
+        FROM lineitem GROUP BY 1
+    ),
+    spans AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE), f.ship_d) + 1 AS nd,
+               isodow(CAST(o.o_orderdate AS DATE)) AS s
+        FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+        WHERE f.ship_d >= CAST(o.o_orderdate AS DATE)
+    ),
+    b AS (
+        SELECT o_orderpriority,
+               (nd // 7) * 5 + (nd % 7)
+                 - greatest(0, least(s + (nd % 7) - 1, 7) - greatest(s, 6) + 1)
+                   AS bdays
+        FROM spans
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)   AS n_orders,
+           round(avg(bdays), 4)       AS avg_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays
+    FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ts_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day SLA arithmetic: inclusive weekday count from order
+    date to first shipment per priority — the calendar-aware latency a
+    naive datediff overstates by up to 2/7. CLOSED FORM, not a per-row
+    date sequence: full_weeks*5 plus the remainder window's weekday
+    count from interval-overlap arithmetic on ISO day-of-week — O(1)
+    per row where the sequence+filter spelling materializes an array
+    per row (at 100 TB that's span-length x rows of generated data for
+    a scalar). The formula is property-tested against the explicit
+    sequence count on randomized date pairs
+    (tests/test_properties.py). Orders whose first shipment precedes
+    the order date (possible in the synthetic fixture) are excluded as
+    out-of-domain. Holiday rules would swap this for a `gen_date_dim`
+    calendar anti-join — same aggregation shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship_d")
+    )
+    order_d = F.col("o_orderdate").cast("date")
+    nd = F.datediff(F.col("ship_d"), order_d) + 1
+    # Spark weekday(): 0=Mon..6=Sun -> ISO 1..7.
+    iso = F.weekday(order_d) + 1
+    rem = nd % 7
+    wkend = F.greatest(
+        F.lit(0), F.least(iso + rem - 1, F.lit(7)) - F.greatest(iso, F.lit(6)) + 1
+    )
+    bdays = (nd - rem) / 7 * 5 + rem - wkend
+    return (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .filter(F.col("ship_d") >= order_d)
+        .select("o_orderpriority", bdays.cast("long").alias("bdays"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.avg("bdays"), 4).alias("avg_bdays"),
+            F.max("bdays").cast("long").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -448,3 +448,47 @@ def test_gini_rank_formula_matches_python(spark, xs):
         assert got is None
     else:
         assert abs(got - ref) < 1e-9, (got, ref)
+
+
+def _bdays_py(start, end) -> int:
+    import datetime
+
+    n = 0
+    d = start
+    while d <= end:
+        if d.isoweekday() <= 5:
+            n += 1
+        d += datetime.timedelta(days=1)
+    return n
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4000), st.integers(0, 40)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_business_day_closed_form_matches_sequence(spark, spans):
+    """The interval-overlap closed form in ts_business_days_to_ship must
+    equal the explicit day-by-day weekday count for every (start date,
+    span) — including spans that start on weekends and sub-week spans."""
+    import datetime
+
+    base = datetime.date(2020, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=o), base + datetime.timedelta(days=o + span))
+        for o, span in spans
+    ]
+    df = spark.createDataFrame(rows, "d0 date, d1 date")
+    nd = F.datediff("d1", "d0") + 1
+    iso = F.weekday("d0") + 1
+    rem = nd % 7
+    wkend = F.greatest(
+        F.lit(0), F.least(iso + rem - 1, F.lit(7)) - F.greatest(iso, F.lit(6)) + 1
+    )
+    bdays = ((nd - rem) / 7 * 5 + rem - wkend).cast("long")
+    out = df.select("d0", "d1", bdays.alias("b")).collect()
+    for r in out:
+        assert r.b == _bdays_py(r.d0, r.d1), (r.d0, r.d1, r.b)
