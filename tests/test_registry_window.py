@@ -2,82 +2,94 @@
 
 External correctness harnesses verify the FIRST 50 ``queries()`` entries
 in registry insertion order per round; COVERAGE.md's ledger plans which
-never-verified entries each round's window covers. Adding an entry to a
-family that sits inside the current window silently shifts every later
-entry out of it — the planned coverage quietly doesn't happen and nobody
-is told. This test pins the current round's window to the documented
-list so any accidental shift fails CI with an explanation instead.
+never-verified entries each round's window covers.  From round 5 the
+window is the EXPLICIT name list ``registry.__init__._WINDOW_HEAD``,
+promoted to the front of the merged registry — so adding entries to any
+family module can no longer shift the window.  This test pins the
+current round's window to the documented plan so any accidental edit of
+``_WINDOW_HEAD`` (or a build() regression) fails CI with an explanation.
 
-When the rotation is INTENTIONALLY changed at a round boundary
-(``registry/__init__._FAMILIES``), regenerate the pinned list and update
-COVERAGE.md's ledger in the same commit.
+When the rotation is INTENTIONALLY changed at a round boundary,
+regenerate this pinned list and update COVERAGE.md's ledger in the same
+commit as ``_WINDOW_HEAD``.
 """
 
 from __future__ import annotations
 
-from projetos_etl_spark.registry import all_queries
+from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r4 window: streams(12) + similarity(7) + text(9) + corpus(9) +
-# multimodal(6) + dedup[:7] (COVERAGE.md "Driver-coverage ledger").
-R4_WINDOW = [
-    "stream_tumbling_count",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_dedup_keys",
-    "stream_late_data",
-    "stream_dedup_within_watermark",
-    "stream_custom_stateful_profile",
-    "stream_foreach_batch_sink",
-    "stream_static_join_enrich",
-    "stream_stream_interval_join",
-    "stream_append_finalized_windows",
-    "stream_stream_left_outer_join",
-    "sim_search_topk",
-    "sim_search_ivf",
-    "sim_search_lsh_bucketed",
-    "sim_search_pq_adc",
-    "sim_search_ivf_pq",
-    "emb_centroid_per_label",
-    "emb_quantize_int8",
-    "text_tokens_stats",
-    "text_quality_score",
-    "text_lang_filter",
-    "text_fingerprint",
-    "text_tokens_bpe_regex",
-    "text_rolling_hash",
-    "text_langid",
-    "sample_stratified_hash",
-    "text_tfidf_topk",
-    "text_chunk_overlap",
-    "text_pii_redact",
-    "text_contamination_ngram",
-    "text_repetition_ngram",
-    "corpus_mix_weights",
-    "text_unigram_logprob",
-    "text_vocab_topk",
-    "sample_topk_per_stratum",
-    "corpus_pack_bins",
-    "multimodal_bundle",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_transcode_roundtrip",
-    "multimodal_arrow_batches",
-    "scan_binary_files",
-    "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "pipeline_training_corpus",
-    "dedup_connected_components",
-    "pipeline_dedup_clustered",
+# The r5 window: the 13 r3 events-ts casualties (driver re-green), then
+# the first 37 never-driver-windowed entries (COVERAGE.md ledger).
+R5_WINDOW = [
+    "agg_collect_sorted",
+    "agg_hll_sketch_rollup",
+    "win_lag_delta",
+    "win_moving_avg_frame",
+    "sessionize_events",
+    "win_rolling_distinct",
+    "funnel_conversion",
+    "cohort_retention",
+    "win_rolling_distinct_unbounded",
+    "fn_json_extract",
+    "udf_pandas_vec",
+    "udf_scalar",
+    "udaf_grouped",
+    "dedup_minhash_incremental",
+    "dedup_lsh_bucket_stats",
+    "er_blocking_join",
+    "graph_pagerank",
+    "dedup_ngram_containment",
+    "dedup_minhash_verified",
+    "er_blocking_multipass",
+    "dedup_lsh_recall_eval",
+    "graph_degree_stats",
+    "dedup_simhash_hamming",
+    "graph_triangle_count",
+    "er_golden_record",
+    "ts_resample_ffill",
+    "quality_schema_profile",
+    "ts_interpolate_linear",
+    "quality_referential_integrity",
+    "bitmap_distinct_rollup",
+    "unpivot_melt",
+    "split_train_test_hash",
+    "join_spatial_grid_radius",
+    "quality_outlier_iqr",
+    "ts_gap_detect",
+    "incremental_agg_merge",
+    "agg_heavy_hitters",
+    "corpus_resample_to_mix",
+    "text_perplexity_bigram",
+    "agg_time_decayed_sum",
+    "quality_psi_drift",
+    "text_normalize_dedup",
+    "feat_quantile_bucketize",
+    "feat_scale_normalize",
+    "feat_target_encode_loo",
+    "anomaly_zscore_rolling",
+    "maintenance_zorder_stats",
+    "corpus_shuffle_shards",
+    "sim_range_search",
+    "feat_onehot_topn",
 ]
 
 
 def test_driver_window_matches_coverage_plan():
-    got = list(all_queries())[: len(R4_WINDOW)]
-    assert got == R4_WINDOW, (
-        "The first-50 verification window shifted. If you added an entry "
-        "to a family inside the window (streams/similarity/text/corpus/"
-        "multimodal/dedup-head), move it to a later family OR update this "
-        "pin AND COVERAGE.md's ledger deliberately."
+    assert len(R5_WINDOW) == 50
+    got = list(all_queries())[: len(R5_WINDOW)]
+    assert got == R5_WINDOW, (
+        "The first-50 verification window shifted. The window is the "
+        "explicit registry.__init__._WINDOW_HEAD list; if you changed it, "
+        "update this pin AND COVERAGE.md's ledger deliberately."
     )
+
+
+def test_window_head_is_the_pin():
+    # _WINDOW_HEAD and this pin must be the same list; divergence means a
+    # half-finished rotation commit.
+    assert _WINDOW_HEAD == R5_WINDOW
+
+
+def test_no_window_name_collisions():
+    names = list(all_queries())
+    assert len(names) == len(set(names))
