@@ -11,9 +11,11 @@ distributed write path, no driver collect bottleneck, nothing kept).
 Stability (VERDICT r1 item 6): each query is timed THREE times and the
 median reported — single runs on this box vary up to 3x under system
 contention, which makes regressions unreadable. The raw per-run timings
-are also emitted (``queries_runs``) so a reader can see the spread, and
-the end-to-end medallion entry's cost is split into layer-write vs
-gold-compute seconds (``write_split``).
+(``queries_runs``), per-run mins, and the medallion layer-write vs
+gold-compute split (``write_split``) are spooled to ``BENCH_LOCAL.json``
+next to this script; the stdout line carries only medians + errors +
+regression names so it fits the recording harness's 2000-char tail
+buffer (VERDICT r4 item 2).
 """
 
 from __future__ import annotations
@@ -156,23 +158,53 @@ def main() -> None:
         }
         for name, splits in split_runs.items()
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "queries_runs": runs,
-                "write_split": write_split,
-                "write_split_runs": split_runs,
-                "errors": errors,
-                "delta": _delta_vs_previous(timings),
-                "sf": sf,
-            }
-        )
-    )
+    delta = _delta_vs_previous(timings)
+    # Full per-run detail goes to a LOCAL file, committed as round
+    # evidence; the stdout line stays COMPACT. The recording harness
+    # captures only the last 2000 chars of stdout (BENCH_r04.json came
+    # back `parsed: null` because the single detail-laden line overflowed
+    # that buffer), so the final printed line must stay well under it.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "queries_runs": runs,
+        "write_split": write_split,
+        "write_split_runs": split_runs,
+        "errors": errors,
+        "delta": delta,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"warn: could not write BENCH_LOCAL.json: {e}", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "delta_vs": (delta or {}).get("vs"),
+        "regressions": (delta or {}).get("regressions"),
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # shrink cascade: never overflow the tail buffer
+        compact.pop("regressions", None)
+        compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(compact)
+    if len(line) > 1800:
+        compact["queries"] = {
+            n: t for n, t in sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+        }
+        compact["queries_truncated_to_slowest"] = 40
+        line = json.dumps(compact)
+    print(line)
 
 
 def _delta_vs_previous(timings: dict[str, float]) -> dict | None:
