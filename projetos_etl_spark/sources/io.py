@@ -237,17 +237,30 @@ def retention_sweep(spark: SparkSession, base: str, ts_col: str, cutoff: str) ->
     whole table to delete old rows; this is why layers are
     date-partitioned. See ``registry/sources.maintenance_retention_sweep``
     for the audited entry and tests/test_sources.py for the
-    file-identity pin on the untouched partitions."""
-    import shutil
+    file-identity pin on the untouched partitions.
+
+    Deletes go through the Hadoop ``FileSystem`` API resolved from the
+    layer path, so the same code drops partition directories on local
+    FS, HDFS, or an object store (``s3a://``) — partition drops ARE
+    metadata ops at every tier, but only the FS client knows how (a
+    POSIX ``rmtree`` on an S3 path would be wrong). On a catalog-backed
+    table (Hive/Iceberg/Delta) the catalog owns deletes instead —
+    ``ALTER TABLE ... DROP PARTITION`` / ``DELETE WHERE`` — this helper
+    is for the path-addressed layer directories this engine manages."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base_p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = base_p.getFileSystem(hconf)
 
     cutoff_day = cutoff[:10]
-    for entry in sorted(os.listdir(base)):
+    for status in fs.listStatus(base_p):
+        entry = status.getPath().getName()
         if not entry.startswith("d="):
             continue
         if entry[2:] < cutoff_day:
-            shutil.rmtree(os.path.join(base, entry))  # metadata-only drop
+            fs.delete(status.getPath(), True)  # recursive; metadata-only drop
     bpath = f"{base}/d={cutoff_day}"
-    if os.path.isdir(bpath):
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(bpath)):
         boundary = spark.read.parquet(bpath).filter(
             F.col(ts_col) >= F.lit(cutoff).cast("timestamp")
         )
