@@ -265,9 +265,15 @@ def ivf_pq_topk(
     from pyspark.sql import Window
 
     # ONE TakeOrdered sample collect serves both trainers: IVF trains on
-    # the raw rows, PQ on the same rows L2-normalized in numpy (bitwise
-    # the rows a fresh normalize=True draw would return, hash order is
-    # value-independent) — halves the training-job count per call.
+    # the raw rows, PQ on the same rows L2-normalized in numpy — halves
+    # the training-job count per call. The numpy normalization is NOT
+    # bitwise identical to a fresh normalize=True draw (np.sum pairwise-
+    # sums vs the SQL path's sequential fold — last-ulp divergence), and
+    # zero vectors deliberately stay zeros here rather than the SQL
+    # path's NaN; both are fine for TRAINING (codebooks are k-means
+    # cluster means, ulp-level input jitter moves no assignment that
+    # wasn't already a coin flip, and the exact rerank absorbs any
+    # residual), but codebooks may differ at the ulp from a two-draw run.
     x_raw = _train_sample(candidates, id_col, vec_col, TRAIN_SAMPLE, 997)
     norms = np.sqrt((x_raw * x_raw).sum(axis=1, keepdims=True))
     x_norm = x_raw / np.where(norms == 0.0, 1.0, norms)

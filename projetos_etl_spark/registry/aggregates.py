@@ -840,28 +840,29 @@ def agg_moments_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
         SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
-               round(sum(o.o_totalprice), 2) AS spend
+               CAST(round(round(sum(o.o_totalprice), 2) * 100, 0) AS BIGINT)
+                   AS spend_c
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT segment, custkey, spend,
-               sum(spend) OVER (PARTITION BY segment
-                                ORDER BY spend DESC, custkey) AS cum,
+        SELECT segment, custkey, spend_c,
+               sum(spend_c) OVER (PARTITION BY segment
+                                  ORDER BY spend_c DESC, custkey) AS cum_c,
                row_number() OVER (PARTITION BY segment
-                                  ORDER BY spend DESC, custkey) AS rk
+                                  ORDER BY spend_c DESC, custkey) AS rk
         FROM spend
     ),
     tot AS (
-        SELECT segment, custkey, spend, cum, rk,
-               max(cum) OVER (PARTITION BY segment) AS total
+        SELECT segment, custkey, spend_c, cum_c, rk,
+               max(cum_c) OVER (PARTITION BY segment) AS total_c
         FROM ranked
     )
     SELECT segment,
            CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(CASE WHEN cum - spend < 0.8 * total THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_top80,
-           round(sum(CASE WHEN rk <= 10 THEN spend ELSE 0 END) / max(total), 6)
+           CAST(sum(CASE WHEN 10 * (cum_c - spend_c) < 8 * total_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           round(sum(CASE WHEN rk <= 10 THEN spend_c ELSE 0 END) / max(total_c), 6)
                AS top10_share
     FROM tot GROUP BY segment ORDER BY segment
     """,
@@ -874,9 +875,13 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     `graph_degree_stats` reads off the purchase graph). Plan: one
     grouped sum, one window sort per segment over the CUSTOMER-grain
     rows (already reduced — never the raw facts), then a one-row-per-
-    segment aggregate. The cumulative threshold compare is engine-
-    stable because both engines fold the identical 2dp-rounded values
-    in the identical (spend DESC, custkey) frame order."""
+    segment aggregate. The cumulative threshold compare is integer-
+    exact: per-customer spend is fixed to BIGINT cents before the
+    window, so the running sum folds identically in both engines
+    regardless of how each associates float additions (a double
+    running sum put the 80% boundary on an ulp coin-flip — ADVICE r4);
+    the 0.8 threshold becomes the integer compare 10*(cum-spend) <
+    8*total."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -884,27 +889,35 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("custkey"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .agg(
+            F.round(F.round(F.sum("o_totalprice"), 2) * 100, 0)
+            .cast("long")
+            .alias("spend_c")
+        )
     )
-    wo = Window.partitionBy("segment").orderBy(F.col("spend").desc(), "custkey")
+    wo = Window.partitionBy("segment").orderBy(F.col("spend_c").desc(), "custkey")
     wp = Window.partitionBy("segment")
     ranked = spend.select(
         "segment",
         "custkey",
-        "spend",
-        F.sum("spend").over(wo).alias("cum"),
+        "spend_c",
+        F.sum("spend_c").over(wo).alias("cum_c"),
         F.row_number().over(wo).alias("rk"),
-    ).withColumn("total", F.max("cum").over(wp))
+    ).withColumn("total_c", F.max("cum_c").over(wp))
     return (
         ranked.groupBy("segment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.sum(((F.col("cum") - F.col("spend")) < 0.8 * F.col("total")).cast("int"))
+            F.sum(
+                (10 * (F.col("cum_c") - F.col("spend_c")) < 8 * F.col("total_c")).cast(
+                    "int"
+                )
+            )
             .cast("long")
             .alias("n_top80"),
             F.round(
-                F.sum(F.when(F.col("rk") <= 10, F.col("spend")).otherwise(0.0))
-                / F.max("total"),
+                F.sum(F.when(F.col("rk") <= 10, F.col("spend_c")).otherwise(F.lit(0)))
+                / F.max("total_c"),
                 6,
             ).alias("top10_share"),
         )

@@ -765,8 +765,14 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     day it computed, the other 3,650 partitions aren't listed, moved,
     or rewritten. Correctness is proven by the read-back: full-table
     aggregate equals the source-table oracle, i.e. the selective
-    overwrite changed exactly nothing it shouldn't have."""
-    out = tempfile.mkdtemp(prefix="pes_dynpart_")
+    overwrite changed exactly nothing it shouldn't have.
+
+    Scratch space is a FIXED per-host path reused (and fully rewritten,
+    STATIC overwrite) on every invocation rather than a fresh mkdtemp:
+    the returned DataFrame lazily reads from it, so a finally-rmtree
+    would race the caller's collect, and fresh temp dirs accumulated a
+    table copy per sweep (ADVICE r4)."""
+    out = os.path.join(tempfile.gettempdir(), "pes_dynpart_scratch")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")

@@ -46,7 +46,13 @@ def test_entry_parity_under_foreign_tz(name, spark, duck):
 def test_contract_is_applied_by_decorator(spark):
     from projetos_etl_spark.registry._core import ENGINE_SESSION_CONFS
 
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
-    all_queries()["q1_pricing_summary"](spark, SF_DIR)
-    for k, v in ENGINE_SESSION_CONFS.items():
-        assert spark.conf.get(k) == v
+    try:
+        all_queries()["q1_pricing_summary"](spark, SF_DIR)
+        for k, v in ENGINE_SESSION_CONFS.items():
+            assert spark.conf.get(k) == v
+    finally:
+        # On assertion failure the foreign TZ must not leak into the
+        # session-scoped fixture and cascade into unrelated tests.
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
