@@ -628,15 +628,64 @@ def er_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REG.add("graph_pagerank")  # iterative float fixpoint => rows-only check
+@REG.add(
+    "graph_pagerank",
+    # Fixed-iteration power method IS deterministic, so it oracles as a
+    # DuckDB recursive CTE replaying the same 10 rounds (VERDICT r4 #8).
+    # The recursive term mirrors the Spark plan's union-aggregate shape:
+    # one scan of the previous iteration produces inbound contributions
+    # (rank/deg over edges), base rows (degree carry), and the dangling
+    # mass (window total over deg=0 rows), then one GROUP BY folds them.
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (
+        SELECT v.id, COALESCE(d.deg, 0) AS deg
+        FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges) v
+        LEFT JOIN (SELECT src, count(*) AS deg FROM edges GROUP BY src) d
+          ON v.id = d.src
+    ),
+    pr AS (
+        SELECT 0 AS it, id, deg, CAST(1.0 AS DOUBLE) AS rank FROM deg
+        UNION ALL
+        SELECT it, id, deg,
+               0.15 + 0.85 * (inflow + dm / (SELECT count(*) FROM deg)) AS rank
+        FROM (
+            SELECT it + 1 AS it, id,
+                   max(deg) AS deg,
+                   sum(c) AS inflow,
+                   max(dmtot) AS dm
+            FROM (
+                SELECT p.it, e.dst AS id, NULL::BIGINT AS deg,
+                       p.rank / p.deg AS c, NULL::DOUBLE AS dmtot
+                FROM pr p JOIN edges e ON p.id = e.src AND p.deg > 0
+                UNION ALL
+                SELECT p.it, p.id, p.deg, CAST(0.0 AS DOUBLE) AS c,
+                       sum(CASE WHEN p.deg = 0 THEN p.rank ELSE 0 END)
+                           OVER () AS dmtot
+                FROM pr p
+            ) u
+            GROUP BY it, id
+        )
+        WHERE it <= 10
+    )
+    SELECT id, round(rank, 6) AS rank FROM pr WHERE it = 10 ORDER BY id
+    """,
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer->supplier purchase graph (distinct
     (o_custkey, l_suppkey) edges from orders x lineitem) — the iterative
     power-method operator (``operators/pagerank.py``). On a crawl corpus
     the same call ranks the hyperlink graph for crawl-frontier/quality
-    weighting. 10 fixed iterations for determinism; ranks rounded to 6.
-    Cross-checked against a dense numpy power iteration on the same edge
-    set in tests/test_dedup.py."""
+    weighting. 10 fixed iterations for determinism; ranks rounded to 6
+    (each engine sums float contributions in its own order; damping
+    contracts the per-round ulp noise so ~1e-15 relative never reaches
+    the 6th decimal at these rank magnitudes). Also cross-checked
+    against a dense numpy power iteration on the same edge set in
+    tests/test_dedup.py."""
     from projetos_etl_spark.operators.pagerank import pagerank
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")

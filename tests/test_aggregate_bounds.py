@@ -17,12 +17,10 @@ SCALES = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 def test_approx_count_distinct_within_3_rsd(spark, sf_dir):
     rows = agg_count_distinct_approx(spark, sf_dir).collect()
     assert rows, "entry returned no groups"
-    for r in rows:
-        rel_err = abs(r.approx_parts - r.exact_parts) / r.exact_parts
-        assert rel_err <= 3 * 0.02, (
-            f"group {r[0]!r}: approx {r.approx_parts} vs exact {r.exact_parts} "
-            f"-> rel err {rel_err:.4f} > 0.06"
-        )
+    # The entry computes the 3-rsd band flag itself (oracle pins it true).
+    assert all(r.est_within_band for r in rows), [
+        (r[0], r.exact_parts) for r in rows if not r.est_within_band
+    ]
 
 
 @pytest.mark.parametrize("sf_dir", SCALES, ids=[os.path.basename(s) for s in SCALES])
@@ -37,17 +35,22 @@ def test_percentile_approx_rank_error(spark, sf_dir):
 
     rows = agg_percentile_approx(spark, sf_dir).collect()
     assert rows
+    # The entry computes its own (wider, 0.495-0.505) band flag; it must
+    # hold everywhere — the oracle pins it true, so a regression here
+    # would also hash-mismatch at the driver.
+    assert all(r.est_within_band for r in rows)
     orders = load_table(spark, sf_dir, "orders")
     for r in rows:
         band = (
             orders.filter(F.col("o_orderstatus") == r[0])
             .agg(
+                F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx"),
                 F.expr("percentile(o_totalprice, 0.498)").alias("lo"),
                 F.expr("percentile(o_totalprice, 0.502)").alias("hi"),
             )
             .collect()[0]
         )
-        assert band.lo <= r.approx_median <= band.hi, (
-            f"group {r[0]!r}: approx {r.approx_median} outside "
+        assert band.lo <= band.approx <= band.hi, (
+            f"group {r[0]!r}: approx {band.approx} outside "
             f"[{band.lo}, {band.hi}] (exact {r.exact_median})"
         )
