@@ -187,3 +187,72 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vmax", 6).alias("scale_max"),
         F.md5(F.array_join(codes, ",").cast("binary")).alias("q_md5"),
     )
+
+
+EMB_DIM = 64
+_PCA_ITERS = 300
+
+
+def _pca_oracle() -> str:
+    """Replay of operators/pca.py with the same determinism contract:
+    raw moments -> mu and covariance fixed to 9 decimals (DuckDB round
+    = Spark HALF_UP), power iteration from the exact double 1/8 as a
+    recursive CTE (one reference; the per-step norm is a window total
+    over the aggregated mat-vec result, the pagerank trick), scores
+    rounded to 6 — engine float-order noise sits ~6 orders below both
+    roundings."""
+    return f"""
+    WITH RECURSIVE
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pos AS (SELECT i FROM generate_series(1, {EMB_DIM}) t(i)),
+    mu AS (
+        SELECT i, round(sum(v[i]) / count(*), 9) AS m
+        FROM e, pos GROUP BY i
+    ),
+    cov AS (
+        SELECT p.i, q.i AS j,
+               round(sum(e.v[p.i] * e.v[q.i]) / count(*) - mi.m * mj.m, 9) AS c
+        FROM e, pos p, pos q
+        JOIN mu mi ON mi.i = p.i
+        JOIN mu mj ON mj.i = q.i
+        GROUP BY p.i, q.i, mi.m, mj.m
+    ),
+    pw AS (
+        SELECT 0 AS it, i, CAST(0.125 AS DOUBLE) AS val FROM pos
+        UNION ALL
+        SELECT it, i, w / sqrt(sum(w * w) OVER ()) AS val
+        FROM (
+            SELECT p.it + 1 AS it, c.i, sum(c.c * p.val) AS w
+            FROM pw p JOIN cov c ON c.j = p.i
+            GROUP BY p.it, c.i
+        )
+        WHERE it <= {_PCA_ITERS}
+    ),
+    v1 AS (SELECT i, val FROM pw WHERE it = {_PCA_ITERS})
+    SELECT e.vec_id,
+           round(sum((e.v[v1.i] - mu.m) * v1.val), 6) AS pc1_score
+    FROM e, v1 JOIN mu ON mu.i = v1.i
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+@REG.add("emb_pca_top_component", oracle=_pca_oracle())
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: every vector's projection onto the corpus's top
+    principal component (``operators/pca.py``) — the embedding-drift /
+    dominant-direction audit (e.g. detecting a degenerate "rogue
+    dimension" before it poisons cosine similarity). 100 TB posture:
+    ONE corpus pass computes Arrow-batched partial Gram matrices
+    (vectorized X^T X per batch — the d^2-blowup case built-ins can't
+    express without multiplying the row count by 4096), partials reduce
+    in a single <= d^2-group shuffle, the 64 x 64 eigenproblem is
+    driver math, and scoring is a broadcast-literal codegen fold. The
+    covariance is fixed to 9 decimals before iteration so the DuckDB
+    recursive-CTE oracle folds identical inputs."""
+    from projetos_etl_spark.operators.pca import pca_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_scores(emb, "vec_id", "embedding", EMB_DIM)
