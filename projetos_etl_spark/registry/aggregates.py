@@ -1116,3 +1116,100 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_bin", "price_bin")
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@REG.add(
+    "agg_corr_matrix",
+    # corr from raw moments: (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) *
+    # sqrt(n*Syy - Sy^2)) — one scan collects every sum, the matrix is
+    # assembled from the single stats row. Engine float-order noise in
+    # the sums is ~1e-15 relative, 9 orders below the 6dp rounding.
+    oracle="""
+    WITH s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(l_quantity) AS s1, sum(l_extendedprice) AS s2,
+               sum(l_discount) AS s3, sum(l_tax) AS s4,
+               sum(l_quantity * l_quantity) AS q11,
+               sum(l_extendedprice * l_extendedprice) AS q22,
+               sum(l_discount * l_discount) AS q33,
+               sum(l_tax * l_tax) AS q44,
+               sum(l_quantity * l_extendedprice) AS q12,
+               sum(l_quantity * l_discount) AS q13,
+               sum(l_quantity * l_tax) AS q14,
+               sum(l_extendedprice * l_discount) AS q23,
+               sum(l_extendedprice * l_tax) AS q24,
+               sum(l_discount * l_tax) AS q34
+        FROM lineitem
+    )
+    SELECT col_x, col_y,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr,
+           CAST(n AS BIGINT) AS n_rows
+    FROM (
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+               n, s1 AS sx, s2 AS sy, q11 AS sxx, q22 AS syy, q12 AS sxy FROM s
+        UNION ALL SELECT 'l_quantity', 'l_discount',
+               n, s1, s3, q11, q33, q13 FROM s
+        UNION ALL SELECT 'l_quantity', 'l_tax',
+               n, s1, s4, q11, q44, q14 FROM s
+        UNION ALL SELECT 'l_extendedprice', 'l_discount',
+               n, s2, s3, q22, q33, q23 FROM s
+        UNION ALL SELECT 'l_extendedprice', 'l_tax',
+               n, s2, s4, q22, q44, q24 FROM s
+        UNION ALL SELECT 'l_discount', 'l_tax',
+               n, s3, s4, q33, q44, q34 FROM s
+    )
+    ORDER BY col_x, col_y
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures in
+    ONE corpus pass — the feature-selection / multicollinearity audit
+    that precedes model training. All 15 raw moments (4 sums, 4 sum-of-
+    squares, 6 cross-products, count) come from a single partial-
+    aggregated reduce; the 6-pair matrix is assembled from that one
+    stats row (a 1-row broadcast, no second scan). The same moments are
+    mergeable, so at 100 TB this is a map-side-combined single shuffle
+    of one row per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(F.col(a)).alias(f"s{i}"))
+        for j, b in enumerate(cols):
+            if i <= j:
+                aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"q{i}{j}"))
+    # ONE job collects the single stats row (bounded driver state: 15
+    # doubles) — unioning 6 selects over the agg subplan instead would
+    # replan the scan per branch (measured: 12 FileScans, 0 reuse).
+    s = li.agg(*aggs).collect()[0].asDict()
+    pair_rows = [
+        (a, b, s["n"], s[f"s{i}"], s[f"s{j}"], s[f"q{i}{i}"], s[f"q{j}{j}"], s[f"q{i}{j}"])
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+        if i < j
+    ]
+    pairs = spark.createDataFrame(
+        pair_rows,
+        "col_x string, col_y string, n double, sx double, sy double, "
+        "sxx double, syy double, sxy double",
+    )
+    # corr + rounding computed as Spark column expressions so the
+    # HALF_UP semantics match the oracle exactly.
+    return pairs.select(
+        "col_x",
+        "col_y",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr"),
+        F.col("n").cast("long").alias("n_rows"),
+    ).orderBy("col_x", "col_y")

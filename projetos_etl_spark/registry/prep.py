@@ -2995,3 +2995,88 @@ def ts_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+#: Poisson-bootstrap constants: replicate count, the Poisson(1) inverse-CDF
+#: thresholds (exact double literals, identical in both engines), and the
+#: Knuth-style mixing constants for the deterministic per-(row, replicate)
+#: uniform draw.
+BOOT_B = 64
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402",
+)
+_BOOT_K1, _BOOT_K2, _BOOT_C, _BOOT_M = 2654435761, 40503, 12345, 4294967296
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "\n".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
+
+
+@REG.add(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+        SELECT o.o_orderstatus AS status, b.b,
+               sum(w * o.o_totalprice) / sum(w) AS m
+        FROM orders o, (SELECT unnest(range(0, {BOOT_B})) AS b) b,
+             LATERAL (
+                SELECT {_pois_case_sql(
+                    f"CAST((o.o_orderkey * {_BOOT_K1} + b.b * {_BOOT_K2} + {_BOOT_C}) "
+                    f"% {_BOOT_M} AS DOUBLE) / {_BOOT_M}")} AS w
+             ) p
+        GROUP BY 1, 2
+    )
+    SELECT status,
+           round(avg(m), 6) AS boot_mean,
+           round(list_sort(list(m))[2], 6)  AS ci_lo,
+           round(list_sort(list(m))[63], 6) AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n_replicates
+    FROM reps GROUP BY status ORDER BY status
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson bootstrap of the per-group mean with a 95% CI —
+    the large-scale bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): instead of resampling the
+    corpus B times (impossible at 100 TB), each row draws B independent
+    Poisson(1) replicate weights, so ONE scan + one partial-aggregated
+    shuffle of B rows per group yields all replicate means. The weights
+    are a deterministic Knuth-hash inverse-CDF draw, so both engines
+    produce identical integers; the CI bounds are explicit order
+    statistics of the 64 replicate means (list_sort[k] in both engines
+    — no percentile-convention mismatch). Replicate means differ across
+    engines only at accumulation-order ulp, 8+ orders below the
+    6-decimal rounding and the inter-replicate spread."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    u = (
+        (F.col("o_orderkey") * _BOOT_K1 + F.col("b") * _BOOT_K2 + _BOOT_C) % _BOOT_M
+    ).cast("double") / _BOOT_M
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < float(_POIS_CDF[k]), k).otherwise(w)
+    reps = (
+        o.select("*", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"))
+        .select("o_orderstatus", "b", w.alias("w"), "o_totalprice")
+        .groupBy(F.col("o_orderstatus").alias("status"), "b")
+        .agg(
+            (F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m")
+        )
+    )
+    ms = F.sort_array(F.collect_list("m"))
+    return (
+        reps.groupBy("status")
+        .agg(
+            F.round(F.avg("m"), 6).alias("boot_mean"),
+            F.round(ms[1], 6).alias("ci_lo"),
+            F.round(ms[62], 6).alias("ci_hi"),
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        )
+        .orderBy("status")
+    )

@@ -596,3 +596,48 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             F.date_format("e_ts", TS_FMT_SPARK).alias("error_ts"),
         )
     )
+
+
+@REG.add(
+    "stream_sliding_topk",
+    oracle=f"""
+    WITH counts AS (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{HOUR_FMT_DUCK}')
+                   AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type) AS INTEGER) AS rank
+        FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: per-hour top-3 event types by count. The
+    windowed count is a REAL streaming aggregation (complete-mode memory
+    sink); the rank is a batch window over the materialized sink table —
+    the standard split, because per-window top-k needs the window's
+    final counts (rank-on-stream would emit provisional leaders). At
+    100 TB the sink is a compacted table and the rank runs partition-
+    local per window key with a deterministic (count DESC, type)
+    tie-break."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "complete")
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        out.select(
+            F.date_format("w.start", HOUR_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )

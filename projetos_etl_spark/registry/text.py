@@ -396,3 +396,113 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "tfidf")
         .orderBy("doc_id", "term")
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@REG.add(
+    "text_bigram_pmi",
+    # PMI from INTEGER counts: ln((c_xy * N_uni^2) / (N_bi * c_x * c_y))
+    # — both engines divide the same BIGINT products as doubles, so the
+    # ln input is bit-identical (no accumulated-float hazard). BIGINT
+    # headroom: the numerator tops out ~1e17 at sf0.1; at warehouse
+    # scale promote the products to DOUBLE before multiplying.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents
+    ),
+    uni AS (
+        SELECT t AS w, count(*) AS c FROM toks, unnest(ts) AS u(t) GROUP BY t
+    ),
+    bi AS (
+        SELECT pair[1] AS w1, pair[2] AS w2, count(*) AS c
+        FROM toks,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> [ts[i], ts[i + 1]])) AS u(pair)
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT (SELECT sum(c) FROM uni) AS n_uni,
+               (SELECT sum(c) FROM bi) AS n_bi
+    ),
+    scored AS (
+        SELECT b.w1, b.w2, b.c AS pair_count,
+               ln(CAST(b.c * t.n_uni * t.n_uni AS DOUBLE)
+                  / CAST(t.n_bi * u1.c * u2.c AS DOUBLE)) AS pmi
+        FROM bi b
+        JOIN uni u1 ON u1.w = b.w1
+        JOIN uni u2 ON u2.w = b.w2
+        CROSS JOIN tot t
+        WHERE b.c >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+           round(pmi, 6) AS pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{50} bigram collocations by pointwise mutual information —
+    the corpus-analysis op behind tokenizer-merge candidates and
+    boilerplate discovery (a high-PMI pair like "los angeles" co-occurs
+    far above unigram chance). Plan: ONE tokenize pass feeds both the
+    unigram and bigram counts (two partial-aggregated shuffles on the
+    word keys); the vocabulary-sized unigram table broadcast-joins back
+    onto the bigram counts; corpus totals ride along as two 1-row
+    broadcast scalars; top-k is TakeOrderedAndProject on the exact PMI
+    double (identical in both engines — computed from one integer-ratio
+    division) with a (w1, w2) tie-break."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("ts")
+    )
+    n = F.size("ts")
+    bigrams = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, n - 1).alias("w1"),
+                F.slice("ts", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= PMI_MIN_COUNT)
+    )
+    totals = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bigrams.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))  # 1-row scalar
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("pair_count"),
+            F.log(
+                (F.col("c") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                / (F.col("n_bi") * F.col("c1") * F.col("c2")).cast("double")
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+        .select("w1", "w2", "pair_count", F.round("pmi", 6).alias("pmi"))
+    )
