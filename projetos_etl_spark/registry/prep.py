@@ -3080,3 +3080,204 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+L_DIVERSITY_MIN = 3
+
+
+@REG.add(
+    "privacy_l_diversity_audit",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS cell_n,
+               count(DISTINCT CAST(c_acctbal < 0 AS INTEGER)
+                     * 2 + CAST(c_acctbal >= 5000 AS INTEGER)) AS l_distinct
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(l_distinct) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l_distinct < {L_DIVERSITY_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_diversity_cells,
+           CAST(sum(CASE WHEN l_distinct < {L_DIVERSITY_MIN} THEN cell_n ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           round(sum(CASE WHEN l_distinct < {L_DIVERSITY_MIN} THEN cell_n ELSE 0 END)
+                 * 1.0 / sum(cell_n), 6) AS risk_fraction
+    FROM cells
+    """,
+)
+def privacy_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the k-anonymity complement: a cell can hold
+    >= k individuals yet still leak if they all share the same SENSITIVE
+    value (here a 3-band account-balance class as the sensitive
+    attribute). Counts, per quasi-identifier cell (nation x segment),
+    the distinct sensitive classes; cells below l leak by homogeneity.
+    Same cost shape as ``privacy_k_anonymity_audit``: one mergeable
+    count-distinct aggregate over the cell key (tiny distinct domain —
+    3 classes — so the expand is bounded), then an O(cells) rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    sensitive = (F.col("c_acctbal") < 0).cast("int") * 2 + (
+        F.col("c_acctbal") >= 5000
+    ).cast("int")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cell_n"),
+        F.countDistinct(sensitive).alias("l_distinct"),
+    )
+    low = F.col("l_distinct") < L_DIVERSITY_MIN
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.sum(low.cast("int")).cast("long").alias("n_low_diversity_cells"),
+        F.sum(F.when(low, F.col("cell_n")).otherwise(0)).cast("long").alias(
+            "n_rows_at_risk"
+        ),
+        F.round(
+            F.sum(F.when(low, F.col("cell_n")).otherwise(0)) / F.sum("cell_n"), 6
+        ).alias("risk_fraction"),
+    )
+
+
+@REG.add(
+    "feat_woe_encoding",
+    # WOE from smoothed INTEGER counts: ln(((pos+0.5)/P) / ((neg+0.5)/N))
+    # — both engines take ln of the same double (one division of
+    # half-integer products), so no accumulated-float hazard. IV is the
+    # standard sum((pos_share - neg_share) * woe) over categories.
+    oracle="""
+    WITH lab AS (
+        SELECT c.c_mktsegment AS category,
+               CAST(o.o_orderpriority = '1-URGENT' AS INTEGER) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cat AS (
+        SELECT category, sum(y) AS pos, count(*) - sum(y) AS neg
+        FROM lab GROUP BY category
+    ),
+    tot AS (SELECT sum(pos) AS p_tot, sum(neg) AS n_tot FROM cat)
+    SELECT category,
+           CAST(pos AS BIGINT) AS n_pos,
+           CAST(neg AS BIGINT) AS n_neg,
+           round(ln(((pos + 0.5) / p_tot) / ((neg + 0.5) / n_tot)), 6) AS woe,
+           round(((pos + 0.5) / p_tot - (neg + 0.5) / n_tot)
+                 * ln(((pos + 0.5) / p_tot) / ((neg + 0.5) / n_tot)), 9) AS iv_term
+    FROM cat, tot
+    ORDER BY category
+    """,
+)
+def feat_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence target encoding per category (market segment
+    vs the is-urgent label) with the per-category information-value
+    term — the credit-scoring-style supervised encoder that, unlike
+    ``feat_target_encode_loo``, yields a log-odds scale directly usable
+    by linear models. 0.5 Laplace smoothing keeps empty classes finite.
+    One mergeable count aggregate on the category key; totals ride as a
+    1-row broadcast scalar; everything else is per-category arithmetic
+    on integers."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    lab = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("category"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    )
+    cat = lab.groupBy("category").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    tot = cat.agg(F.sum("pos").alias("p_tot"), F.sum("neg").alias("n_tot"))
+    pos_share = (F.col("pos") + 0.5) / F.col("p_tot")
+    neg_share = (F.col("neg") + 0.5) / F.col("n_tot")
+    woe = F.log(pos_share / neg_share)
+    return (
+        cat.crossJoin(F.broadcast(tot))  # 1-row scalar
+        .select(
+            "category",
+            F.col("pos").cast("long").alias("n_pos"),
+            F.col("neg").cast("long").alias("n_neg"),
+            F.round(woe, 6).alias("woe"),
+            F.round((pos_share - neg_share) * woe, 9).alias("iv_term"),
+        )
+        .orderBy("category")
+    )
+
+
+@REG.add(
+    "ts_changepoint_cusum",
+    # The CUSUM statistic is computed INTEGER-EXACT: with S_t the running
+    # sum of hourly counts and T the series total over n hours,
+    # n*(S_t - t*mean) = n*S_t - t*T needs no float fold at all — the
+    # agg_pareto_concentration lesson (running doubles put boundary
+    # compares on an ulp coin-flip between engines) applied upfront.
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS h,
+               count(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, h, x,
+               sum(x) OVER (PARTITION BY event_type ORDER BY h) AS s,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS t,
+               sum(x) OVER (PARTITION BY event_type) AS total,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    scored AS (
+        SELECT event_type,
+               strftime(h, '{HOUR_FMT_DUCK}') AS cp_hour,
+               abs(n * s - t * total) AS c_abs, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(n * s - t * total) DESC, h) AS rk
+        FROM cum
+    )
+    SELECT event_type, cp_hour,
+           CAST(c_abs AS BIGINT) AS cusum_scaled,
+           round(c_abs * 1.0 / n, 4) AS cusum_peak,
+           CAST(n AS BIGINT) AS n_hours
+    FROM scored WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type over the hourly count
+    series: the hour where the cumulative deviation from the series
+    mean peaks — the standard level-shift locator for monitoring
+    pipeline volumes (a tokenizer change, a crawler outage). Plan: one
+    hourly pre-aggregate (mergeable counts), then partition-local
+    windows per event type — no second shuffle, since running sum, row
+    number, and the partition totals share one window key. The argmax
+    tie-breaks on the earlier hour."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("h")
+    wp = Window.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.sum("x").over(wo).alias("s"),
+        F.row_number().over(wo).alias("t"),
+        F.sum("x").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    c_abs = F.abs(F.col("n") * F.col("s") - F.col("t") * F.col("total"))
+    scored = cum.select(
+        "event_type",
+        F.date_format("h", HOUR_FMT_SPARK).alias("cp_hour"),
+        c_abs.alias("c_abs"),
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(c_abs.desc(), "h"))
+        .alias("rk"),
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "cp_hour",
+            F.col("c_abs").cast("long").alias("cusum_scaled"),
+            F.round(F.col("c_abs") / F.col("n"), 4).alias("cusum_peak"),
+            F.col("n").cast("long").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
