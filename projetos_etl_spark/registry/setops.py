@@ -120,3 +120,57 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@REG.add(
+    "set_intersect_all",
+    oracle="""
+    SELECT nationkey, CAST(count(*) AS BIGINT) AS multiplicity FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each nation key survives
+    min(count_left, count_right) times — the multiplicity-preserving
+    variant a reconciliation diff needs (plain INTERSECT collapses to
+    one row and hides count drift). Spark plans ``intersectAll`` as a
+    counted hash aggregate per side, same single-shuffle economics as
+    the distinct form; the result is re-aggregated to (key,
+    multiplicity) so the compare is order-free."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        cust.intersectAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .orderBy("nationkey")
+    )
+
+
+@REG.add(
+    "set_except_all",
+    oracle="""
+    SELECT nationkey, CAST(count(*) AS BIGINT) AS multiplicity FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey ORDER BY nationkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): per key, max(count_left -
+    count_right, 0) surviving rows — the exact "what's left after
+    cancelling matches" diff (the distinct EXCEPT would drop a key with
+    1000 left rows the moment ONE right row exists). Same counted-
+    aggregate plan shape as ``set_intersect_all``."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        cust.exceptAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .orderBy("nationkey")
+    )

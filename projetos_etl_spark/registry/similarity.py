@@ -256,3 +256,94 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pca_scores(emb, "vec_id", "embedding", EMB_DIM)
+
+
+@REG.add(
+    "eval_ndcg_at_k",
+    # NDCG from the exact top-k retrieval with binary label relevance:
+    # per-rank gains 1/log2(rank+1) are identical double literals in
+    # both engines; the 5-term sums differ only at fold-order ulp, far
+    # below the 6dp rounding. idcg=0 (no relevant neighbor) yields
+    # ndcg=0 via an explicit guard — not NULL, not a div-zero.
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS neighbor_id, c.label AS c_label,
+               round(
+                 list_sum(list_transform(generate_series(1, len(q.v)),
+                                         i -> q.v[i] * c.v[i]))
+                 / (sqrt(list_sum(list_transform(q.v, t -> t * t)))
+                    * sqrt(list_sum(list_transform(c.v, t -> t * t)))), 6)
+                   AS cosine_sim
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ), topk AS (
+        SELECT query_id,
+               CAST(q_label = c_label AS INTEGER) AS rel,
+               rank,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY CAST(q_label = c_label AS INTEGER) DESC, rank)
+                   AS ideal_rank
+        FROM ranked WHERE rank <= {TOP_K}
+    )
+    SELECT query_id,
+           CAST(sum(rel) AS BIGINT) AS n_relevant,
+           round(sum(rel / log2(rank + 1.0)), 6) AS dcg,
+           round(CASE WHEN sum(rel) = 0 THEN 0.0
+                      ELSE sum(rel / log2(rank + 1.0))
+                           / sum(rel / log2(ideal_rank + 1.0)) END, 6) AS ndcg
+    FROM topk GROUP BY query_id ORDER BY query_id
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@{TOP_K} of the exact cosine
+    top-k against binary label relevance (neighbor shares the query's
+    cluster label) — the metric that grades an embedding space /
+    retriever before it feeds RAG or dedup decisions. Reuses the
+    brute-force retrieval (broadcast bounded query set); the ideal
+    ranking is the same rows re-ranked relevant-first, so IDCG needs no
+    second retrieval. The eval itself is O(|Q| * k) post-join work."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    topk = brute_force_topk(queries, emb, k=TOP_K)
+    labels = emb.select("vec_id", "label")
+    ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "q_label"
+    )
+    cl = labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "label", "c_label"
+    )
+    rel = (
+        topk.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(cl), "neighbor_id")
+        .select(
+            "query_id",
+            (F.col("q_label") == F.col("c_label")).cast("int").alias("rel"),
+            "rank",
+        )
+    )
+    ideal = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "rank")
+    )
+    scored = rel.withColumn("ideal_rank", ideal)
+    dcg = F.sum(F.col("rel") / F.log2(F.col("rank") + 1.0))
+    idcg = F.sum(F.col("rel") / F.log2(F.col("ideal_rank") + 1.0))
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("long").alias("n_relevant"),
+            F.round(dcg, 6).alias("dcg"),
+            F.round(
+                F.when(F.sum("rel") == 0, F.lit(0.0)).otherwise(dcg / idcg), 6
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

@@ -506,3 +506,74 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOP_K)
         .select("w1", "w2", "pair_count", F.round("pmi", 6).alias("pmi"))
     )
+
+
+BPE_MERGE_TOP_K = 10
+
+
+@REG.add(
+    "text_bpe_merge_step",
+    # One BPE training round: adjacent-symbol pair counts weighted by
+    # word frequency. Counting is over the DISTINCT word table (weight =
+    # word count), so the pair expansion touches vocabulary-sized data,
+    # not the corpus — exactly how real BPE trainers scale.
+    oracle=f"""
+    WITH words AS (
+        SELECT w, count(*) AS wc
+        FROM documents,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> len(t) > 1)) AS u(w)
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT cs[i] || cs[i + 1] AS pair, sum(wc) AS pair_count
+        FROM (SELECT w, wc, string_split(w, '') AS cs FROM words),
+             unnest(range(1, len(cs))) AS g(i)
+        GROUP BY 1
+    )
+    SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
+    FROM pairs
+    ORDER BY pair_count DESC, pair
+    LIMIT {BPE_MERGE_TOP_K}
+    """,
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One byte-pair-encoding training step: the top merge candidates by
+    corpus-weighted adjacent-pair frequency — the inner loop of
+    tokenizer training (Sennrich et al. 2016). The corpus collapses to
+    the DISTINCT word table first (one shuffle, mergeable counts), so
+    the per-character pair expansion runs over the vocabulary — at
+    100 TB that's the difference between exploding 10^5 distinct words
+    and 10^11 corpus tokens. Top-k is TakeOrderedAndProject with a
+    lexicographic tie-break."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: F.length(t) > 1,
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = words.select("wc", F.split("w", "").alias("cs"))
+    n = F.size("cs")
+    pairs = chars.select(
+        "wc",
+        F.explode(
+            F.zip_with(
+                F.slice("cs", 1, n - 1),
+                F.slice("cs", 2, n - 1),
+                lambda a, b: F.concat(a, b),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_MERGE_TOP_K)
+    )
