@@ -1317,3 +1317,64 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") > 1)
         .orderBy("rep_key")
     )
+
+
+#: Bipartite-projection hub cap: customers linked to more suppliers than
+#: this are excluded from pair generation (a hub contributes C(d,2)
+#: pairs — one 10^6-degree node alone would emit 5*10^11 rows).
+PROJ_HUB_CAP = 50
+PROJ_TOP_K = 20
+
+
+@REG.add(
+    "graph_bipartite_projection",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    kept AS (
+        SELECT c, s FROM edges
+        WHERE c IN (SELECT c FROM edges GROUP BY c
+                    HAVING count(*) <= {PROJ_HUB_CAP})
+    )
+    SELECT a.s AS supp_a, b.s AS supp_b,
+           CAST(count(*) AS BIGINT) AS shared_customers
+    FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+    GROUP BY 1, 2
+    ORDER BY shared_customers DESC, supp_a, supp_b
+    LIMIT {PROJ_TOP_K}
+    """,
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the customer-supplier purchase graph onto
+    suppliers: edge weight = number of shared customers — the
+    co-occurrence projection behind "suppliers bought together"
+    recommendations and, on a doc-entity graph, entity co-mention
+    networks. Scale discipline: pair generation is a self-join keyed on
+    the customer, so each customer of degree d emits C(d,2) pairs —
+    hub customers above {PROJ_HUB_CAP} suppliers are EXCLUDED first
+    (the degree filter is one mergeable count, and the cap is mirrored
+    in the oracle), which bounds the blowup exactly like the
+    hot-bucket cap in ``dedup_near_minhash``. Top-k pairs via
+    TakeOrderedAndProject with an (a, b) tie-break."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg_ok = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d")).filter(
+        F.col("d") <= PROJ_HUB_CAP
+    )
+    kept = edges.join(deg_ok.select("c"), "c")
+    a = kept.select("c", F.col("s").alias("supp_a"))
+    b = kept.select("c", F.col("s").alias("supp_b"))
+    return (
+        a.join(b, (a.c == b.c) & (F.col("supp_a") < F.col("supp_b")))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_customers"))
+        .orderBy(F.col("shared_customers").desc(), "supp_a", "supp_b")
+        .limit(PROJ_TOP_K)
+    )

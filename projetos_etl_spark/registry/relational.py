@@ -1213,3 +1213,58 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+@REG.add(
+    "join_bucketed_no_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed co-located join — at 100 TB the single biggest
+    shuffle eliminator: both fact tables are written ONCE as bucketed +
+    sorted tables on the join key (here 8 buckets on the orderkey), and
+    every subsequent join on that key is a bucket-local sort-merge with
+    NO Exchange on either side (pinned in tests/test_plans.py; this
+    entry pins the RESULT so the driver verifies the bucketed read path
+    end-to-end, not just the plan shape). The write amortizes across
+    every downstream join — the classic layout investment for a fact
+    table joined daily."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("pes_bkt_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("pes_bkt_lineitem")
+    )
+    return (
+        spark.table("pes_bkt_lineitem")
+        .join(
+            spark.table("pes_bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
