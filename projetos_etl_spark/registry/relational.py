@@ -1241,6 +1241,19 @@ def join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    # A fresh session's metastore doesn't know tables a PREVIOUS process
+    # wrote, but their warehouse directories persist — saveAsTable then
+    # fails with LOCATION_ALREADY_EXISTS. Drop both ways: catalog entry
+    # if registered, orphaned location through the Hadoop FS API.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for tbl in ("pes_bkt_orders", "pes_bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        p = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{tbl}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
     (
         orders.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
