@@ -83,6 +83,15 @@ BENCH_QUERIES = [
     "join_bloom_prune",
     "agg_weighted_median",
     "graph_triangle_count",
+    # round 5 additions: distributed PCA (Arrow-batched Gram partials +
+    # driver power iteration), corpus collocations (two word-keyed
+    # shuffles), one-pass Poisson bootstrap (64x replicate explode), and
+    # the hub-capped bipartite projection (compare per-query across
+    # rounds, as above).
+    "emb_pca_top_component",
+    "text_bigram_pmi",
+    "sample_poisson_bootstrap",
+    "graph_bipartite_projection",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes

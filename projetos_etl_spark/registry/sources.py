@@ -796,3 +796,55 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("o_orderstatus")
     )
+
+
+@REG.add(
+    "scan_csv_multiline_quoted",
+    # The fixture text is single-line (pinned by tests), so newline
+    # injection + restore is an exact round-trip and the oracle works
+    # on the original view.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+    FROM documents
+    """,
+)
+def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV fields with EMBEDDED NEWLINES — the connector path that
+    breaks naive splittable scans: with ``multiLine=true`` Spark parses
+    quoted records spanning lines (and gives up input-split parallelism
+    for correctness — each file parses whole, which is why multiline
+    CSV at 100 TB should arrive as MANY files). Every space in the
+    document text is swapped for a newline before the quoted write, so
+    every row exercises the path; the restored corpus must digest-match
+    the original table exactly."""
+    out = os.path.join(tempfile.gettempdir(), "pes_mlcsv_scratch")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    ).write.mode("overwrite").option("header", True).option("quoteAll", True).csv(out)
+    back = (
+        spark.read.schema("doc_id long, text string")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+        .select("doc_id", F.regexp_replace("text", "\n", " ").alias("text"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id"),
+                            F.md5(F.col("text").cast("binary")).alias("h"),
+                        )
+                    )
+                ).getField("h"),
+            ).cast("binary")
+        ).alias("corpus_md5"),
+    )

@@ -127,3 +127,22 @@ def test_events_ts_physical_encoding_supported():
         f"normalize_ts_cols handles ({sorted(SUPPORTED_EVENTS_TS_PHYSICAL)}); "
         "extend projetos_etl_spark/sources/io.py:normalize_ts_cols."
     )
+
+
+def test_documents_text_is_single_line(spark):
+    """scan_csv_multiline_quoted's newline-injection round-trip (and its
+    oracle over the original view) is exact ONLY while the fixture text
+    contains no embedded newlines or double quotes; if the generator
+    ever changes that, fail HERE with a pointer, not in the entry."""
+    from pyspark.sql import functions as F
+
+    n_bad = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("text").contains("\n") | F.col("text").contains('"'))
+        .count()
+    )
+    assert n_bad == 0, (
+        f"FIXTURE DRIFT: {n_bad} documents.text rows now contain newlines "
+        "or quotes — rework scan_csv_multiline_quoted's injection scheme "
+        "(registry/sources.py) to a reversible encoding."
+    )
