@@ -3281,3 +3281,134 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Deterministic null-injection rate for the imputation demo: rows whose
+#: Knuth-mixed event_id lands in bucket 0 of 10 lose their value.
+_IMP_KNUTH, _IMP_MOD = 2654435761, 4294967296
+
+
+@REG.add(
+    "feat_impute_missing",
+    oracle=f"""
+    WITH holed AS (
+        SELECT event_type,
+               CASE WHEN (event_id * {_IMP_KNUTH}) % {_IMP_MOD} % 10 = 0
+                    THEN NULL ELSE value END AS value
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS grp_median
+        FROM holed WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT h.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN h.value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           round(max(m.grp_median), 6) AS imputed_median,
+           round(avg(h.value), 6) AS mean_before,
+           round(avg(COALESCE(h.value, m.grp_median)), 6) AS mean_after
+    FROM holed h JOIN med m ON h.event_type = m.event_type
+    GROUP BY h.event_type ORDER BY h.event_type
+    """,
+)
+def feat_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation with a missingness indicator — the
+    feature-table repair step before training (models don't take NULL;
+    dropping rows biases the sample). Nulls are injected by a
+    deterministic hash rule (the fixture ships complete, and a seeded
+    hole pattern keeps both engines bit-aligned — same device as
+    ``text_pii_redact``), then each group's exact median broadcast-joins
+    back (one aggregate + a map-side join: the same two-pass economics
+    as ``feat_target_encode_loo``; at 100 TB swap the exact median for
+    ``percentile_approx``). mean_before (null-skipping) vs mean_after
+    (imputed) quantifies the imputation's pull toward the median."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    holed = ev.select(
+        "event_type",
+        F.when(
+            (F.col("event_id") * _IMP_KNUTH) % _IMP_MOD % 10 == 0, F.lit(None)
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    med = (
+        holed.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("grp_median"))
+    )
+    return (
+        holed.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("int")).cast("long").alias("n_imputed"),
+            F.round(F.max("grp_median"), 6).alias("imputed_median"),
+            F.round(F.avg("value"), 6).alias("mean_before"),
+            F.round(F.avg(F.coalesce("value", "grp_median")), 6).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@REG.add(
+    "ts_seasonal_naive_error",
+    # Split point: the last 7 calendar days of the series are the
+    # holdout; the seasonal profile (avg hourly count by hour-of-day)
+    # trains on everything before. Counts are integers, so profile
+    # means are single divisions — identical doubles in both engines.
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    split AS (SELECT max(h) - INTERVAL 7 DAY AS cut FROM hourly),
+    profile AS (
+        SELECT event_type, extract(hour FROM h) AS hod,
+               sum(x) AS sx, count(*) AS nx
+        FROM hourly, split WHERE h < cut GROUP BY 1, 2
+    )
+    SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS n_holdout_hours,
+           round(avg(abs(t.x - p.sx * 1.0 / p.nx)), 6) AS mae,
+           round(max(abs(t.x - p.sx * 1.0 / p.nx)), 6) AS max_abs_err
+    FROM hourly t
+    JOIN split s ON t.h >= s.cut
+    JOIN profile p ON p.event_type = t.event_type
+                  AND p.hod = extract(hour FROM t.h)
+    GROUP BY t.event_type ORDER BY t.event_type
+    """,
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each holdout hour's
+    event volume with the training-window mean for that HOUR-OF-DAY and
+    report MAE — the baseline every real forecaster must beat, and the
+    cheapest volume-anomaly yardstick for pipeline monitoring. Plan:
+    one hourly pre-aggregate, a 1-row split scalar, a 24-row-per-type
+    profile broadcast back onto the holdout — no second wide shuffle.
+    The error terms divide integer sums, so both engines fold identical
+    doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    split = hourly.agg(
+        (F.max("h") - F.expr("INTERVAL 7 DAY")).alias("cut")
+    )
+    train = hourly.crossJoin(F.broadcast(split)).filter(F.col("h") < F.col("cut"))
+    profile = train.groupBy(
+        "event_type", F.hour("h").alias("hod")
+    ).agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("nx"))
+    holdout = hourly.crossJoin(F.broadcast(split)).filter(F.col("h") >= F.col("cut"))
+    pred = F.col("sx") * 1.0 / F.col("nx")
+    return (
+        holdout.withColumn("hod", F.hour("h"))
+        .join(F.broadcast(profile), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holdout_hours"),
+            F.round(F.avg(F.abs(F.col("x") - pred)), 6).alias("mae"),
+            F.round(F.max(F.abs(F.col("x") - pred)), 6).alias("max_abs_err"),
+        )
+        .orderBy("event_type")
+    )
