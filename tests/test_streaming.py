@@ -212,3 +212,35 @@ def test_stream_tumbling_matches_batch_tumbling(spark):
     got = norm(run_to_memory(tumbling_agg(stream), "complete"))
     want = norm(tumbling_agg(batch))
     assert got == want and len(want) > 0
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark):
+    """The 100 TB streaming-state posture: with the RocksDB state store
+    provider, per-key aggregation state spills to local disk instead of
+    living on the executor heap — the difference between 'state fits in
+    memory' and 'state fits on NVMe' for billion-key dedup/session
+    workloads. Same two-batch cross-state assertion as the in-memory
+    provider, so semantics are proven identical under the swap."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch1 = _events(spark, [(1, 10, 0, 2.0), (2, 10, 30, 3.0)])
+        batch2 = _events(spark, [(1, 11, 0, 5.0)])
+
+        def agg(stream):
+            return stream.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+            )
+
+        after_b1, after_b2 = _run_two_batches(spark, agg, batch1, batch2)
+        assert sorted(after_b1) == [(1, 1, 2.0), (2, 1, 3.0)]
+        # user 1's state carried across the batch boundary through RocksDB.
+        assert (1, 2, 7.0) in after_b2
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
