@@ -1360,10 +1360,19 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with an (a, b) tie-break."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # The edge set is referenced by the degree filter AND both self-join
+    # sides; the static plan duplicates the scan+join+distinct subtree
+    # per reference (measured: 8 FileScans, 0 ReusedExchange). Locally
+    # AQE's runtime shuffle reuse makes warm timings a wash (~3.2 s at
+    # sf0.1 either way), but one eager checkpoint of the (small,
+    # distinct) edge set guarantees the 100 TB fact tables are scanned
+    # ONCE regardless of reuse heuristics — same call operators/
+    # pagerank.py makes for its per-iteration edge scan.
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg_ok = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d")).filter(
         F.col("d") <= PROJ_HUB_CAP
