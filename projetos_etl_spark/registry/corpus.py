@@ -436,3 +436,64 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (start % PACK_CAPACITY).cast("int").alias("bin_offset"),
     )
 
+
+
+#: Temperature-sampling exponent (alpha = 1/T): 0.5 is the mBERT/XLM-R
+#: convention — upweights small sources, caps the head's dominance.
+MIX_ALPHA = 0.5
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+@REG.add(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT *, pow(n_tokens, {MIX_ALPHA}) AS w_raw,
+               sum(pow(n_tokens, {MIX_ALPHA})) OVER () AS w_tot
+        FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(w_raw / w_tot, 6) AS mix_weight,
+           round({MIX_TOKEN_BUDGET} * (w_raw / w_tot) / n_tokens, 6)
+               AS epochs_at_budget
+    FROM w ORDER BY source
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based sampling weights per source (weight ∝
+    tokens^alpha, alpha=0.5 — the multilingual/domain mix rule
+    from the XLM-R lineage) plus the epochs each source would run to
+    fill a token budget (epochs > 1 = upsampling, the overfit-risk
+    flag). Complements ``corpus_mix_weights`` (fixed target weights)
+    with the SIZE-DERIVED weighting used when no hand-tuned mix exists.
+    One mergeable aggregate per source; the weight normalizer is a
+    window total over the sources-sized table — corpus rows are
+    touched once."""
+    per_src = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), r"\s+")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    w_raw = F.pow(F.col("n_tokens"), MIX_ALPHA)
+    w_tot = F.sum(w_raw).over(Window.partitionBy())
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w_raw / w_tot, 6).alias("mix_weight"),
+        F.round(MIX_TOKEN_BUDGET * (w_raw / w_tot) / F.col("n_tokens"), 6).alias(
+            "epochs_at_budget"
+        ),
+    ).orderBy("source")
