@@ -3412,3 +3412,150 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@REG.add(
+    "agg_markov_transitions",
+    # Transition probabilities are single divisions of two exact integer
+    # counts — identical doubles in both engines. Sequence order is
+    # pinned by (ts, event_id): ts alone has duplicates and an ambiguous
+    # lag would flip pair counts between runs.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs ORDER BY prev_type, next_type
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral fingerprint behind next-action
+    prediction, bot detection (degenerate self-loops), and session
+    simulation; over token streams the identical plan is a bigram LM.
+    ONE window pass (lag over the user key) feeds a mergeable pair
+    count; row-normalization is a window total over the states^2-sized
+    count table, so corpus rows shuffle once on the user key."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(W.partitionBy("prev_type")), 6
+        ).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+@REG.add(
+    "text_zipf_fit",
+    # Least-squares in log-log space from FIVE corpus sums — closed
+    # form, no iteration; fold-order ulp noise in the sums sits ~7
+    # orders below the 6dp rounding at these magnitudes.
+    oracle="""
+    WITH vocab AS (
+        SELECT t AS w, count(*) AS c
+        FROM documents,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> len(x) > 0)) AS u(t)
+        GROUP BY t
+    ),
+    ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+               ln(CAST(c AS DOUBLE)) AS y
+        FROM vocab
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n, 6)
+               AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: least-squares
+    slope of ln(count) on ln(rank) (natural text ~ -1; the r2 and slope
+    together are a cheap synthetic-vs-natural / boilerplate-heavy
+    screen for crawled training data). One word-count shuffle, one
+    global rank sort over the VOCABULARY (not the corpus), then a
+    5-sum reduce and closed-form algebra — no iteration, no driver
+    loop. The global window rank is safe here because vocabulary, not
+    corpus, is the sorted domain; at web scale rank the top-K vocab
+    slice instead (the fit only needs the head)."""
+    from pyspark.sql import Window as W
+
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = vocab.select(
+        F.log(
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), "w"))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - F.col("sx") * slope) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
