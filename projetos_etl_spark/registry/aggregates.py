@@ -1213,3 +1213,63 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr"),
         F.col("n").cast("long").alias("n_rows"),
     ).orderBy("col_x", "col_y")
+
+
+#: CountMinSketch params: eps (additive error <= eps*N), confidence, seed.
+#: The FIXED seed makes the sketch — and therefore both contract flags —
+#: deterministic for a given fixture, not probabilistic across runs.
+_CMS_EPS, _CMS_CONF, _CMS_SEED, _CMS_TOP = 0.001, 0.999, 42, 10
+
+
+@REG.add(
+    "agg_count_min_sketch",
+    # Same contract-oracle pattern as the HLL/t-digest entries: the
+    # exact counts are pinned, the CMS guarantees are COMPUTED Spark-
+    # side (never-underestimate is unconditional; the eps*N bound holds
+    # with 99.9% confidence per key and is seed-deterministic here —
+    # verified at all three fixture scales) and pinned true.
+    oracle=f"""
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n,
+           true AS est_ge_exact, true AS est_within_eps
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY exact_n DESC, l_partkey LIMIT {_CMS_TOP}
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates beside exact counts — the
+    mergeable heavy-hitter sketch for 100 TB streams (fixed-size 2-D
+    counter array; map-side partials union by cell-wise add, so one
+    pass yields approximate counts for ANY later key probe without
+    storing per-key state). The sketch is built distributed
+    (``count_min_sketch`` aggregate); only the kilobyte sketch binary
+    and the {_CMS_TOP}-row probe set reach the driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.count()
+    sk = li.agg(
+        F.expr(
+            f"count_min_sketch(l_partkey, {_CMS_EPS}d, {_CMS_CONF}d, {_CMS_SEED})"
+        ).alias("s")
+    ).collect()[0].s
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "l_partkey")
+        .limit(_CMS_TOP)
+        .collect()
+    )
+    bound = _CMS_EPS * total
+    rows = []
+    for r in top:
+        est = cms.estimateCount(spark._jvm.java.lang.Long(int(r.l_partkey)))
+        rows.append(
+            (
+                int(r.l_partkey),
+                int(r.exact_n),
+                bool(est >= r.exact_n),
+                bool(est - r.exact_n <= bound),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "l_partkey long, exact_n long, est_ge_exact boolean, est_within_eps boolean"
+    ).orderBy(F.col("exact_n").desc(), "l_partkey")
