@@ -28,10 +28,16 @@ def asof_join(
     right_value_cols: list[str],
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row (per ``on`` key)
     with ``right[right_ts] <= left[left_ts]``. Left rows with no prior
     right row keep NULLs (left-asof semantics).
+
+    ``direction="forward"`` flips the inequality: the NEAREST right row
+    with ``right_ts >= left_ts`` (DuckDB ``ASOF ... ON r.ts >= l.ts``) —
+    the "next reading after" lookup. Same single shuffle: only the
+    window's sort order reverses, the carry logic is identical.
 
     ``tolerance_seconds``: bounded-staleness variant (pandas
     ``merge_asof(tolerance=...)`` semantics) — a match older than the
@@ -64,10 +70,17 @@ def asof_join(
     l_cols = [c for c in l_tagged.columns]
     unioned = l_tagged.select(*l_cols).unionByName(r_tagged, allowMissingColumns=True)
 
-    # Right rows (__is_left=0) sort before left rows at equal ts => "<=".
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # Right rows (__is_left=0) sort before left rows at equal ts, so the
+    # right row is visible at ties in BOTH directions ("<=" / ">=").
+    # Forward = the same running carry over the series reversed in time.
+    ts_order = (
+        F.col("__asof_ts") if direction == "backward" else F.col("__asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__asof_ts"), F.col("__is_left"))
+        .orderBy(ts_order, F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned
@@ -76,9 +89,13 @@ def asof_join(
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     result = filled.filter(F.col("__is_left") == 1)
     if tolerance_seconds:
-        stale = F.col("__asof_src_ts").isNull() | (
+        age = (
             F.unix_micros(F.col("__asof_ts")) - F.unix_micros(F.col("__asof_src_ts"))
-            > int(tolerance_seconds * 1_000_000)
+            if direction == "backward"
+            else F.unix_micros(F.col("__asof_src_ts")) - F.unix_micros(F.col("__asof_ts"))
+        )
+        stale = F.col("__asof_src_ts").isNull() | (
+            age > int(tolerance_seconds * 1_000_000)
         )
         for c in out_cols:
             result = result.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))

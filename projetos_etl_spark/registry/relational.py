@@ -1281,3 +1281,45 @@ def join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@REG.add(
+    "join_asof_forward",
+    oracle=f"""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           strftime(e.ts, '{TS_FMT_DUCK}') AS next_error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase gets the user's next error
+    at-or-after it — the "did a failure follow this action" lookup
+    (churn analysis, incident attribution). Same single-shuffle window
+    emulation as the backward form (``operators/asof.py``), only the
+    carry runs over the series reversed in time; DuckDB's ASOF JOIN
+    supports the flipped inequality natively."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        errors.withColumn("error_ts", F.col("ts")).select("user_id", "ts", "error_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["error_ts"],
+        suffix="",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("error_ts", TS_FMT_SPARK).alias("next_error_ts"),
+    )
