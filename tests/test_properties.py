@@ -147,6 +147,46 @@ def test_asof_join_matches_naive(spark, left_rows, right_rows):
         assert got[(lk, lts)] == best
 
 
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+)
+def test_asof_forward_matches_naive(spark, left_rows, right_rows):
+    """direction='forward' == 'nearest right at-or-after left ts per key'
+    (ties inclusive, no future row -> NULL)."""
+    from projetos_etl_spark.operators.asof import asof_join
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    left = spark.createDataFrame(left_rows, schema)
+    right = spark.createDataFrame(right_rows, schema).withColumn("rv", F.col("ts"))
+    got = {
+        (r.k, r.ts): r.rv
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_value_cols=["rv"], suffix="", direction="forward",
+        ).collect()
+    }
+    assert len(got) == len(left_rows)
+    for lk, lts in left_rows:
+        best = min(
+            (ts for k, ts in right_rows if k == lk and ts >= lts), default=None
+        )
+        assert got[(lk, lts)] == best
+
+
 def _cc_reference(n_vertices, edges):
     """Union-find reference for connected components."""
     parent = list(range(n_vertices))
