@@ -465,3 +465,44 @@ def test_pareto_window_runs_over_customer_grain(spark, queries):
     agg = plan.rfind("HashAggregate")
     assert win != -1 and agg != -1
     assert agg > win, plan[:3000]
+
+
+def test_corr_matrix_single_scan_single_aggregate(spark, queries):
+    """All 15 moments must come from ONE reduce over ONE scan; the 6-pair
+    matrix is driver-assembled (a union of per-pair selects measured 12
+    FileScans with zero reuse)."""
+    from projetos_etl_spark.plans import explain_str
+
+    df = queries["agg_corr_matrix"](spark, SF)
+    plan = explain_str(df)
+    # The returned frame is built from the collected stats row: the
+    # lineitem scan must NOT appear in it at all.
+    assert "lineitem" not in plan.lower()
+
+
+def test_bipartite_projection_edges_materialized_once(spark, queries):
+    """The orders x lineitem edge build must be a checkpointed leaf, so
+    the degree filter and both self-join sides read it instead of
+    re-planning the join (static plan had 8 FileScans, 0 reuse)."""
+    from projetos_etl_spark.plans import explain_str
+
+    df = queries["graph_bipartite_projection"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("FileScan") + plan.count("Scan parquet") == 0, (
+        "edge set should be a checkpointed ExistingRDD leaf; fact scans "
+        "reappeared in the projection plan"
+    )
+    assert "ExistingRDD" in plan
+
+
+def test_pca_scoring_is_codegen_only(spark, queries):
+    """The per-vector scoring pass must be a pure projection over the
+    scan — no Python stage, no shuffle (the Arrow mapInPandas stage
+    belongs to the TRAINING pass, which is already collected by entry
+    build time)."""
+    from projetos_etl_spark.plans import explain_str
+
+    df = queries["emb_pca_top_component"](spark, SF)
+    plan = explain_str(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
