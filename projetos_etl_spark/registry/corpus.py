@@ -497,3 +497,76 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_at_budget"
         ),
     ).orderBy("source")
+
+
+SPAN_K = 8  # tokens per non-overlapping span
+
+
+@REG.add(
+    "pipeline_span_dedup",
+    # First occurrence = global (doc_id, span_idx) order per span value;
+    # every later copy is a duplicate span. Integer counts only.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, i,
+               array_to_string(ts[(i - 1) * {SPAN_K} + 1 : i * {SPAN_K}], ' ')
+                   AS span
+        FROM toks,
+             unnest(range(1, CAST(ceil(len(ts) * 1.0 / {SPAN_K}) AS INT) + 1))
+                 g(i)
+    ),
+    ranked AS (
+        SELECT doc_id, i, span,
+               row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn
+        FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS dup_frac
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def pipeline_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SPAN-level duplication audit (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    spans, not just repeated documents, drive memorization): documents
+    split into non-overlapping {8}-token spans, every span after its
+    globally-first occurrence counted as duplicated, per-document
+    duplication fraction reported. Plan: flatMap-shaped span fan-out
+    (no shuffle), ONE shuffle on the span value for the first-occurrence
+    window, one per-doc aggregate. At 100 TB hash the span to a 64-bit
+    key before the shuffle (the string itself never needs to move) —
+    here the literal span keeps the oracle twin byte-exact."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ts")
+    )
+    n_spans = F.ceil(F.size("ts") / F.lit(SPAN_K)).cast("int")
+    ch = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n_spans)).alias("i"),
+        "ts",
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(
+            F.slice("ts", (F.col("i") - 1) * SPAN_K + 1, SPAN_K), " "
+        ).alias("span"),
+    )
+    rn = F.row_number().over(Window.partitionBy("span").orderBy("doc_id", "i"))
+    ranked = ch.withColumn("rn", rn)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("rn") > 1).cast("int")).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.sum((F.col("rn") > 1).cast("int")) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

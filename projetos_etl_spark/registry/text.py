@@ -577,3 +577,65 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(BPE_MERGE_TOP_K)
     )
+
+
+@REG.add(
+    "eval_precision_recall_f1",
+    # Per-class precision/recall/F1 of the langid detector against the
+    # declared labels — integer confusion-matrix counts, nullif-guarded
+    # ratios (a class can have zero predictions on this fixture).
+    oracle=f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT d.lang AS clazz,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM pred p2 WHERE p2.detected_lang = d.lang)
+                AS BIGINT) AS n_pred,
+           CAST(sum(CASE WHEN p.detected_lang = d.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           round(sum(CASE WHEN p.detected_lang = d.lang THEN 1 ELSE 0 END) * 1.0
+                 / nullif((SELECT count(*) FROM pred p2
+                           WHERE p2.detected_lang = d.lang), 0), 6) AS precision,
+           round(sum(CASE WHEN p.detected_lang = d.lang THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS recall
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def eval_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation on the fixture: per-class precision/recall
+    of the heuristic langid against the declared labels — the standard
+    confusion-matrix report every model-quality gate needs (here it
+    honestly documents that word-soup text defeats a stopword detector;
+    on real text the same operator grades any (predicted, true) pair).
+    One detector pass + two tiny aggregates over the per-class counts;
+    ratios are nullif-guarded because a class may never be predicted."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        "doc_id",
+        F.col("lang").alias("clazz"),
+        detect_language(F.col("text")).alias("detected"),
+    )
+    per_pred = pred.groupBy(F.col("detected").alias("clazz")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    per_true = pred.groupBy("clazz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum((F.col("detected") == F.col("clazz")).cast("int"))
+        .cast("long")
+        .alias("tp"),
+    )
+    return (
+        per_true.join(per_pred, "clazz", "left")
+        .select(
+            "clazz",
+            "n_true",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            "tp",
+            F.round(
+                F.col("tp") * 1.0 / F.nullif(F.coalesce("n_pred", F.lit(0)), F.lit(0)),
+                6,
+            ).alias("precision"),
+            F.round(F.col("tp") * 1.0 / F.col("n_true"), 6).alias("recall"),
+        )
+        .orderBy("clazz")
+    )
