@@ -596,7 +596,11 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / nullif((SELECT count(*) FROM pred p2
                            WHERE p2.detected_lang = d.lang), 0), 6) AS precision,
            round(sum(CASE WHEN p.detected_lang = d.lang THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 6) AS recall
+                 / count(*), 6) AS recall,
+           round(2.0 * sum(CASE WHEN p.detected_lang = d.lang THEN 1 ELSE 0 END)
+                 / nullif((SELECT count(*) FROM pred p2
+                           WHERE p2.detected_lang = d.lang) + count(*), 0), 6)
+               AS f1
     FROM documents d JOIN pred p ON p.doc_id = d.doc_id
     GROUP BY d.lang ORDER BY d.lang
     """,
@@ -636,6 +640,16 @@ def eval_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("precision"),
             F.round(F.col("tp") * 1.0 / F.col("n_true"), 6).alias("recall"),
+            # F1 via the count identity 2*tp/(n_pred + n_true): avoids
+            # dividing two already-derived ratios (and their rounding).
+            F.round(
+                2.0
+                * F.col("tp")
+                / F.nullif(
+                    F.coalesce("n_pred", F.lit(0)) + F.col("n_true"), F.lit(0)
+                ),
+                6,
+            ).alias("f1"),
         )
         .orderBy("clazz")
     )
