@@ -1273,3 +1273,46 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "l_partkey long, exact_n long, est_ge_exact boolean, est_within_eps boolean"
     ).orderBy(F.col("exact_n").desc(), "l_partkey")
+
+
+@REG.add(
+    "agg_linear_regression",
+    # regr_slope/intercept/r2 exist as built-in aggregates in BOTH
+    # engines and reduce to the same raw-moment formulas the corr-matrix
+    # entry pins; fold-order ulp noise sits far below the 6dp rounding.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(regr_count(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0)
+                AS BIGINT) AS n,
+           round(regr_slope(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0), 6)
+               AS slope,
+           round(regr_intercept(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0), 6)
+               AS intercept,
+           round(regr_r2(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0), 6)
+               AS r2
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares via the SQL-standard ``regr_*``
+    aggregate family (slope / intercept / r2) — trend fitting as a
+    single mergeable hash aggregate, no ML library, no iteration (the
+    aggregates fold the same five raw moments the correlation matrix
+    uses). The regressor is fractional order time (year + month/12), so
+    this is literally the price-vs-time drift monitor."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.year("o_orderdate") + F.month("o_orderdate") / 12.0
+    y = F.col("o_totalprice")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("regr_count(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0)")
+            .cast("long")
+            .alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("o_orderstatus")
+    )
