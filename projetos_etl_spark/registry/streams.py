@@ -641,3 +641,59 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+@REG.add(
+    "stream_session_close_stateful",
+    # Oracle = batch sessionization MINUS each user's final session
+    # (which is still open in stream state and must not be emitted).
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_SECONDS} SECOND
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    grouped AS (
+        SELECT user_id, sid,
+               strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+               strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(sid) OVER (PARTITION BY user_id) AS last_sid
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM grouped WHERE sid < last_sid
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_close_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finalize-on-evidence sessionization (``streaming/stateful.py``):
+    a custom ``applyInPandasWithState`` state machine emits a session
+    row ONLY once a later event proves the gap — the still-open session
+    stays in state and is never emitted (an open session must not bill;
+    built-in ``session_window`` in append mode needs the watermark to
+    pass, this emits on the first post-gap event per key). Append-mode
+    output; state is one (start, last, n) tuple per user."""
+    from projetos_etl_spark.streaming.stateful import closed_sessions
+
+    stream = _events_stream(spark, sf_dir)
+    out = run_to_memory(closed_sessions(stream), "append")
+    return out.select(
+        "user_id",
+        F.date_format(F.timestamp_micros("start_us"), TS_FMT_SPARK).alias(
+            "session_start"
+        ),
+        F.date_format(F.timestamp_micros("end_us"), TS_FMT_SPARK).alias(
+            "session_end"
+        ),
+        "n_events",
+    ).orderBy("user_id", "session_start")

@@ -78,3 +78,70 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_GAP_MICROS = 4 * 3600 * 1_000_000
+
+CLOSE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+CLOSE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _close_sessions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit a session row the moment a LATER event proves the gap — the
+    open session stays in state (and would be flushed by an event-time
+    timeout in a production deployment)."""
+    start, last, n = state.get if state.exists else (None, None, 0)
+    out: list[tuple[int, int, int, int]] = []
+    ts_all = sorted(
+        int(t) for pdf in pdfs for t in pdf["ts_us"].tolist()
+    )
+    for t in ts_all:
+        if start is None:
+            start, last, n = t, t, 1
+            continue
+        if t - last > SESSION_GAP_MICROS:
+            out.append((key[0], start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    state.update((start, last, n))
+    yield pd.DataFrame(out, columns=["user_id", "start_us", "end_us", "n_events"])
+
+
+def closed_sessions(events: DataFrame) -> DataFrame:
+    """Gap-closed sessions per user over a stream: rows appear only for
+    sessions PROVEN over (a later event arrived past the gap), never for
+    still-open ones — the finalize-on-evidence pattern CDC compaction
+    and billing pipelines need (an open session must not bill)."""
+    from pyspark.sql import functions as F
+
+    from projetos_etl_spark.session import ship_package
+
+    ship_package(events.sparkSession)
+    return (
+        events.select("user_id", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _close_sessions,
+            outputStructType=CLOSE_OUTPUT_SCHEMA,
+            stateStructType=CLOSE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -244,3 +244,23 @@ def test_stateful_agg_on_rocksdb_state_store(spark):
         assert (1, 2, 7.0) in after_b2
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_session_close_emits_only_proven_sessions(spark):
+    """A session is emitted exactly once, and only when a later event
+    proves the gap — across micro-batch boundaries: batch2's late event
+    closes batch1's open session; the new session stays unemitted."""
+    from projetos_etl_spark.streaming.stateful import closed_sessions
+
+    # user 1: two events 10:00/10:30 (one session), then batch2 at 16:00
+    # (> 4h gap -> closes it). user 2: single event, never proven over.
+    batch1 = _events(spark, [(1, 10, 0, 1.0), (1, 10, 30, 1.0), (2, 9, 0, 1.0)])
+    batch2 = _events(spark, [(1, 16, 0, 1.0)])
+
+    after_b1, after_b2 = _run_two_batches(
+        spark, closed_sessions, batch1, batch2, mode="append"
+    )
+    assert after_b1 == []  # nothing proven yet
+    assert len(after_b2) == 1
+    (row,) = after_b2
+    assert row[0] == 1 and row[3] == 2  # user 1's 2-event session closed
