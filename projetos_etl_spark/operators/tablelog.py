@@ -1,0 +1,108 @@
+"""A minimal version-manifest table log on plain parquet — the
+Delta/Iceberg mechanism (atomic commits, snapshot isolation, time
+travel) demonstrated hermetically, since this environment ships no
+table-format jars (SCALE.md scopes the real formats as deploy-time
+swaps).
+
+Layout:
+
+    <table>/data/<commit-uuid>-*.parquet   immutable data files
+    <table>/_log/v{N}.json                 manifest: the EXACT file list
+                                           visible at version N
+
+The three guarantees, and where they come from:
+
+- **Atomic commit**: data files land first, then the manifest is
+  written via write-temp + atomic ``rename`` — a reader either sees
+  version N (complete) or it doesn't; there is no torn state. This is
+  precisely the Delta protocol's trick (the _delta_log JSON commit).
+- **Snapshot isolation**: a read resolves ONE manifest and scans only
+  the files it names; concurrent appends create new files + a new
+  manifest and never mutate what a running query scans.
+- **Time travel**: every manifest is retained, so ``read(dir, v)``
+  reconstructs any historical version by file list — no data copies.
+
+At 100 TB the manifest becomes the scan's file index (no directory
+listing — the classic object-store win), and OVERWRITE commits are
+metadata-only: the new manifest simply stops naming the old files.
+
+Reference framing: the reference ETL (bronze:56-85) overwrote
+object-store keys in place — readers could observe half-written
+layers. This operator is the engine's answer to that failure mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_log")
+
+
+def current_version(table_dir: str) -> int:
+    """Highest committed version; 0 = empty table."""
+    log = _log_dir(table_dir)
+    if not os.path.isdir(log):
+        return 0
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(log)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def commit(df: DataFrame, table_dir: str, mode: str = "append") -> int:
+    """Write ``df``'s rows as new immutable files and atomically publish
+    the next manifest. ``mode``: "append" keeps prior files visible;
+    "overwrite" publishes ONLY the new files (old data files stay on
+    disk for time travel — retention/VACUUM is a separate sweep, same
+    division of labor as Delta)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = []
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            dst = os.path.join(data_dir, f"{uuid.uuid4().hex}-{f}")
+            os.rename(os.path.join(staging, f), dst)
+            new_files.append(dst)
+    # best-effort staging cleanup (only _SUCCESS/.crc remain)
+    for f in os.listdir(staging):
+        os.remove(os.path.join(staging, f))
+    os.rmdir(staging)
+
+    v = current_version(table_dir)
+    prior: list[str] = []
+    if mode == "append" and v > 0:
+        with open(os.path.join(_log_dir(table_dir), f"v{v}.json")) as fh:
+            prior = json.load(fh)["files"]
+    manifest = {"version": v + 1, "mode": mode, "files": prior + new_files}
+    tmp = os.path.join(_log_dir(table_dir), f".v{v + 1}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_log_dir(table_dir), f"v{v + 1}.json"))  # atomic
+    return v + 1
+
+
+def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Snapshot read: resolve ONE manifest (latest, or the requested
+    version) and scan exactly the files it names."""
+    v = version if version is not None else current_version(table_dir)
+    path = os.path.join(_log_dir(table_dir), f"v{v}.json")
+    with open(path) as fh:
+        manifest = json.load(fh)
+    files = manifest["files"]
+    if not files:
+        raise ValueError(f"version {v} of {table_dir} names no files")
+    return spark.read.parquet(*files)
