@@ -905,3 +905,82 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snaps[1:]:
         out = out.unionByName(s)
     return out.orderBy("version")
+
+
+@REG.add(
+    "table_log_merge_upsert",
+    # The deterministic change set: every 'P'-status order gets a +10%
+    # price update (seq 1), every key divisible by 10 a delete (seq 2,
+    # so the delete wins on overlap), one synthetic insert. The oracle
+    # replays the same MERGE relationally per version.
+    oracle="""
+    WITH changes AS (
+        SELECT o_orderkey, CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END
+                   AS op
+        FROM orders WHERE o_orderstatus = 'P' OR o_orderkey % 10 = 0
+    ),
+    v2 AS (
+        SELECT o.o_orderkey,
+               CASE WHEN c.op = 'U' AND o.o_orderstatus = 'P'
+                    THEN o.o_totalprice * 1.1 ELSE o.o_totalprice END
+                   AS price
+        FROM orders o LEFT JOIN changes c ON o.o_orderkey = c.o_orderkey
+        WHERE c.op IS NULL OR c.op != 'D'
+    )
+    SELECT 1 AS version,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           (SELECT round(sum(o_totalprice), 0) FROM orders) AS total
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), round(sum(price), 0) FROM v2
+    ORDER BY version
+    """,
+)
+def table_log_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO against the version-manifest table log — CDC under a
+    table format, hermetically: v1 commits the base snapshot, a
+    deterministic I/U/D change set runs through ``apply_cdc`` (the
+    latest-change-wins merge core), and the merged snapshot commits as
+    an OVERWRITE (metadata-only publish; v1 stays readable — exactly
+    Delta's MERGE + time-travel contract). Both versions are then read
+    back BY MANIFEST and aggregated, so the driver verifies pre- and
+    post-merge states through the log, not through the writer's memory."""
+    import shutil
+
+    from projetos_etl_spark.operators.cdc import apply_cdc
+    from projetos_etl_spark.operators.tablelog import commit, read
+
+    table = os.path.join(tempfile.gettempdir(), "pes_tlmerge_scratch")
+    shutil.rmtree(table, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    commit(orders, table, "append")
+    updates = orders.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        "o_orderstatus",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    base_v1 = read(spark, table, 1)
+    merged = apply_cdc(
+        base_v1, updates.unionByName(deletes), key="o_orderkey"
+    )
+    commit(merged, table, "overwrite")
+    snaps = []
+    for v in (1, 2):
+        snaps.append(
+            read(spark, table, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 0).alias("total"),
+            )
+        )
+    return snaps[0].unionByName(snaps[1]).orderBy("version")
