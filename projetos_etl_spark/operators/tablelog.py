@@ -25,6 +25,14 @@ The three guarantees, and where they come from:
 At 100 TB the manifest becomes the scan's file index (no directory
 listing — the classic object-store win), and OVERWRITE commits are
 metadata-only: the new manifest simply stops naming the old files.
+This demo module does manifest I/O through ``os`` (local FS only, like
+the fixtures); deployed against s3a/HDFS the same calls go through the
+Hadoop ``FileSystem`` API (`sources/io.py::retention_sweep` shows the
+pattern) — with the caveat the real formats solve properly: object
+stores lack atomic rename, which is why Delta needs a log store /
+conditional PUT there. That hardening is exactly why production uses
+Delta/Iceberg rather than hand-rolled logs; this module exists to
+demonstrate and test the MECHANISM hermetically.
 
 Reference framing: the reference ETL (bronze:56-85) overwrote
 object-store keys in place — readers could observe half-written
