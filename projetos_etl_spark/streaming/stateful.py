@@ -12,6 +12,15 @@ grouping key (one shuffle); per batch, each key's rows arrive as pandas
 frames (Arrow). State must stay bounded — real deployments pair this
 with ``GroupStateTimeout`` eviction (set here) so idle keys age out
 instead of accumulating for 100 TB/day streams.
+
+Spark 4's successor API, ``transformWithStateInPandas`` (typed
+Value/List/Map state + timers), is the forward path for these
+operators but is ENV-GATED here: its Python<->JVM state protocol
+requires ``google.protobuf``, which this container ships broken
+(``cannot import name 'descriptor'`` — verified by running a
+MapState processor end-to-end; it crashes the state server on init).
+The operators below therefore stay on ``applyInPandasWithState``,
+which is protocol-free and expresses the same state machines.
 """
 
 from __future__ import annotations
