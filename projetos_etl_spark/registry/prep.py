@@ -3559,3 +3559,45 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@REG.add(
+    "quality_parquet_stats_audit",
+    # The footer-derived numbers must equal the scan-derived ones — the
+    # oracle recomputes them relationally, so a lying footer (the thing
+    # that silently corrupts min/max pruning) fails the hash compare.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(count(*) - count(l_returnflag) AS BIGINT) AS n_null_returnflag
+    FROM lineitem
+    """,
+)
+def quality_parquet_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER-stats integrity audit: row counts, key min/max and
+    null counts read from row-group metadata alone (pyarrow, footer
+    bytes only — no data pages touched) and pinned against the
+    relational recompute. Row-group pruning and metadata-only COUNT(*)
+    optimizations are only as safe as these stats; a writer bug or a
+    hand-edited file shows up here before a pruned query silently drops
+    rows. Driver cost is O(row groups), not O(rows) — this audits a
+    100 TB table by reading kilobytes per file."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    schema_names = md.schema.to_arrow_schema().names
+    key_idx = schema_names.index("l_orderkey")
+    flag_idx = schema_names.index("l_returnflag")
+    n_rows, kmin, kmax, nulls = 0, None, None, 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        n_rows += g.num_rows
+        ks = g.column(key_idx).statistics
+        kmin = ks.min if kmin is None else min(kmin, ks.min)
+        kmax = ks.max if kmax is None else max(kmax, ks.max)
+        nulls += g.column(flag_idx).statistics.null_count
+    return spark.createDataFrame(
+        [(n_rows, int(kmin), int(kmax), nulls)],
+        "n_rows long, min_orderkey long, max_orderkey long, n_null_returnflag long",
+    )

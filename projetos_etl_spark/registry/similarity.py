@@ -347,3 +347,77 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+HARD_NEG_K = 3
+
+
+def _hard_negative_oracle() -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS negative_id, c.label AS neg_label,
+               round(
+                 list_sum(list_transform(generate_series(1, len(q.v)),
+                                         i -> q.v[i] * c.v[i]))
+                 / (sqrt(list_sum(list_transform(q.v, t -> t * t)))
+                    * sqrt(list_sum(list_transform(c.v, t -> t * t)))), 6)
+                   AS cosine_sim
+        FROM e q JOIN e c ON c.vec_id != q.vec_id AND c.label != q.label
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, negative_id, neg_label, cosine_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, negative_id)
+            AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {HARD_NEG_K}
+    """
+
+
+@REG.add("sim_hard_negative_mining", oracle=_hard_negative_oracle())
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-{HARD_NEG_K} most-similar vectors with a DIFFERENT label —
+    the near-miss examples that actually move an embedding model
+    (random negatives are trivially separable; these sit on the
+    decision boundary). Same broadcast-bounded-queries plan as
+    ``sim_search_topk`` with the cross-label predicate fused into the
+    join, so the candidate stream is filtered before scoring; at
+    corpus-scale |Q| the ANN tiers stand in for the exact scan exactly
+    as in retrieval."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    from projetos_etl_spark.operators.cosine import cosine
+
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("negative_id") != F.col("query_id"))
+        & (F.col("neg_label") != F.col("q_label")),
+    ).select(
+        "query_id",
+        "negative_id",
+        "neg_label",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "negative_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("query_id", "negative_id", "neg_label", "cosine_sim", "rank")
+    )
