@@ -3601,3 +3601,72 @@ def quality_parquet_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_rows, int(kmin), int(kmax), nulls)],
         "n_rows long, min_orderkey long, max_orderkey long, n_null_returnflag long",
     )
+
+
+@REG.add(
+    "ml_logreg_gd",
+    # Recursive-CTE replay of the identical descent: one reference to
+    # the recursive table (the cross join carrying w into the scan);
+    # per-feature mean gradients rounded to 9dp per step, so both
+    # engines walk the same weight trajectory (see operators/logreg.py).
+    oracle=f"""
+    WITH RECURSIVE
+    data AS (
+        SELECT [CAST(1.0 AS DOUBLE),
+                o_totalprice / 500000.0,
+                (year(o_orderdate) - 1995) / 4.0] AS x,
+               CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS y
+        FROM orders
+    ),
+    gd AS (
+        SELECT 0 AS it, [CAST(0.0 AS DOUBLE), 0.0, 0.0] AS w
+        UNION ALL
+        SELECT it + 1,
+               [w[1] - 2.0 * g[1],
+                w[2] - 2.0 * g[2],
+                w[3] - 2.0 * g[3]] AS w
+        FROM (
+            SELECT it, any_value(w) AS w, list(gj ORDER BY j) AS g
+            FROM (
+                SELECT p.it, p.w, j.j,
+                       round(avg(
+                           (1.0 / (1.0 + exp(-(p.w[1] * d.x[1]
+                                               + p.w[2] * d.x[2]
+                                               + p.w[3] * d.x[3])))
+                            - d.y) * d.x[j.j]), 9) AS gj
+                FROM gd p, data d, generate_series(1, 3) j(j)
+                GROUP BY p.it, p.w, j.j
+            )
+            GROUP BY it
+        )
+        WHERE it < 25
+    )
+    SELECT j.j AS feature_idx, round(w[j.j], 6) AS weight
+    FROM gd, generate_series(1, 3) j(j)
+    WHERE it = 25
+    ORDER BY feature_idx
+    """,
+)
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained INSIDE the engine
+    (``operators/logreg.py``): is-urgent as a function of price and
+    order year, 25 full-batch gradient steps, each ONE mergeable
+    aggregate over the corpus with the d-double update on the driver —
+    the iterative-ML cost shape that works at 100 TB (MLlib-free; the
+    sigmoid is a codegen expression). Features are scaled to O(1) so
+    the fixed learning rate is sane; the feature frame is checkpointed
+    once so 25 iterations don't re-derive it."""
+    from projetos_etl_spark.operators.logreg import logreg_gd
+
+    o = load_table(spark, sf_dir, "orders")
+    feats = o.select(
+        F.lit(1.0).alias("x0"),
+        (F.col("o_totalprice") / 500000.0).alias("x1"),
+        ((F.year("o_orderdate") - 1995) / 4.0).alias("x2"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+    ).localCheckpoint(eager=True)
+    w = logreg_gd(feats, ["x0", "x1", "x2"], "y")
+    return spark.createDataFrame(
+        [(j + 1, round(w[j], 6)) for j in range(3)],
+        "feature_idx int, weight double",
+    ).orderBy("feature_idx")
