@@ -1,0 +1,87 @@
+"""Distributed k-means (Lloyd) with a cross-engine determinism contract.
+
+Third member of the in-engine ML family (PCA ``operators/pca.py``,
+logistic regression ``operators/logreg.py``): per iteration ONE corpus
+pass computes assignments (codegen-only distance expressions against
+broadcast-literal centroids) and ONE mergeable aggregate produces the
+k*d new centroid means — driver state is k*d doubles, independent of
+corpus size. This is also exactly the trainer shape behind the IVF ANN
+tier (``operators/cosine.train_ivf_centroids``); this module is the
+HASH-VERIFIABLE variant, which demands two extra disciplines:
+
+1. **Assignments must be bitwise identical across engines** — k-means
+   makes a DISCRETE per-row decision, so rounding can't absorb a
+   distance ulp the way it does for pure aggregates. Distances are
+   therefore SEQUENTIAL LEFT FOLDS of (x_i - c_i)^2 in both engines
+   (Spark ``F.aggregate``; DuckDB ``list_reduce``) over identical
+   doubles: +,-,* are IEEE-exact, so every distance — and hence every
+   argmin — is the same bit pattern on both sides.
+2. **Centroid means are fixed to 9 decimals per iteration** (the
+   logreg/PCA trick): the per-dimension AVG folds rows in engine-
+   specific order, and the rounding re-synchronizes the trajectory
+   each step.
+
+Initialization: the first k vectors by id (deterministic, no RNG).
+Empty clusters simply drop (both engines aggregate only non-empty
+assignments) — with data-point init they cannot occur on real data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KM_ITERS = 10
+CENT_DECIMALS = 9
+
+
+def _sq_dist(x, cent: list[float]):
+    lit = F.array(*[F.lit(float(c)) for c in cent])
+    return F.aggregate(
+        F.zip_with(x, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_lloyd(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = KM_ITERS,
+) -> dict[int, list[float]]:
+    """Returns {cluster_id: centroid} after ``iters`` Lloyd steps."""
+    x = F.col(vec_col).cast("array<double>")
+    data = vecs.select(F.col(id_col).alias("__id"), x.alias("__x")).localCheckpoint(
+        eager=True
+    )
+    init = data.filter(F.col("__id") < k).collect()
+    cents: dict[int, list[float]] = {int(r["__id"]): list(r["__x"]) for r in init}
+    for _ in range(iters):
+        # struct() drops inner aliases in some contexts -> pin field
+        # names with a cast so getField("cid") is robust.
+        pairs = F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("__x"), c), F.lit(cid)
+                ).cast("struct<d:double,cid:int>")
+                for cid, c in sorted(cents.items())
+            ]
+        )
+        assigned = data.select(
+            F.array_min(pairs).getField("cid").alias("cid"),
+            F.posexplode(F.col("__x")).alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), CENT_DECIMALS).alias("m"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(int(r.cid), [0.0] * len(next(iter(cents.values()))))[
+                r.pos
+            ] = r.m
+        cents = new
+    return cents

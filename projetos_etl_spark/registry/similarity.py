@@ -421,3 +421,70 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HARD_NEG_K)
         .select("query_id", "negative_id", "neg_label", "cosine_sim", "rank")
     )
+
+
+KM_K = 4
+
+
+@REG.add(
+    "ml_kmeans_lloyd",
+    # Recursive-CTE replay (operators/kmeans.py documents the two
+    # disciplines): distances are sequential left folds -> bitwise-
+    # identical assignments; per-dim means round to 9dp per step -> the
+    # same centroid trajectory. Output = final centroids to 6dp.
+    oracle=f"""
+    WITH RECURSIVE
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ),
+    km AS (
+        SELECT 0 AS it, CAST(vec_id AS INTEGER) AS cid, x AS c
+        FROM e WHERE vec_id < {KM_K}
+        UNION ALL
+        SELECT it, cid, list(m ORDER BY pos) AS c
+        FROM (
+            SELECT a.it, a.cid, g.pos, round(avg(a.x[g.pos]), 9) AS m
+            FROM (
+                SELECT it, vec_id, cid, x FROM (
+                    SELECT p.it + 1 AS it, e.vec_id, p.cid, e.x,
+                           row_number() OVER (
+                               PARTITION BY p.it, e.vec_id
+                               ORDER BY list_reduce(
+                                   list_transform(generate_series(1, 64),
+                                       i -> (e.x[i] - p.c[i])
+                                            * (e.x[i] - p.c[i])),
+                                   (acc, v) -> acc + v), p.cid) AS rn
+                    FROM km p, e
+                ) WHERE rn = 1
+            ) a, generate_series(1, 64) g(pos)
+            GROUP BY a.it, a.cid, g.pos
+        )
+        WHERE it <= {10}
+        GROUP BY it, cid
+    )
+    SELECT cid AS cluster_id, g.pos AS dim, round(c[g.pos], 6) AS centroid
+    FROM km, generate_series(1, 64) g(pos)
+    WHERE it = 10
+    ORDER BY cluster_id, dim
+    """,
+)
+def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means trained inside the engine
+    (``operators/kmeans.py``): {KM_K} clusters over the embedding
+    corpus, 10 Lloyd steps, each ONE codegen assignment pass + ONE
+    mergeable k*d-group mean — the same trainer shape the IVF ANN tier
+    uses, made HASH-VERIFIABLE by bitwise-identical sequential-fold
+    distances and per-step 9dp centroid fixing. Returns the final
+    centroids long-form (cluster, dim, value)."""
+    from projetos_etl_spark.operators.kmeans import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_lloyd(emb, "vec_id", "embedding", KM_K, iters=10)
+    rows = [
+        (cid, pos + 1, round(v, 6))
+        for cid, c in sorted(cents.items())
+        for pos, v in enumerate(c)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id int, dim int, centroid double"
+    ).orderBy("cluster_id", "dim")
