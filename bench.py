@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "text_bigram_pmi",
     "sample_poisson_bootstrap",
     "graph_bipartite_projection",
+    # late round-5: in-engine iterative ML (per-iteration aggregate
+    # jobs — these benchmark the synchronous-iteration floor the same
+    # way graph_pagerank does).
+    "ml_logreg_gd",
+    "ml_kmeans_lloyd",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes
