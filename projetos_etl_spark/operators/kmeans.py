@@ -35,10 +35,10 @@ KM_ITERS = 10
 CENT_DECIMALS = 9
 
 
-def _sq_dist(x, cent: list[float]):
-    lit = F.array(*[F.lit(float(c)) for c in cent])
+def _sq_dist(x, c):
+    # Sequential left fold (see module docstring discipline #1).
     return F.aggregate(
-        F.zip_with(x, lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(x, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -51,7 +51,16 @@ def kmeans_lloyd(
     k: int,
     iters: int = KM_ITERS,
 ) -> dict[int, list[float]]:
-    """Returns {cluster_id: centroid} after ``iters`` Lloyd steps."""
+    """Returns {cluster_id: centroid} after ``iters`` Lloyd steps.
+
+    Centroids ship as a broadcast k-row DataFrame, NOT as literal
+    arrays baked into the expression tree: k*d inline literals made
+    Catalyst re-analyze + Janino re-compile a fresh ~256-node tree
+    every iteration (measured 3.4-5.0 s PER ITERATION at sf0.1 for
+    2,000 rows of actual work); with an iteration-invariant plan shape
+    the whole-stage codegen cache hits and an iteration costs the data,
+    not the compiler."""
+    spark = vecs.sparkSession
     x = F.col(vec_col).cast("array<double>")
     data = vecs.select(F.col(id_col).alias("__id"), x.alias("__x")).localCheckpoint(
         eager=True
@@ -59,22 +68,25 @@ def kmeans_lloyd(
     init = data.filter(F.col("__id") < k).collect()
     cents: dict[int, list[float]] = {int(r["__id"]): list(r["__x"]) for r in init}
     for _ in range(iters):
-        # struct() drops inner aliases in some contexts -> pin field
-        # names with a cast so getField("cid") is robust.
-        pairs = F.array(
-            *[
-                F.struct(
-                    _sq_dist(F.col("__x"), c), F.lit(cid)
-                ).cast("struct<d:double,cid:int>")
-                for cid, c in sorted(cents.items())
-            ]
+        cent_df = spark.createDataFrame(
+            sorted(cents.items()), "cid int, c array<double>"
         )
-        assigned = data.select(
-            F.array_min(pairs).getField("cid").alias("cid"),
-            F.posexplode(F.col("__x")).alias("pos", "val"),
+        scored = data.crossJoin(F.broadcast(cent_df)).select(
+            "__id",
+            "__x",
+            F.struct(
+                _sq_dist(F.col("__x"), F.col("c")), F.col("cid")
+            ).cast("struct<d:double,cid:int>").alias("dc"),
+        )
+        # min over struct = (min dist, tie -> min cid); min_by carries
+        # the row's vector so no second join is needed.
+        assigned = scored.groupBy("__id").agg(
+            F.min(F.col("dc")).getField("cid").alias("cid"),
+            F.first("__x").alias("__x"),
         )
         rows = (
-            assigned.groupBy("cid", "pos")
+            assigned.select("cid", F.posexplode("__x").alias("pos", "val"))
+            .groupBy("cid", "pos")
             .agg(F.round(F.avg("val"), CENT_DECIMALS).alias("m"))
             .collect()
         )
