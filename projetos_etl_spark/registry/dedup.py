@@ -1387,3 +1387,90 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shared_customers").desc(), "supp_a", "supp_b")
         .limit(PROJ_TOP_K)
     )
+
+
+@REG.add(
+    "dedup_exact_keep_best",
+    # Survivor = max_by over a composite ordering struct; the oracle
+    # spells the identical (n_chars DESC, doc_id ASC) policy as a
+    # window rank. Integer-exact ordering keys, so the surviving id is
+    # deterministic in both engines. The fixture ships duplicate-free,
+    # so deterministic copies are injected (the text_pii_redact
+    # device): case-mangled same-length copies exercise the tie-break,
+    # whitespace-padded longer copies exercise the quality dimension.
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, n_chars, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, n_chars, upper(text)
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, n_chars + 2, text || '  '
+        FROM documents WHERE doc_id % 30 = 0
+    ),
+    fp AS (
+        SELECT doc_id, n_chars,
+               md5(lower(trim(text))) AS fingerprint
+        FROM corpus
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                     ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY fingerprint) AS n_copies
+        FROM fp
+    )
+    SELECT fingerprint,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(doc_id AS BIGINT) AS kept_doc,
+           CAST(n_chars AS BIGINT) AS kept_chars
+    FROM ranked
+    WHERE rn = 1 AND n_copies > 1
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a SURVIVORSHIP POLICY: per normalized-text
+    fingerprint keep the BEST copy (longest text, ties to the lowest
+    id) instead of an arbitrary first — the policy question every real
+    dedup ships with (dropDuplicates keeps whichever row the partition
+    race hands it; training pipelines want the canonical copy chosen by
+    quality). One hash aggregate with ``max_by`` over a composite
+    ordering struct — same single-shuffle economics as ``dedup_exact``,
+    zero extra passes. Reports only fingerprints that actually had
+    duplicates (deterministically injected: case-mangled ties +
+    padded longer copies — the fixture itself is duplicate-free)."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "n_chars",
+            F.upper("text").alias("text"),
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") % 30 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            (F.col("n_chars") + 2).alias("n_chars"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+            )
+            .cast("long")
+            .alias("kept_doc"),
+            F.max("n_chars").cast("long").alias("kept_chars"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("fingerprint")
+    )
