@@ -765,3 +765,44 @@ def win_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x").alias("p_size"), F.round("y", 2).alias("p_retailprice"))
         .orderBy("p_size", "p_retailprice")
     )
+
+
+@REG.add(
+    "win_topk_with_ties",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal, rk
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               CAST(rank() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY round(c_acctbal, 2) DESC)
+                    AS INTEGER) AS rk
+        FROM customer
+    )
+    WHERE rk <= 3
+    ORDER BY c_mktsegment, rk, c_custkey
+    """,
+)
+def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (``rank()``, the ``FETCH FIRST k ROWS WITH
+    TIES`` semantics) beside the row_number top-k
+    (``win_rank_topk_per_group``): when rank 3 is shared, EVERY holder
+    is returned — the correct leaderboard/threshold semantics where an
+    arbitrary tie victim would be a silent bug. Ranking runs on the
+    ROUNDED value so tie groups are engine-identical; the output set is
+    then deterministic with no tie-break needed (that's the point)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.round(F.col("c_acctbal"), 2).desc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_mktsegment", "rk", "c_custkey")
+    )
