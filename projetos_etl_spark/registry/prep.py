@@ -3670,3 +3670,74 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(j + 1, round(w[j], 6)) for j in range(3)],
         "feature_idx int, weight double",
     ).orderBy("feature_idx")
+
+
+@REG.add(
+    "quality_chisq_categorical_drift",
+    # Pearson chi-squared between the first and second half of the
+    # event stream (split at the median timestamp = an integer-exact
+    # count split) over the event_type distribution. The statistic is
+    # a short sum of (o-e)^2/e terms from integer counts — identical
+    # doubles in both engines at 6dp.
+    oracle="""
+    WITH split AS (
+        SELECT quantile_disc(ts, 0.5) AS cut FROM events
+    ),
+    counts AS (
+        SELECT event_type,
+               sum(CASE WHEN ts <= cut THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN ts > cut THEN 1 ELSE 0 END) AS b
+        FROM events, split GROUP BY event_type
+    ),
+    tot AS (
+        SELECT sum(a) AS na, sum(b) AS nb FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_categories,
+           CAST(max(na) AS BIGINT) AS n_first_half,
+           CAST(max(nb) AS BIGINT) AS n_second_half,
+           round(sum(
+               pow(a - (a + b) * na * 1.0 / (na + nb), 2)
+                   / ((a + b) * na * 1.0 / (na + nb))
+               + pow(b - (a + b) * nb * 1.0 / (na + nb), 2)
+                   / ((a + b) * nb * 1.0 / (na + nb))
+           ), 6) AS chi_squared
+    FROM counts, tot
+    """,
+)
+def quality_chisq_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared homogeneity test between the first and
+    second half of the event stream over the event-type distribution —
+    the CATEGORICAL drift detector beside the continuous pair
+    (``quality_ks_two_sample`` exact ECDF gap, ``quality_psi_drift``
+    binned PSI): a shifted event mix (new bot traffic, a dropped
+    client version) moves this statistic even when every numeric
+    column looks stable. One aggregate over the split counts (the
+    split point is the DISCRETE median timestamp — an actual data
+    value, engine-identical), one tiny rollup; at 100 TB both halves
+    come from the same single scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5, 2147483647)").alias("cut_us")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(cut))  # 1-row scalar
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.unix_micros("ts") <= F.col("cut_us")).cast("int")).alias("a"),
+            F.sum((F.unix_micros("ts") > F.col("cut_us")).cast("int")).alias("b"),
+        )
+    )
+    tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    ea = (F.col("a") + F.col("b")) * F.col("na") * 1.0 / (F.col("na") + F.col("nb"))
+    eb = (F.col("a") + F.col("b")) * F.col("nb") * 1.0 / (F.col("na") + F.col("nb"))
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.max("na").cast("long").alias("n_first_half"),
+        F.max("nb").cast("long").alias("n_second_half"),
+        F.round(
+            F.sum(
+                F.pow(F.col("a") - ea, 2) / ea + F.pow(F.col("b") - eb, 2) / eb
+            ),
+            6,
+        ).alias("chi_squared"),
+    )
