@@ -3741,3 +3741,91 @@ def quality_chisq_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("chi_squared"),
     )
+
+
+@REG.add(
+    "ts_run_length_encode",
+    # The above-mean flag compares n*x > total (integer-exact, the
+    # CUSUM discipline); runs come from the gaps-and-islands id
+    # (row_number minus per-flag row_number), all integers.
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+               count(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT event_type, h, x,
+               CASE WHEN x * count(*) OVER (PARTITION BY event_type)
+                         > sum(x) OVER (PARTITION BY event_type)
+                    THEN 1 ELSE 0 END AS hot
+        FROM hourly
+    ),
+    runs AS (
+        SELECT event_type, hot,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+               - row_number() OVER (PARTITION BY event_type, hot ORDER BY h)
+                   AS grp
+        FROM flagged
+    ),
+    lens AS (
+        SELECT event_type, hot, grp, count(*) AS len
+        FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN hot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot_runs,
+           CAST(max(CASE WHEN hot = 1 THEN len ELSE 0 END) AS BIGINT)
+               AS longest_hot_run,
+           CAST(max(CASE WHEN hot = 0 THEN len ELSE 0 END) AS BIGINT)
+               AS longest_cold_run
+    FROM lens GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length structure of each event series: number of above-mean
+    streaks and the longest hot/cold runs — the burstiness fingerprint
+    that separates organic traffic (short runs) from campaigns or
+    stuck pipelines (one long run), and the load-shape input for
+    capacity planning. Above-mean is the integer-exact compare
+    ``x * n > total`` (no float mean), runs are the classic
+    gaps-and-islands difference of row numbers — two partition-local
+    windows over the hourly pre-aggregate, nothing touches raw rows
+    twice."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wp = W.partitionBy("event_type")
+    flagged = hourly.select(
+        "event_type",
+        "h",
+        (
+            F.col("x") * F.count(F.lit(1)).over(wp) > F.sum("x").over(wp)
+        )
+        .cast("int")
+        .alias("hot"),
+    )
+    grp = F.row_number().over(W.partitionBy("event_type").orderBy("h")) - F.row_number().over(
+        W.partitionBy("event_type", "hot").orderBy("h")
+    )
+    lens = (
+        flagged.withColumn("grp", grp)
+        .groupBy("event_type", "hot", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        lens.groupBy("event_type")
+        .agg(
+            F.sum((F.col("hot") == 1).cast("int")).cast("long").alias("n_hot_runs"),
+            F.max(F.when(F.col("hot") == 1, F.col("len")).otherwise(0))
+            .cast("long")
+            .alias("longest_hot_run"),
+            F.max(F.when(F.col("hot") == 0, F.col("len")).otherwise(0))
+            .cast("long")
+            .alias("longest_cold_run"),
+        )
+        .orderBy("event_type")
+    )
