@@ -3829,3 +3829,64 @@ def ts_run_length_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+DP_EPS = 0.5
+_DP_K1, _DP_C, _DP_M = 2654435761, 98765, 4294967296
+
+
+@REG.add(
+    "privacy_noisy_count_laplace",
+    # The draw is a deterministic hash-uniform per group (seeded by the
+    # group's min key) pushed through the Laplace inverse CDF —
+    # identical doubles in both engines, so the MECHANISM is
+    # hash-verifiable even though a production deployment would use a
+    # real RNG (see docstring).
+    oracle=f"""
+    WITH g AS (
+        SELECT c_mktsegment AS segment,
+               count(*) AS n, min(c_custkey) AS seed_key
+        FROM customer GROUP BY c_mktsegment
+    ),
+    noise AS (
+        SELECT segment, n,
+               CAST(((seed_key + 1) * {_DP_K1} + {_DP_C}) % {_DP_M} AS DOUBLE)
+                   / {_DP_M} AS u
+        FROM g
+    )
+    SELECT segment,
+           round(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * (1.0 / {DP_EPS}) * ln(1.0 - 2.0 * abs(u - 0.5)), 4)
+               AS noisy_count,
+           {DP_EPS} AS epsilon
+    FROM noise ORDER BY segment
+    """,
+)
+def privacy_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts per segment (sensitivity 1,
+    epsilon={0.5}) — the differential-privacy release shape for
+    publishable aggregates, third member of the privacy family beside
+    the k-anonymity and l-diversity audits. The noise draw here is a
+    DETERMINISTIC hash-uniform (seeded by the group's min key) through
+    the Laplace inverse CDF so the mechanism itself is oracle-
+    verifiable; a production release swaps in a real RNG — determinism
+    is a TEST property, secrecy of the draw is the deployment
+    property. Cost: one count aggregate; the noise is O(groups) scalar
+    math."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("c_custkey").alias("seed_key")
+    )
+    u = (
+        ((F.col("seed_key") + 1) * _DP_K1 + _DP_C) % _DP_M
+    ).cast("double") / _DP_M
+    lap = (
+        F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * (1.0 / DP_EPS)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "segment",
+        F.round(F.col("n") + lap, 4).alias("noisy_count"),
+        F.lit(DP_EPS).alias("epsilon"),
+    ).orderBy("segment")
