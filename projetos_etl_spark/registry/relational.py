@@ -1323,3 +1323,26 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
         F.date_format("error_ts", TS_FMT_SPARK).alias("next_error_ts"),
     )
+
+
+@REG.add(
+    "sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (n_comment)
+    FROM (SELECT n_nationkey, n_name, n_regionkey,
+                 'x' AS n_comment FROM nation)
+    ORDER BY n_nationkey
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (cols)`` (Spark 4; DuckDB spells it EXCLUDE) —
+    the wide-table projection idiom that drops the two audit columns
+    from a 400-column feature table without enumerating 398 names.
+    Pure syntax over the identical Catalyst projection; column pruning
+    still reaches the scan."""
+    _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey", F.lit("x").alias("n_comment")
+    ).createOrReplaceTempView("pes_star_except")
+    return spark.sql(
+        "SELECT * EXCEPT (n_comment) FROM pes_star_except ORDER BY n_nationkey"
+    )

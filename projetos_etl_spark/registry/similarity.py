@@ -488,3 +488,72 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cluster_id int, dim int, centroid double"
     ).orderBy("cluster_id", "dim")
+
+
+@REG.add(
+    "emb_norm_outlier_audit",
+    # Norms are sequential folds (identical doubles); fences are the
+    # DISCRETE quartiles of the norm distribution (actual data values,
+    # engine-identical) so the outlier SET is exact in both engines.
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id,
+               sqrt(list_reduce(
+                   list_transform(CAST(embedding AS DOUBLE[]), v -> v * v),
+                   (a, b) -> a + b)) AS nrm
+        FROM embeddings
+    ),
+    fences AS (
+        SELECT quantile_disc(nrm, 0.25) AS q1,
+               quantile_disc(nrm, 0.75) AS q3
+        FROM norms
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_vectors,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           CAST(sum(CASE WHEN nrm < q1 - 3 * (q3 - q1)
+                          OR nrm > q3 + 3 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM norms, fences
+    """,
+)
+def emb_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm hygiene audit: zero vectors (cosine against them
+    is NaN — they poison every similarity op downstream) and extreme
+    norms (a broken encoder batch, a wrong normalization flag) flagged
+    with 3x-IQR fences on the norm distribution. One fold per row for
+    the norm, one discrete-quantile reduce for the fences, one rollup —
+    the pre-flight every embedding table should pass before entering
+    the ANN index builders."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda v: v * v
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    norms = emb.select(nrm.alias("nrm"))
+    fences = norms.agg(
+        F.expr("percentile_approx(nrm, 0.25, 2147483647)").alias("q1"),
+        F.expr("percentile_approx(nrm, 0.75, 2147483647)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return norms.crossJoin(F.broadcast(fences)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum((F.col("nrm") == 0).cast("int")).cast("long").alias("n_zero_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum(
+            (
+                (F.col("nrm") < F.col("q1") - 3 * iqr)
+                | (F.col("nrm") > F.col("q3") + 3 * iqr)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
