@@ -73,13 +73,75 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=TOP_K)
 
 
-@REG.add("sim_search_lsh_bucketed")  # approximate => rows-only check
+def _lsh_oracle() -> str:
+    """DuckDB twin that REPLAYS the SRP-LSH pipeline exactly, retiring
+    this entry from rows-only: the seeded hyperplanes are embedded as
+    exact double literals (``repr`` round-trips bit-identically), each
+    sign decision uses the same ``0.0``-seeded sequential left fold as
+    Spark's ``F.aggregate`` (IEEE +,* are order-exact => bucket bits are
+    bitwise equal), so candidate sets — the only approximate part — match
+    by construction and the rounded-cosine rerank hashes green."""
+    import numpy as np
+
+    # Mirror srp_lsh_topk's defaults: seed=42, 3 tables x 4 bits x 64 dims.
+    planes = np.random.default_rng(42).normal(size=(3, 4, 64))
+    rows = ",\n      ".join(
+        f"({t}, {b}, CAST([{', '.join(repr(float(w)) for w in planes[t][b])}] AS DOUBLE[]))"
+        for t in range(3)
+        for b in range(4)
+    )
+    dot = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),"
+        " i -> {x}[i] * {y}[i])), (acc, t) -> acc + t)"
+    )
+    norm = "sqrt(list_sum(list_transform({x}, t -> t * t)))"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), planes(tbl, bit, p) AS (VALUES
+      {rows}
+    ), bits AS (
+        SELECT e.vec_id, pl.tbl, pl.bit,
+               CASE WHEN {dot.format(x="e.v", y="pl.p")} >= 0
+                    THEN '1' ELSE '0' END AS b
+        FROM e CROSS JOIN planes pl
+    ), buckets AS (
+        SELECT vec_id, tbl, string_agg(b, '' ORDER BY bit) AS bucket
+        FROM bits GROUP BY vec_id, tbl
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q
+        JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round({dot.format(x="q.v", y="c.v")}
+                     / ({norm.format(x="q.v")} * {norm.format(x="c.v")}), 6)
+                   AS cosine_sim
+        FROM cand
+        JOIN e q ON q.vec_id = cand.query_id
+        JOIN e c ON c.vec_id = cand.neighbor_id
+    ), ranked AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+        ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@REG.add("sim_search_lsh_bucketed", oracle=_lsh_oracle())
 def sim_search_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-k — the 100 TB plan: queries meet
     candidates via an equi-join on (table, bucket) instead of a full
-    scan. Recall vs the exact operator is asserted on clustered synthetic
-    vectors in tests/test_dedup.py (the fixture vectors are isotropic
-    random, where *no* sublinear method can have high recall)."""
+    scan. Hash-verified end to end: the oracle replays the seeded
+    hyperplanes and bucket assignment exactly (see ``_lsh_oracle``), so
+    even the approximate candidate set is deterministic and twinned.
+    Recall vs the exact operator is additionally asserted on clustered
+    synthetic vectors in tests/test_dedup.py (the fixture vectors are
+    isotropic random, where *no* sublinear method can have high
+    recall)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return srp_lsh_topk(queries, emb, k=TOP_K)
