@@ -3890,3 +3890,246 @@ def privacy_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + lap, 4).alias("noisy_count"),
         F.lit(DP_EPS).alias("epsilon"),
     ).orderBy("segment")
+
+
+@REG.add(
+    "ml_decision_stump",
+    # Every quantity on the compared path is derived from INTEGER counts
+    # (cents-bucketed feature, running sums over the sorted candidate
+    # grid), and the split score (pos^2+neg^2)/n per side is a fixed
+    # 2-term expression of those integers — the same IEEE ops in the
+    # same order in both engines, so the argmax candidate is bitwise
+    # identical (no rounding needed to pick the winner).
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS y
+        FROM orders
+    ),
+    cand AS (
+        SELECT cents, count(*) AS n, sum(y) AS pos FROM pts GROUP BY cents
+    ),
+    run AS (
+        SELECT cents,
+               sum(n) OVER (ORDER BY cents) AS n_l,
+               sum(pos) OVER (ORDER BY cents) AS pos_l,
+               sum(n) OVER () AS n_tot,
+               sum(pos) OVER () AS pos_tot
+        FROM cand
+    ),
+    scored AS (
+        SELECT cents, n_l, pos_l,
+               n_tot - n_l AS n_r, pos_tot - pos_l AS pos_r,
+               (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l))
+                   / CAST(n_l AS DOUBLE)
+               + ((pos_tot - pos_l) * (pos_tot - pos_l)
+                  + ((n_tot - n_l) - (pos_tot - pos_l))
+                    * ((n_tot - n_l) - (pos_tot - pos_l)))
+                   / CAST(n_tot - n_l AS DOUBLE) AS score
+        FROM run WHERE n_tot - n_l > 0
+    )
+    SELECT round(cents / 100.0, 2) AS threshold,
+           CAST(n_l AS BIGINT) AS n_left,
+           CAST(n_r AS BIGINT) AS n_right,
+           CAST(pos_l AS BIGINT) AS pos_left,
+           CAST(pos_r AS BIGINT) AS pos_right,
+           round(score, 9) AS purity_score
+    FROM scored
+    ORDER BY score DESC, cents
+    LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a one-split decision stump in-engine: the best threshold on
+    ``o_totalprice`` for the is-urgent label by weighted Gini impurity
+    (equivalently, maximizing sum_side (pos^2+neg^2)/n). The classic
+    O(n log n) sweep: bucket the feature to exact cents, one shuffle to
+    the candidate grid, one ordered cumulative sum, then a scan of the
+    candidates. The candidate grid is bounded by the distinct bucketed
+    values (not row count), so the ordered window is over a small frame
+    at any scale; at 100 TB coarsen the bucket (dollars) to cap the
+    grid. Tie-break: lowest threshold."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    cand = o.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = cand.agg(F.sum("n").alias("n_tot"), F.sum("pos").alias("pos_tot"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    run = (
+        cand.withColumn("n_l", F.sum("n").over(w))
+        .withColumn("pos_l", F.sum("pos").over(w))
+        .crossJoin(F.broadcast(tot))  # 1-row scalar
+    )
+    n_l, pos_l = F.col("n_l"), F.col("pos_l")
+    n_r = F.col("n_tot") - n_l
+    pos_r = F.col("pos_tot") - pos_l
+    neg_l, neg_r = n_l - pos_l, n_r - pos_r
+    score = (pos_l * pos_l + neg_l * neg_l) / n_l.cast("double") + (
+        pos_r * pos_r + neg_r * neg_r
+    ) / n_r.cast("double")
+    return (
+        run.filter(n_r > 0)
+        .select(
+            F.round(F.col("cents") / 100.0, 2).alias("threshold"),
+            n_l.cast("long").alias("n_left"),
+            n_r.cast("long").alias("n_right"),
+            pos_l.cast("long").alias("pos_left"),
+            pos_r.cast("long").alias("pos_right"),
+            F.round(score, 9).alias("purity_score"),
+            F.col("cents"),
+        )
+        .orderBy(F.col("purity_score").desc(), F.col("cents"))
+        .limit(1)
+        .drop("cents")
+    )
+
+
+T_CLOSENESS_MAX = 0.2
+
+
+@REG.add(
+    "privacy_t_closeness_audit",
+    # The sensitive-class distribution has a FIXED 3-class domain, so
+    # the per-cell total-variation distance is a fixed 3-term sum of
+    # |cnt_c/n - g_c/N| written in the same class order in both engines
+    # — single divisions of integers, bitwise-identical doubles.
+    oracle=f"""
+    WITH lab AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(c_acctbal < 0 AS INTEGER) * 2
+                   + CAST(c_acctbal >= 5000 AS INTEGER) AS cls
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS n,
+               sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS c2
+        FROM lab GROUP BY 1, 2
+    ),
+    glob AS (
+        SELECT sum(n) AS nn, sum(c0) AS g0, sum(c1) AS g1, sum(c2) AS g2
+        FROM cells
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n AS BIGINT) AS cell_n,
+           round((abs(c0 / CAST(n AS DOUBLE) - g0 / CAST(nn AS DOUBLE))
+                  + abs(c1 / CAST(n AS DOUBLE) - g1 / CAST(nn AS DOUBLE))
+                  + abs(c2 / CAST(n AS DOUBLE) - g2 / CAST(nn AS DOUBLE)))
+                 / 2, 9) AS t_distance,
+           CAST((abs(c0 / CAST(n AS DOUBLE) - g0 / CAST(nn AS DOUBLE))
+                 + abs(c1 / CAST(n AS DOUBLE) - g1 / CAST(nn AS DOUBLE))
+                 + abs(c2 / CAST(n AS DOUBLE) - g2 / CAST(nn AS DOUBLE)))
+                / 2 > {T_CLOSENESS_MAX} AS BOOLEAN) AS violates_t
+    FROM cells, glob
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy-audit ladder
+    (k-anonymity: cell size; l-diversity: distinct sensitive values;
+    t-closeness: the cell's sensitive DISTRIBUTION must stay within t of
+    the global one, or membership in the cell itself leaks). For the
+    categorical 3-band balance class the Earth-Mover distance reduces to
+    total variation = sum |p_cell - p_global| / 2. One mergeable pivot
+    aggregate per cell; the global distribution rides as a 1-row
+    broadcast scalar."""
+    c = load_table(spark, sf_dir, "customer")
+    cls = (F.col("c_acctbal") < 0).cast("int") * 2 + (
+        F.col("c_acctbal") >= 5000
+    ).cast("int")
+    cells = c.select("c_nationkey", "c_mktsegment", cls.alias("cls")).groupBy(
+        "c_nationkey", "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cls") == 0).cast("int")).alias("c0"),
+        F.sum((F.col("cls") == 1).cast("int")).alias("c1"),
+        F.sum((F.col("cls") == 2).cast("int")).alias("c2"),
+    )
+    glob = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum("c0").alias("g0"),
+        F.sum("c1").alias("g1"),
+        F.sum("c2").alias("g2"),
+    )
+    joined = cells.crossJoin(F.broadcast(glob))  # 1-row scalar
+    nd, nnd = F.col("n").cast("double"), F.col("nn").cast("double")
+    tvd = (
+        F.abs(F.col("c0") / nd - F.col("g0") / nnd)
+        + F.abs(F.col("c1") / nd - F.col("g1") / nnd)
+        + F.abs(F.col("c2") / nd - F.col("g2") / nnd)
+    ) / 2
+    return joined.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("long").alias("cell_n"),
+        F.round(tvd, 9).alias("t_distance"),
+        (tvd > T_CLOSENESS_MAX).alias("violates_t"),
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@REG.add(
+    "quality_js_divergence",
+    # Jensen-Shannon divergence between the event-type mixes of the two
+    # stream halves (median-ts split, same discipline as the chi-squared
+    # twin). Each term is ln over single integer-ratio divisions; the
+    # 5-category sum is rounded at 6dp (chisq precedent: term-order ulp
+    # noise is orders of magnitude below the rounding).
+    oracle="""
+    WITH split AS (
+        SELECT quantile_disc(ts, 0.5) AS cut FROM events
+    ),
+    counts AS (
+        SELECT event_type,
+               sum(CASE WHEN ts <= cut THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN ts > cut THEN 1 ELSE 0 END) AS b
+        FROM events, split GROUP BY event_type
+    ),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM counts)
+    SELECT CAST(count(*) AS BIGINT) AS n_categories,
+           round(sum(
+               CASE WHEN a > 0 THEN (a * 1.0 / na) * ln(
+                   (a * 1.0 / na)
+                   / ((a * 1.0 / na + b * 1.0 / nb) / 2)) ELSE 0 END
+               + CASE WHEN b > 0 THEN (b * 1.0 / nb) * ln(
+                   (b * 1.0 / nb)
+                   / ((a * 1.0 / na + b * 1.0 / nb) / 2)) ELSE 0 END
+           ) / 2, 6) AS js_divergence_nats
+    FROM counts, tot
+    """,
+)
+def quality_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the event-type distributions of
+    the first and second half of the stream — the bounded, symmetric
+    drift score (0..ln 2) that, unlike raw KL, survives categories that
+    vanish from one half. Completes the drift family: KS (continuous
+    exact), PSI (binned), chi-squared (significance), JSD (bounded
+    effect size). Same cost shape as the chi-squared entry: one scan,
+    one tiny rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5, 2147483647)").alias("cut_us")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(cut))  # 1-row scalar
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.unix_micros("ts") <= F.col("cut_us")).cast("int")).alias("a"),
+            F.sum((F.unix_micros("ts") > F.col("cut_us")).cast("int")).alias("b"),
+        )
+    )
+    tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    p = F.col("a") * F.lit(1.0) / F.col("na")
+    q = F.col("b") * F.lit(1.0) / F.col("nb")
+    m = (p + q) / 2
+    term = F.when(F.col("a") > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        F.col("b") > 0, q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return counts.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.round(F.sum(term) / 2, 6).alias("js_divergence_nats"),
+    )
