@@ -4011,7 +4011,7 @@ T_CLOSENESS_MAX = 0.2
                sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS c2
         FROM lab GROUP BY 1, 2
     ),
-    glob AS (
+    totals AS (
         SELECT sum(n) AS nn, sum(c0) AS g0, sum(c1) AS g1, sum(c2) AS g2
         FROM cells
     )
@@ -4025,7 +4025,7 @@ T_CLOSENESS_MAX = 0.2
                  + abs(c1 / CAST(n AS DOUBLE) - g1 / CAST(nn AS DOUBLE))
                  + abs(c2 / CAST(n AS DOUBLE) - g2 / CAST(nn AS DOUBLE)))
                 / 2 > {T_CLOSENESS_MAX} AS BOOLEAN) AS violates_t
-    FROM cells, glob
+    FROM cells, totals
     ORDER BY c_nationkey, c_mktsegment
     """,
 )
