@@ -51,7 +51,9 @@ def kmeans_lloyd(
     k: int,
     iters: int = KM_ITERS,
 ) -> dict[int, list[float]]:
-    """Returns {cluster_id: centroid} after ``iters`` Lloyd steps.
+    """Returns {cluster_id: centroid} after ``iters`` Lloyd steps,
+    seeded from the first ``k`` vectors by id (raises if fewer than
+    ``k`` rows exist — ids need not be contiguous or zero-based).
 
     Centroids ship as a broadcast k-row DataFrame, NOT as literal
     arrays baked into the expression tree: k*d inline literals made
@@ -65,7 +67,9 @@ def kmeans_lloyd(
     data = vecs.select(F.col(id_col).alias("__id"), x.alias("__x")).localCheckpoint(
         eager=True
     )
-    init = data.filter(F.col("__id") < k).collect()
+    init = data.orderBy("__id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} centroids requested but only {len(init)} rows")
     cents: dict[int, list[float]] = {int(r["__id"]): list(r["__x"]) for r in init}
     for _ in range(iters):
         cent_df = spark.createDataFrame(

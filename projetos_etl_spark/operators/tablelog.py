@@ -13,9 +13,12 @@ Layout:
 The three guarantees, and where they come from:
 
 - **Atomic commit**: data files land first, then the manifest is
-  written via write-temp + atomic ``rename`` — a reader either sees
-  version N (complete) or it doesn't; there is no torn state. This is
-  precisely the Delta protocol's trick (the _delta_log JSON commit).
+  written via write-temp + create-exclusive ``link`` — a reader either
+  sees version N (complete) or it doesn't; there is no torn state, and
+  two concurrent committers can never both publish the same version
+  (the loser re-reads the log and retries on top of the winner). This
+  is precisely the Delta protocol's trick (the _delta_log JSON commit
+  with put-if-absent semantics).
 - **Snapshot isolation**: a read resolves ONE manifest and scans only
   the files it names; concurrent appends create new files + a new
   manifest and never mutate what a running query scans.
@@ -46,6 +49,13 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+_COMMIT_RETRIES = 16
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a committer loses the version race too many times."""
 
 
 def _log_dir(table_dir: str) -> str:
@@ -90,17 +100,33 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> int:
         os.remove(os.path.join(staging, f))
     os.rmdir(staging)
 
-    v = current_version(table_dir)
-    prior: list[str] = []
-    if mode == "append" and v > 0:
-        with open(os.path.join(_log_dir(table_dir), f"v{v}.json")) as fh:
-            prior = json.load(fh)["files"]
-    manifest = {"version": v + 1, "mode": mode, "files": prior + new_files}
-    tmp = os.path.join(_log_dir(table_dir), f".v{v + 1}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(_log_dir(table_dir), f"v{v + 1}.json"))  # atomic
-    return v + 1
+    # Publish with put-if-absent semantics: os.link fails with EEXIST
+    # if another committer already published this version (plain rename
+    # would silently REPLACE it — a lost update). The loser re-reads
+    # the log and retries its manifest on top of the winner's; the data
+    # files are already immutable, so only the metadata step repeats.
+    for _ in range(_COMMIT_RETRIES):
+        v = current_version(table_dir)
+        prior: list[str] = []
+        if mode == "append" and v > 0:
+            with open(os.path.join(_log_dir(table_dir), f"v{v}.json")) as fh:
+                prior = json.load(fh)["files"]
+        manifest = {"version": v + 1, "mode": mode, "files": prior + new_files}
+        tmp = os.path.join(
+            _log_dir(table_dir), f".v{v + 1}-{uuid.uuid4().hex}.json.tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, os.path.join(_log_dir(table_dir), f"v{v + 1}.json"))
+            return v + 1
+        except FileExistsError:
+            continue  # concurrent winner took v+1 — rebase and retry
+        finally:
+            os.remove(tmp)
+    raise ConcurrentCommitError(
+        f"lost {_COMMIT_RETRIES} consecutive commit races on {table_dir}"
+    )
 
 
 def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:

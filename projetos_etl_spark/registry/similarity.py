@@ -501,7 +501,7 @@ KM_K = 4
     ),
     km AS (
         SELECT 0 AS it, CAST(vec_id AS INTEGER) AS cid, x AS c
-        FROM e WHERE vec_id < {KM_K}
+        FROM (SELECT * FROM e ORDER BY vec_id LIMIT {KM_K})
         UNION ALL
         SELECT it, cid, list(m ORDER BY pos) AS c
         FROM (

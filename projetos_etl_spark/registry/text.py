@@ -463,12 +463,15 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
         ).alias("ts")
     )
-    n = F.size("ts")
+    # slice length is clamped to >= 0: an all-whitespace doc tokenizes
+    # to an empty array, and slice(ts, 1, -1) throws at runtime where
+    # the oracle's range(1, len(ts)) degrades to no bigrams.
+    n = F.greatest(F.size("ts") - 1, F.lit(0))
     bigrams = toks.select(
         F.explode(
             F.arrays_zip(
-                F.slice("ts", 1, n - 1).alias("w1"),
-                F.slice("ts", 2, n - 1).alias("w2"),
+                F.slice("ts", 1, n).alias("w1"),
+                F.slice("ts", 2, n).alias("w2"),
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))

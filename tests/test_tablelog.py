@@ -5,7 +5,15 @@ from __future__ import annotations
 import json
 import os
 
-from projetos_etl_spark.operators.tablelog import commit, current_version, read
+import pytest
+
+from projetos_etl_spark.operators import tablelog
+from projetos_etl_spark.operators.tablelog import (
+    ConcurrentCommitError,
+    commit,
+    current_version,
+    read,
+)
 
 
 def _df(spark, rows):
@@ -43,6 +51,58 @@ def test_snapshot_isolation_under_concurrent_append(spark, tmp_path):
     commit(_df(spark, [2]), t)  # a concurrent writer publishes v2
     # The already-resolved reader still sees exactly v1.
     assert sorted(r.k for r in snap.collect()) == [1]
+    assert sorted(r.k for r in read(spark, t).collect()) == [1, 2]
+
+
+def test_commit_race_is_not_a_lost_update(spark, tmp_path, monkeypatch):
+    """Two committers that both read version N must publish N+1 and N+2
+    — the put-if-absent link makes the loser rebase, never overwrite."""
+    t = str(tmp_path / "t")
+    commit(_df(spark, [1]), t)  # v1
+
+    real = tablelog.current_version
+    stale_reads = iter([True, False])  # first read is stale, retry is fresh
+
+    def racy_current_version(table_dir):
+        v = real(table_dir)
+        if next(stale_reads, False) and v > 1:
+            return v - 1  # simulate reading the log before the rival published
+        return v
+
+    monkeypatch.setattr(tablelog, "current_version", racy_current_version)
+    commit(_df(spark, [2]), t)  # rival publishes v2 cleanly
+    assert commit(_df(spark, [3]), t) == 3  # we saw stale v1, must land at v3
+    monkeypatch.setattr(tablelog, "current_version", real)
+    assert current_version(t) == 3
+    # No commit was discarded: v3 = union of all three appends.
+    assert sorted(r.k for r in read(spark, t).collect()) == [1, 2, 3]
+    assert sorted(r.k for r in read(spark, t, 2).collect()) == [1, 2]
+
+
+def test_commit_gives_up_after_persistent_races(spark, tmp_path, monkeypatch):
+    t = str(tmp_path / "t")
+    commit(_df(spark, [1]), t)
+    # A pathological rival that always wins: every version we try exists.
+    monkeypatch.setattr(tablelog, "current_version", lambda d: 0)
+    with pytest.raises(ConcurrentCommitError):
+        commit(_df(spark, [2]), t)
+
+
+def test_crashed_writer_leaves_no_torn_state(spark, tmp_path):
+    """Data files present but no manifest (writer died mid-commit) must
+    be invisible: reads and the next commit proceed as if it never ran."""
+    t = str(tmp_path / "t")
+    commit(_df(spark, [1]), t)  # v1
+    # Simulate a crash after the data-file stage, before the manifest.
+    orphan = os.path.join(t, "data", "deadbeef-orphan.parquet")
+    _df(spark, [99]).coalesce(1).write.mode("overwrite").parquet(orphan + ".d")
+    part = next(
+        f for f in os.listdir(orphan + ".d") if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(orphan + ".d", part), orphan)
+    assert current_version(t) == 1
+    assert sorted(r.k for r in read(spark, t).collect()) == [1]  # orphan unseen
+    assert commit(_df(spark, [2]), t) == 2
     assert sorted(r.k for r in read(spark, t).collect()) == [1, 2]
 
 
