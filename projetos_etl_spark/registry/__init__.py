@@ -41,64 +41,64 @@ _FAMILIES = [
 # Rotate this list (plus the pin in tests/test_registry_window.py and
 # COVERAGE.md's ledger) in ONE commit at each round boundary.
 #
-# Round-5 window: the 13 entries whose last driver row is the r3
-# events-ts fixture error (all verified MATCH locally after the r4 fix —
-# this clears the stale ``err`` rows from the driver ledger), then the
-# first 37 never-driver-windowed entries in registry order (dedup tail,
-# graph ops, time-series/quality/feature tiers from ``prep``).
+# Round-6 window: the first 47 never-driver-green entries in registry
+# order (the r5-session additions: remaining similarity/ML tier incl.
+# the 3 ANN tiers newly retired from rows-only, text/corpus tail, the
+# graph/dedup survivors, and the prep quality/time-series/feature
+# tiers), plus the 3 entries the r5 snapshot commit added after the
+# closing battery (ml_decision_stump, privacy_t_closeness_audit,
+# quality_js_divergence) so each gets an official driver row.
 _WINDOW_HEAD = [
-    # -- r3 casualties awaiting driver re-green (13)
-    "agg_collect_sorted",
-    "agg_hll_sketch_rollup",
-    "win_lag_delta",
-    "win_moving_avg_frame",
-    "sessionize_events",
-    "win_rolling_distinct",
-    "funnel_conversion",
-    "cohort_retention",
-    "win_rolling_distinct_unbounded",
-    "fn_json_extract",
-    "udf_pandas_vec",
-    "udf_scalar",
-    "udaf_grouped",
-    # -- first-ever driver rows (37)
-    "dedup_minhash_incremental",
-    "dedup_lsh_bucket_stats",
-    "er_blocking_join",
-    "graph_pagerank",
-    "dedup_ngram_containment",
-    "dedup_minhash_verified",
-    "er_blocking_multipass",
-    "dedup_lsh_recall_eval",
-    "graph_degree_stats",
-    "dedup_simhash_hamming",
-    "graph_triangle_count",
-    "er_golden_record",
-    "ts_resample_ffill",
-    "quality_schema_profile",
-    "ts_interpolate_linear",
-    "quality_referential_integrity",
-    "bitmap_distinct_rollup",
-    "unpivot_melt",
-    "split_train_test_hash",
-    "join_spatial_grid_radius",
-    "quality_outlier_iqr",
-    "ts_gap_detect",
-    "incremental_agg_merge",
-    "agg_heavy_hitters",
-    "corpus_resample_to_mix",
-    "text_perplexity_bigram",
-    "agg_time_decayed_sum",
-    "quality_psi_drift",
-    "text_normalize_dedup",
-    "feat_quantile_bucketize",
-    "feat_scale_normalize",
-    "feat_target_encode_loo",
-    "anomaly_zscore_rolling",
-    "maintenance_zorder_stats",
-    "corpus_shuffle_shards",
-    "sim_range_search",
-    "feat_onehot_topn",
+    "stream_sliding_topk",
+    "stream_session_close_stateful",
+    "sim_search_ivf",
+    "sim_search_lsh_bucketed",
+    "sim_search_pq_adc",
+    "sim_search_ivf_pq",
+    "emb_pca_top_component",
+    "eval_ndcg_at_k",
+    "sim_hard_negative_mining",
+    "ml_kmeans_lloyd",
+    "emb_norm_outlier_audit",
+    "text_langid",
+    "text_bigram_pmi",
+    "text_bpe_merge_step",
+    "eval_precision_recall_f1",
+    "corpus_temperature_mix",
+    "pipeline_span_dedup",
+    "graph_bipartite_projection",
+    "dedup_exact_keep_best",
+    "feat_hashing_trick",
+    "quality_expectation_suite",
+    "incremental_var_merge",
+    "join_interval_overlap",
+    "quality_benford_audit",
+    "ts_autocorr_lag",
+    "ts_ohlc_bars",
+    "quality_entropy_profile",
+    "ts_week_over_week",
+    "corpus_domain_cap",
+    "pipeline_quality_gate_fused",
+    "quality_outlier_mad",
+    "sample_weighted_reservoir",
+    "quality_table_checksum",
+    "multimodal_dedup_phash",
+    "privacy_k_anonymity_audit",
+    "quality_freshness_sla",
+    "quality_join_cardinality_forecast",
+    "quality_table_reconcile",
+    "quality_pk_uniqueness_audit",
+    "emb_matryoshka_overlap",
+    "quality_ks_two_sample",
+    "ts_business_days_to_ship",
+    "sample_poisson_bootstrap",
+    "privacy_l_diversity_audit",
+    "feat_woe_encoding",
+    "ts_changepoint_cusum",
+    "feat_impute_missing",
+    "ml_decision_stump",
+    "privacy_t_closeness_audit",
+    "quality_js_divergence",
 ]
 
 
