@@ -97,6 +97,16 @@ BENCH_QUERIES = [
     # way graph_pagerank does).
     "ml_logreg_gd",
     "ml_kmeans_lloyd",
+    # round 6 additions: the late-r5 snapshot entries, now benched —
+    # exact split-point search over the distinct-cents candidate grid,
+    # the t-closeness privacy audit, and train/holdout JS divergence
+    # (compare per-query across rounds, as above). NOTE: from r6 the
+    # sim_search_pq_adc / sim_search_ivf_pq entries also run their
+    # contract audit (exact-rerank recheck + planted-probe search), so
+    # their rows are not comparable to pre-r6 rounds.
+    "ml_decision_stump",
+    "privacy_t_closeness_audit",
+    "quality_js_divergence",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes
