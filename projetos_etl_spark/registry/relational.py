@@ -1346,3 +1346,124 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * EXCEPT (n_comment) FROM pes_star_except ORDER BY n_nationkey"
     )
+
+
+@REG.add(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 0) AS sum_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderpriority, order_year
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 3.4+/4; DuckDB native) — groups by every
+    non-aggregate select expression, the analyst idiom that keeps wide
+    rollups refactor-safe (add a dimension to SELECT and the grouping
+    follows). Resolves to the identical hash-aggregate plan as the
+    explicit key list."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("pes_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 0) AS sum_price
+        FROM pes_gba_orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, order_year
+        """
+    )
+
+
+@REG.add(
+    "sql_lateral_column_alias",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100, 0) AS INTEGER))
+               AS net_e4,
+           CAST(net_e4 AS DOUBLE) / 10000 AS net,
+           CAST(net_e4 * (100 + CAST(round(l_tax * 100, 0) AS INTEGER))
+                AS DOUBLE) / 1000000 AS gross
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+; DuckDB native): a SELECT
+    expression refers to a sibling alias (``gross`` built from ``net``)
+    instead of repeating the whole subexpression — the incremental-
+    derivation idiom that keeps 40-column feature SELECTs readable.
+    Catalyst inlines the alias, so the plan is the same single
+    projection. ``net_e4`` is referenced by TWO sibling aliases, and
+    the arithmetic is integer-exact cents (price_cents * (100-disc) *
+    (100+tax)): every derived value is an exact integer divided once,
+    so no rounding can tie at a half cent in either engine (the naive
+    round(net*(1+tax),2) form diverged on exactly 1 row in 376 — the
+    classic boundary-tie lesson, see _core.py conventions)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("pes_lca_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100, 0) AS INT))
+                   AS net_e4,
+               CAST(net_e4 AS DOUBLE) / 10000 AS net,
+               CAST(net_e4 * (100 + CAST(round(l_tax * 100, 0) AS INT))
+                    AS DOUBLE) / 1000000 AS gross
+        FROM pes_lca_lineitem
+        WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber
+        """
+    )
+
+
+@REG.add(
+    "sql_unpivot_syntax",
+    oracle="""
+    WITH wide AS (
+        SELECT r.r_name,
+               count(DISTINCT n.n_nationkey) AS n_nations,
+               count(DISTINCT c.c_custkey)   AS n_customers
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY r.r_name
+    )
+    SELECT r_name, 'n_nations' AS metric, n_nations AS value FROM wide
+    UNION ALL
+    SELECT r_name, 'n_customers', n_customers FROM wide
+    ORDER BY r_name, metric
+    """,
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UNPIVOT`` clause (Spark 3.4+) — the syntax twin of the
+    DataFrame ``unpivot_melt`` entry: a per-region wide rollup turned
+    tidy (region, metric, value) inside one statement. The oracle spells
+    it as the equivalent UNION ALL, which is also exactly what the
+    logical plan expands to — no extra shuffle beyond the rollup."""
+    _t(spark, sf_dir, "region").createOrReplaceTempView("pes_up_region")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("pes_up_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("pes_up_customer")
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT r.r_name,
+                   count(DISTINCT n.n_nationkey) AS n_nations,
+                   count(DISTINCT c.c_custkey)   AS n_customers
+            FROM pes_up_region r
+            JOIN pes_up_nation n ON n.n_regionkey = r.r_regionkey
+            LEFT JOIN pes_up_customer c ON c.c_nationkey = n.n_nationkey
+            GROUP BY r.r_name
+        )
+        SELECT r_name, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (n_nations, n_customers))
+        ORDER BY r_name, metric
+        """
+    )
