@@ -1474,3 +1474,179 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy("fingerprint")
     )
+
+
+LPA_ITERS = 4
+LPA_SUPP_BASE = 1_000_000
+
+
+@REG.add(
+    "graph_label_propagation",
+    # Synchronous LPA with the (count DESC, label ASC) deterministic
+    # update is pure INTEGER arithmetic, so unlike float fixpoints it
+    # hash-verifies directly: the oracle replays the same 4 rounds as a
+    # recursive CTE (one self-reference; argmax via row_number).
+    oracle=f"""
+    WITH RECURSIVE
+    bip AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    und AS (
+        SELECT c AS src, {LPA_SUPP_BASE} + s AS dst FROM bip
+        UNION ALL
+        SELECT {LPA_SUPP_BASE} + s, c FROM bip
+    ),
+    lab AS (
+        SELECT 0 AS it, src AS id, src AS label FROM (SELECT DISTINCT src FROM und)
+        UNION ALL
+        SELECT it + 1, id, label FROM (
+            SELECT l.it, e.dst AS id, l.label,
+                   row_number() OVER (
+                       PARTITION BY l.it, e.dst
+                       ORDER BY count(*) DESC, l.label) AS rn
+            FROM lab l JOIN und e ON l.id = e.src
+            WHERE l.it < {LPA_ITERS}
+            GROUP BY l.it, e.dst, l.label
+        ) WHERE rn = 1
+    )
+    SELECT id AS node_id, label,
+           count(*) OVER (PARTITION BY label) AS community_size
+    FROM lab WHERE it = {LPA_ITERS}
+    ORDER BY node_id
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected customer<->supplier purchase graph (supplier ids offset
+    to share one integer node space) — the raw-labels cousin of
+    ``dedup_connected_components``: where CC converges to min-reachable
+    labels, LPA's most-frequent-neighbor-label update finds densely
+    connected purchase communities (the clustering used to group near-
+    dup web domains or co-citation sets before per-community dedup).
+    Deterministic by construction: the update argmax breaks count ties
+    on the SMALLEST label, all-integer state, fixed {LPA_ITERS}
+    synchronous rounds. Per round: ONE edge-join shuffle + ONE
+    two-level aggregate; lineage truncated per round (localCheckpoint)
+    so the plan stays iteration-invariant — at 100 TB the edge table is
+    hash-partitioned on src once and every round reuses that
+    partitioning."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    bip = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            (F.col("l_suppkey") + F.lit(LPA_SUPP_BASE)).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    und = bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = und.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        labels = (
+            und.join(labels, und.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("nid")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("top")
+            )
+            .select(F.col("nid").alias("id"), (-F.col("top.neg")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("id").alias("node_id"),
+        "label",
+        F.count(F.lit(1)).over(w).alias("community_size"),
+    ).orderBy("node_id")
+
+
+LINKPRED_TOPK = 100
+
+
+@REG.add(
+    "graph_jaccard_link_prediction",
+    # Jaccard = inter / (deg_a + deg_b - inter): single IEEE divisions
+    # of exact integers are bit-identical cross-engine, so ordering and
+    # values both hash-verify without rounding.
+    oracle=f"""
+    WITH bip AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    keep AS (
+        SELECT c FROM bip GROUP BY c HAVING count(*) <= {PROJ_HUB_CAP}
+    ),
+    deg AS (SELECT s, count(*) AS d FROM bip GROUP BY s),
+    inter AS (
+        SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS n_shared
+        FROM bip a JOIN bip b ON a.c = b.c AND a.s < b.s
+        WHERE a.c IN (SELECT c FROM keep)
+        GROUP BY a.s, b.s
+    )
+    SELECT supp_a, supp_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (da.d + db.d - n_shared) AS jaccard
+    FROM inter
+    JOIN deg da ON da.s = supp_a
+    JOIN deg db ON db.s = supp_b
+    ORDER BY jaccard DESC, supp_a, supp_b
+    LIMIT {LINKPRED_TOPK}
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard over the customer->
+    supplier bipartite graph: supplier pairs whose customer sets
+    overlap most are the likeliest future co-purchase links (the same
+    score ranks candidate duplicate entities or related crawl domains).
+    Scale shape = the bipartite-projection discipline: pair generation
+    rides the customer-keyed inverted index with hub customers above
+    {PROJ_HUB_CAP} suppliers EXCLUDED before the C(d,2) blowup (cap
+    mirrored in the oracle); degrees come from the full graph in one
+    mergeable aggregate and broadcast-join back onto the pair list;
+    top-k is TakeOrderedAndProject, never a global sort of all pairs."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    bip = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by keep/deg/pairs
+    )
+    keep = bip.groupBy("c").agg(F.count(F.lit(1)).alias("dc")).filter(
+        F.col("dc") <= PROJ_HUB_CAP
+    ).select("c")
+    deg = bip.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = bip.join(F.broadcast(keep), "c").alias("a")
+    b = bip.join(F.broadcast(keep), "c").alias("b")
+    inter = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(
+            F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    da = deg.select(F.col("s").alias("supp_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("supp_b"), F.col("d").alias("db"))
+    return (
+        inter.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
+        .limit(LINKPRED_TOPK)
+    )
