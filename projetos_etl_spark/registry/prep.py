@@ -4133,3 +4133,58 @@ def quality_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         F.round(F.sum(term) / 2, 6).alias("js_divergence_nats"),
     )
+
+
+@REG.add(
+    "eval_auc_roc",
+    # Pair-counting AUC from INTEGER tallies: AUC = (2*sum[n_pos(s) *
+    # cum_neg(<s)] + sum[n_pos(s)*n_neg(s)]) / (2*n_pos*n_neg) — the
+    # Mann-Whitney U with tie-averaging, every term an exact integer
+    # until ONE final division (bit-identical cross-engine).
+    oracle="""
+    WITH g AS (
+        SELECT value,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+               sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
+        FROM events GROUP BY value
+    ), c AS (
+        SELECT np, nn,
+               COALESCE(sum(nn) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_nn
+        FROM g
+    )
+    SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+           CAST(sum(2 * np * cum_nn) + sum(np * nn) AS DOUBLE)
+               / (2 * sum(np) * sum(nn)) AS auc
+    FROM c
+    """,
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of `value` as a classifier score for purchase
+    events — the ranking-quality metric behind every quality-classifier
+    gate in a training-data pipeline. Computed by pair counting on the
+    per-score integer tallies (Mann-Whitney U, ties contribute 1/2):
+    ONE groupBy(value) shuffle collapses the stream to its distinct
+    scores, the ordered window runs over that collapsed grid, and all
+    arithmetic stays integer until the single final division. At 100 TB
+    the grid (not the rows) bounds the window; for truly continuous
+    scores bucket the grid first (same identity per bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+        F.sum((F.col("event_type") != "purchase").cast("long")).alias("nn"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn")
+    )
+    return c.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        (
+            (F.sum(2 * F.col("np") * F.col("cum_nn")) + F.sum(F.col("np") * F.col("nn")))
+            .cast("double")
+            / (2 * F.sum("np") * F.sum("nn"))
+        ).alias("auc"),
+    )

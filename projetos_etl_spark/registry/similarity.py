@@ -752,3 +752,85 @@ def emb_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+KNN_HOLDOUT = 30
+KNN_K = 5
+
+
+@REG.add(
+    "ml_knn_classify",
+    # Exact-cosine kNN is deterministic end to end: rounded-cosine
+    # ranking with id tie-break picks the identical neighbor set in
+    # both engines, and the majority vote is integer arithmetic with a
+    # smallest-label tie-break.
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id, q.label AS true_label, c.label AS cand_label,
+               round(
+                   list_sum(list_transform(generate_series(1, len(q.v)),
+                                           i -> q.v[i] * c.v[i]))
+                   / (sqrt(list_sum(list_transform(q.v, t -> t * t)))
+                      * sqrt(list_sum(list_transform(c.v, t -> t * t)))), 6)
+                   AS sim,
+               c.vec_id AS cand_id
+        FROM e q JOIN e c ON c.vec_id >= {KNN_HOLDOUT}
+        WHERE q.vec_id < {KNN_HOLDOUT}
+    ), nn AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cand_id) AS rn
+            FROM scored
+        ) WHERE rn <= {KNN_K}
+    ), votes AS (
+        SELECT vec_id, true_label, cand_label,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY count(*) DESC, cand_label) AS vr
+        FROM nn GROUP BY vec_id, true_label, cand_label
+    )
+    SELECT vec_id, true_label,
+           cand_label AS predicted_label,
+           CAST(cand_label = true_label AS BOOLEAN) AS correct
+    FROM votes WHERE vr = 1
+    ORDER BY vec_id
+    """,
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification inside the engine: the first
+    {KNN_HOLDOUT} vectors are held out and labeled by the majority
+    label of their {KNN_K} nearest corpus neighbors (exact cosine,
+    count ties broken on the smallest label). The canonical embedding-
+    quality probe for a training corpus — if kNN accuracy collapses,
+    the embedding column is noise. Plan: ONE broadcast of the bounded
+    holdout against the corpus scan (the same shape as
+    ``sim_search_topk``), a per-query top-k, and an integer vote; at
+    100 TB swap the exact scan for the IVF/PQ tiers and keep the vote."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_HOLDOUT)
+    corpus = emb.filter(F.col("vec_id") >= KNN_HOLDOUT)
+    nn = brute_force_topk(queries, corpus, k=KNN_K)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cand_label"))
+    truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy(F.col("query_id").alias("vec_id"), "cand_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("n").desc(), F.col("cand_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .join(F.broadcast(truth), "vec_id")
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("cand_label").alias("predicted_label"),
+            (F.col("cand_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )

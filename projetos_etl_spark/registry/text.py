@@ -656,3 +656,76 @@ def eval_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clazz")
     )
+
+
+NB_VOCAB_TOPN = 50
+
+
+@REG.add(
+    "ml_naive_bayes_train",
+    # Laplace-smoothed multinomial NB is ln() of integer ratios all the
+    # way down — ln(a/b) on the identical quotient double is
+    # bit-identical cross-engine (the text_unigram_logprob discipline),
+    # rounded to 6dp on emission per the family convention.
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w FROM toks GROUP BY w
+        ORDER BY count(*) DESC, w LIMIT {NB_VOCAB_TOPN}
+    ), vt AS (
+        SELECT t.lang, t.w FROM toks t JOIN vocab v ON t.w = v.w
+    ), cls AS (
+        SELECT lang, count(*) AS n_c FROM vt GROUP BY lang
+    ), wc AS (
+        SELECT lang, w, count(*) AS n_wc FROM vt GROUP BY lang, w
+    )
+    SELECT c.lang, v.w AS token,
+           round(ln(CAST(COALESCE(n_wc, 0) + 1 AS DOUBLE)
+                    / (c.n_c + {NB_VOCAB_TOPN})), 6) AS log_likelihood
+    FROM cls c
+    CROSS JOIN vocab v
+    LEFT JOIN wc ON wc.lang = c.lang AND wc.w = v.w
+    ORDER BY c.lang, token
+    """,
+)
+def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes trainer over the document corpus:
+    Laplace-smoothed ln P(token | lang) for the global top-{NB_VOCAB_TOPN}
+    vocabulary — the classic lightweight doc classifier (language/topic/
+    quality routing) trained entirely as aggregates. Plan: ONE tokenize
+    pass feeds the vocabulary top-k (TakeOrderedAndProject over the
+    vocabulary, not the corpus) and the (lang, token) count shuffle; the
+    dense class x vocab grid comes from a broadcast cross join of two
+    bounded sides, with absent counts smoothed via the LEFT join. At
+    100 TB everything is one token-keyed shuffle + broadcasts."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .orderBy(F.col("cw").desc(), "w")
+        .limit(NB_VOCAB_TOPN)
+        .select("w")
+    )
+    vt = toks.join(F.broadcast(vocab), "w")
+    cls = vt.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+    wc = vt.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n_wc"))
+    grid = F.broadcast(cls).crossJoin(F.broadcast(vocab))
+    return (
+        grid.join(wc, ["lang", "w"], "left")
+        .select(
+            "lang",
+            F.col("w").alias("token"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("n_wc"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_c") + NB_VOCAB_TOPN)
+                ),
+                6,
+            ).alias("log_likelihood"),
+        )
+        .orderBy("lang", "token")
+    )
