@@ -140,3 +140,46 @@ def read(spark: SparkSession, table_dir: str, version: int | None = None) -> Dat
     if not files:
         raise ValueError(f"version {v} of {table_dir} names no files")
     return spark.read.parquet(*files)
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> dict[str, int]:
+    """Retire history: drop all but the newest ``keep_last`` manifests
+    and delete data files referenced ONLY by the dropped versions —
+    the Delta VACUUM division of labor (commits never delete; a
+    separate retention sweep does, bounding time travel). Files named
+    by any surviving manifest are kept, so current readers of kept
+    versions are never broken; real deployments add a staleness window
+    before deleting to protect in-flight writers' uncommitted files.
+    Returns the sweep's audit counts."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    log = _log_dir(table_dir)
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(log)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    for v in kept:
+        with open(os.path.join(log, f"v{v}.json")) as fh:
+            referenced.update(json.load(fh)["files"])
+    data_dir = os.path.join(table_dir, "data")
+    data_files = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    deleted = 0
+    for f in data_files:
+        if f not in referenced:
+            os.remove(f)
+            deleted += 1
+    for v in dropped:
+        os.remove(os.path.join(log, f"v{v}.json"))
+    return {
+        "versions_before": len(versions),
+        "versions_after": len(kept),
+        "files_before": len(data_files),
+        "files_deleted": deleted,
+    }

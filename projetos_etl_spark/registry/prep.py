@@ -4188,3 +4188,94 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.sum("np") * F.sum("nn"))
         ).alias("auc"),
     )
+
+
+EWMA_THRESH = 100.0
+
+
+@REG.add(
+    "ts_ewma_anomaly",
+    # EWMA is a float fixpoint, so it rides the per-step determinism
+    # toolkit (operators/kmeans.py discipline): every smoothed value is
+    # fixed to 9dp in BOTH engines, so the trajectories re-synchronize
+    # each step and the anomaly compares see identical doubles. The
+    # oracle replays the recursion row by row (one self-reference).
+    oracle=f"""
+    WITH RECURSIVE
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               round(avg(value), 6) AS x
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    s AS (
+        SELECT user_id, h, x,
+               row_number() OVER (PARTITION BY user_id ORDER BY h) AS i
+        FROM hourly
+    ),
+    r AS (
+        SELECT user_id, i, h, x, x AS ewma, FALSE AS is_anomaly
+        FROM s WHERE i = 1
+        UNION ALL
+        SELECT s.user_id, s.i, s.h, s.x,
+               round(CAST(0.2 AS DOUBLE) * s.x
+                     + CAST(0.8 AS DOUBLE) * r.ewma, 9),
+               abs(s.x - r.ewma) > CAST({EWMA_THRESH} AS DOUBLE)
+        FROM r JOIN s ON s.user_id = r.user_id AND s.i = r.i + 1
+    )
+    SELECT user_id, strftime(h, '{TS_FMT_DUCK}') AS hour, x, ewma, is_anomaly
+    FROM r ORDER BY user_id, hour
+    """,
+)
+def ts_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing (alpha=0.2) of the hourly value series
+    with spike flagging (|x_t − ewma_(t−1)| > {EWMA_THRESH}) — the
+    classic streaming-metrics anomaly detector, run batch-side. The
+    recursion is a SEQUENTIAL per-key fold, so it executes as ONE
+    hourly-rollup shuffle + ONE per-user JVM array fold
+    (``F.aggregate`` over the sorted series — no Python, no
+    per-iteration jobs): per-key state is the bounded series, the exact
+    shape that scales by keys, not by time. 9dp per-step fixing makes
+    the float trajectory hash-verifiable (see oracle note)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    series = hourly.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("h", "x"))).alias("s")
+    )
+    row_t = "array<struct<h:timestamp,x:double,ewma:double,anom:boolean>>"
+    acc_t = f"struct<rows:{row_t},last:double,started:boolean>"
+    init = F.struct(
+        F.array().cast(row_t).alias("rows"),
+        F.lit(0.0).alias("last"),
+        F.lit(False).alias("started"),
+    ).cast(acc_t)
+
+    def step(acc, e):
+        new_e = F.when(
+            acc["started"], F.round(0.2 * e["x"] + 0.8 * acc["last"], 9)
+        ).otherwise(e["x"])
+        anom = acc["started"] & (F.abs(e["x"] - acc["last"]) > EWMA_THRESH)
+        row = F.struct(
+            e["h"].alias("h"),
+            e["x"].alias("x"),
+            new_e.alias("ewma"),
+            anom.alias("anom"),
+        )
+        return F.struct(
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+            new_e.alias("last"),
+            F.lit(True).alias("started"),
+        ).cast(acc_t)
+
+    folded = series.select(
+        "user_id", F.aggregate("s", init, step).getField("rows").alias("rows")
+    )
+    r = folded.select("user_id", F.explode("rows").alias("r"))
+    return r.select(
+        "user_id",
+        F.date_format(F.col("r.h"), TS_FMT_SPARK).alias("hour"),
+        F.col("r.x").alias("x"),
+        F.col("r.ewma").alias("ewma"),
+        F.col("r.anom").alias("is_anomaly"),
+    ).orderBy("user_id", "hour")

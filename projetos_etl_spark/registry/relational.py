@@ -1467,3 +1467,99 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_name, metric
         """
     )
+
+
+@REG.add(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    back AS (
+        SELECT p.event_id, e.ts AS bts
+        FROM p ASOF LEFT JOIN e
+          ON p.user_id = e.user_id AND e.ts <= p.ts
+    ),
+    fwd AS (
+        SELECT p.event_id, e.ts AS fts
+        FROM p ASOF LEFT JOIN e
+          ON p.user_id = e.user_id AND e.ts >= p.ts
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           strftime(CASE
+               WHEN bts IS NULL THEN fts
+               WHEN fts IS NULL THEN bts
+               WHEN epoch_us(p.ts) - epoch_us(bts)
+                    <= epoch_us(fts) - epoch_us(p.ts) THEN bts
+               ELSE fts END, '{TS_FMT_DUCK}') AS nearest_error_ts,
+           CASE
+               WHEN bts IS NULL AND fts IS NULL THEN NULL
+               WHEN fts IS NULL THEN 'backward'
+               WHEN bts IS NULL THEN 'forward'
+               WHEN epoch_us(p.ts) - epoch_us(bts)
+                    <= epoch_us(fts) - epoch_us(p.ts) THEN 'backward'
+               ELSE 'forward' END AS direction
+    FROM p
+    JOIN back USING (event_id)
+    JOIN fwd USING (event_id)
+    ORDER BY event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')`` semantics): each purchase gets the user's closest error
+    in either time direction, ties and the missing-side cases resolving
+    to backward — the remaining member of the as-of family (backward =
+    ``join_asof_events``, forward = ``join_asof_forward``). Composed
+    from the SAME single-shuffle window carries as those entries — both
+    directions ride one user-keyed sort, then an integer microsecond
+    comparison picks the side; no second shuffle, no range join."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select("user_id", "ts")
+    back = asof_join(
+        purchases,
+        errors.withColumn("bts", F.col("ts")).select("user_id", "ts", "bts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["bts"],
+        suffix="",
+        direction="backward",
+    )
+    fwd = asof_join(
+        purchases,
+        errors.withColumn("fts", F.col("ts")).select("user_id", "ts", "fts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["fts"],
+        suffix="",
+        direction="forward",
+    ).select("event_id", "fts")
+    j = back.join(fwd, "event_id")
+    dist_b = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bts"))
+    dist_f = F.unix_micros(F.col("fts")) - F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(F.col("bts").isNull(), F.col("fts"))
+        .when(F.col("fts").isNull(), F.col("bts"))
+        .when(dist_b <= dist_f, F.col("bts"))
+        .otherwise(F.col("fts"))
+    )
+    direction = (
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None))
+        .when(F.col("fts").isNull(), F.lit("backward"))
+        .when(F.col("bts").isNull(), F.lit("forward"))
+        .when(dist_b <= dist_f, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format(nearest, TS_FMT_SPARK).alias("nearest_error_ts"),
+        direction.alias("direction"),
+    ).orderBy("event_id")

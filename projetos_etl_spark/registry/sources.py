@@ -984,3 +984,51 @@ def table_log_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return snaps[0].unionByName(snaps[1]).orderBy("version")
+
+
+@REG.add(
+    "maintenance_tablelog_vacuum",
+    # coalesce(1) per commit pins the file counts, so the sweep's audit
+    # numbers are plan-independent integers; the surviving snapshot is a
+    # pure selection of the source view.
+    oracle="""
+    SELECT 3 AS versions_before, 2 AS versions_after,
+           3 AS files_before, 1 AS files_deleted,
+           CAST((SELECT count(*) FROM nation WHERE n_regionkey <= 1)
+                AS BIGINT) AS rows_latest,
+           TRUE AS history_still_reads
+    """,
+)
+def maintenance_tablelog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM for the version-manifest table log
+    (``operators/tablelog.vacuum``): drop all but the newest N manifests
+    and delete data files referenced only by dropped versions — the
+    Delta retention division of labor (commits never delete; a separate
+    bounded sweep does). History: overwrite/overwrite/append, keep the
+    last 2 → exactly the first overwrite's file is unreferenced and
+    removed, the shared append-chain files survive, and the kept
+    versions still read by manifest afterwards (asserted into the
+    ``history_still_reads`` flag). At 100 TB the sweep is a manifest
+    set-difference plus deletes — metadata-bounded, never a data scan."""
+    import shutil
+
+    from projetos_etl_spark.operators.tablelog import commit, read, vacuum
+
+    table = os.path.join(tempfile.gettempdir(), "pes_tlvacuum_scratch")
+    shutil.rmtree(table, ignore_errors=True)  # fixed per-host scratch
+    nation = load_table(spark, sf_dir, "nation")
+    commit(nation.filter(F.col("n_regionkey") == 0).coalesce(1), table, "overwrite")
+    commit(nation.filter(F.col("n_regionkey") == 0).coalesce(1), table, "overwrite")
+    commit(nation.filter(F.col("n_regionkey") == 1).coalesce(1), table, "append")
+    audit = vacuum(table, keep_last=2)
+    latest = read(spark, table)
+    v2_rows = read(spark, table, 2).count()
+    still_reads = v2_rows == nation.filter(F.col("n_regionkey") == 0).count()
+    return latest.agg(
+        F.lit(audit["versions_before"]).alias("versions_before"),
+        F.lit(audit["versions_after"]).alias("versions_after"),
+        F.lit(audit["files_before"]).alias("files_before"),
+        F.lit(audit["files_deleted"]).alias("files_deleted"),
+        F.count(F.lit(1)).cast("long").alias("rows_latest"),
+        F.lit(still_reads).alias("history_still_reads"),
+    )

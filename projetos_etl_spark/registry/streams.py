@@ -697,3 +697,99 @@ def stream_session_close_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         "n_events",
     ).orderBy("user_id", "session_start")
+
+
+@REG.add(
+    "stream_upsert_tablelog",
+    # The streamed two-epoch merge must land exactly where one batch
+    # aggregate lands; sums ride integer cents so the two-stage
+    # accumulation cannot drift from the oracle's single pass.
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+               AS sum_value,
+           strftime(max(ts), '{TS_FMT_DUCK}') AS last_ts,
+           TRUE AS multi_commit
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_upsert_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into the version-manifest table log — the
+    hermetic form of "writeStream.foreachBatch + MERGE INTO delta": raw
+    events arrive across TWO real micro-batches (file drops pin the
+    epochs); each batch folds its per-user partials into the current
+    table-log snapshot and publishes the merge as an atomic overwrite
+    commit (old versions stay time-travelable). The read-back of the
+    final version must equal the one-shot batch aggregate — the
+    exactly-once bar for any streaming warehouse sink. Sums accumulate
+    as integer cents so the two-stage merge is bit-exact; the
+    ``multi_commit`` flag pins that at least two non-empty epochs
+    really committed (a one-batch degenerate run would fail the
+    oracle). State story at 100 TB: per-user partials are one mergeable
+    shuffle per epoch, and the log merge touches only the user rows, a
+    key-bounded table."""
+    import os
+    import shutil
+    import tempfile
+
+    from projetos_etl_spark.operators.tablelog import commit, current_version, read
+    from projetos_etl_spark.sources.io import load_table
+    from projetos_etl_spark.streaming.jobs import stage_files
+
+    ev_all = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    table_dir = os.path.join(tempfile.gettempdir(), "pes_stream_upsert_log")
+    shutil.rmtree(table_dir, ignore_errors=True)  # fixed scratch, fresh run
+    watch = tempfile.mkdtemp(prefix="pes_upsert_watch_")
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        if not agg.head(1):
+            return
+        if current_version(table_dir) > 0:
+            agg = (
+                read(spark, table_dir)
+                .unionByName(agg)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                    F.max("last_ts").alias("last_ts"),
+                )
+            )
+        commit(agg, table_dir, mode="overwrite")
+
+    first = ev_all.filter(F.col("event_id") % 2 == 0)
+    second = ev_all.filter(F.col("event_id") % 2 == 1)
+    stage_files(first, watch, "epoch1")
+    stream = spark.readStream.format("parquet").schema(ev_all.schema).load(watch)
+    with scoped_stream_parallelism(spark):
+        q = stream.writeStream.foreachBatch(merge_batch).start()
+        try:
+            q.processAllAvailable()  # epoch 1 -> initial commit
+            stage_files(second, watch, "epoch2")
+            q.processAllAvailable()  # epoch 2 -> merge commit
+        finally:
+            q.stop()
+
+    final_version = current_version(table_dir)
+    return (
+        read(spark, table_dir)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("cents").cast("double") / 100).alias("sum_value"),
+            F.date_format("last_ts", TS_FMT_SPARK).alias("last_ts"),
+            F.lit(final_version >= 2).alias("multi_commit"),
+        )
+        .orderBy("user_id")
+    )

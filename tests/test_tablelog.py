@@ -116,3 +116,26 @@ def test_no_torn_manifest(spark, tmp_path):
         assert not f.startswith("."), "tmp manifest leaked"
         m = json.load(open(os.path.join(log, f)))
         assert all(os.path.exists(p) for p in m["files"])
+
+
+def test_vacuum_drops_only_unreferenced_files(spark, tmp_path):
+    from projetos_etl_spark.operators.tablelog import vacuum
+
+    t = str(tmp_path / "t")
+    commit(_df(spark, [1]).coalesce(1), t, mode="overwrite")   # v1: f1
+    commit(_df(spark, [2]).coalesce(1), t, mode="overwrite")   # v2: f2
+    commit(_df(spark, [3]).coalesce(1), t)                     # v3: f2+f3
+    audit = vacuum(t, keep_last=2)
+    assert audit == {
+        "versions_before": 3,
+        "versions_after": 2,
+        "files_before": 3,
+        "files_deleted": 1,  # only v1's file is unreferenced by v2/v3
+    }
+    # Kept versions still read; dropped version is gone.
+    assert sorted(r.k for r in read(spark, t).collect()) == [2, 3]
+    assert sorted(r.k for r in read(spark, t, 2).collect()) == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read(spark, t, 1)
