@@ -4279,3 +4279,89 @@ def ts_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.ewma").alias("ewma"),
         F.col("r.anom").alias("is_anomaly"),
     ).orderBy("user_id", "hour")
+
+
+K_ANON_TARGET = 12
+
+
+@REG.add(
+    "privacy_generalize_to_k",
+    # The generalization ladder is decided by integer cell counts only,
+    # so the released partition (and its sizes) is deterministic.
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    lvl1 AS (  -- small cells drop the segment dimension
+        SELECT c_nationkey,
+               CASE WHEN n >= {K_ANON_TARGET} THEN c_mktsegment
+                    ELSE '*' END AS seg_out,
+               n
+        FROM cells
+    ),
+    lvl1_sizes AS (
+        SELECT c_nationkey, seg_out, sum(n) AS n_out
+        FROM lvl1 GROUP BY c_nationkey, seg_out
+    ),
+    lvl2 AS (  -- still-small generalized cells suppress the nation too
+        SELECT CASE WHEN n_out >= {K_ANON_TARGET}
+                    THEN CAST(c_nationkey AS VARCHAR) ELSE '*' END AS nation_out,
+               CASE WHEN n_out >= {K_ANON_TARGET} THEN seg_out
+                    ELSE '*' END AS seg_out,
+               n_out
+        FROM lvl1_sizes
+    )
+    SELECT nation_out, seg_out, sum(n_out) AS released_n,
+           CAST(sum(n_out) >= {K_ANON_TARGET} AS BOOLEAN) AS satisfies_k
+    FROM lvl2
+    GROUP BY nation_out, seg_out
+    ORDER BY nation_out, seg_out
+    """,
+)
+def privacy_generalize_to_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT (k={K_ANON_TARGET}) — where the
+    ``privacy_k_anonymity_audit`` entry only measures, this one applies
+    the standard generalization ladder until every released cell is
+    safe: cells under k first drop the segment dimension (seg -> '*'),
+    and generalized cells still under k suppress the nation too
+    (global '*','*' bucket). Pure integer-count decisions over two
+    cheap rollups of ONE base aggregate — the quasi-identifier
+    cardinality, not the row count, bounds every stage, so the ladder
+    costs the same at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lvl1 = cells.select(
+        "c_nationkey",
+        F.when(F.col("n") >= K_ANON_TARGET, F.col("c_mktsegment"))
+        .otherwise("*")
+        .alias("seg_out"),
+        "n",
+    )
+    lvl1_sizes = lvl1.groupBy("c_nationkey", "seg_out").agg(
+        F.sum("n").alias("n_out")
+    )
+    lvl2 = lvl1_sizes.select(
+        F.when(
+            F.col("n_out") >= K_ANON_TARGET, F.col("c_nationkey").cast("string")
+        )
+        .otherwise("*")
+        .alias("nation_out"),
+        F.when(F.col("n_out") >= K_ANON_TARGET, F.col("seg_out"))
+        .otherwise("*")
+        .alias("seg_out"),
+        "n_out",
+    )
+    return (
+        lvl2.groupBy("nation_out", "seg_out")
+        .agg(F.sum("n_out").alias("released_n"))
+        .select(
+            "nation_out",
+            "seg_out",
+            "released_n",
+            (F.col("released_n") >= K_ANON_TARGET).alias("satisfies_k"),
+        )
+        .orderBy("nation_out", "seg_out")
+    )

@@ -729,3 +729,229 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "token")
     )
+
+
+@REG.add(
+    "text_readability_score",
+    # All counts are integers (tokens, sentence enders, vowel groups);
+    # the Flesch formula is then a fixed arithmetic tree over identical
+    # doubles with CAST-pinned coefficient literals, rounded to 6dp.
+    oracle="""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                    t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * n_words / n_sentences
+                 - CAST(84.6 AS DOUBLE) * n_syllables / n_words, 6)
+               AS flesch_ease
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    feature in LLM quality-filter stacks (too-hard and too-trivial
+    text both get downweighted). Syllables via the standard
+    vowel-group heuristic (runs of [aeiouy], floor 1 per word),
+    sentences via terminator runs (floor 1): pure column expressions,
+    zero shuffle, streams through the scan like the rest of the
+    per-document featurization tier."""
+    words = F.split(F.col("text"), " ")
+    lower_words = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(words).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    syl = F.aggregate(
+        F.transform(
+            lower_words,
+            lambda t: F.greatest(
+                F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)), F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    ).cast("long")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            syl.alias("n_syllables"),
+        )
+        .withColumn(
+            "flesch_ease",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * F.col("n_words") / F.col("n_sentences")
+                - F.lit(84.6) * F.col("n_syllables") / F.col("n_words"),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_COVERAGE_TOPN = 100
+
+
+@REG.add(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w FROM toks GROUP BY w
+        ORDER BY count(*) DESC, w LIMIT {VOCAB_COVERAGE_TOPN}
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-{VOCAB_COVERAGE_TOPN} vocabulary — the coverage audit run
+    before freezing any tokenizer/vocab on a corpus (rising OOV on new
+    data = retrain signal). ONE tokenize pass feeds the vocabulary
+    top-k (TakeOrderedAndProject over the vocabulary) and the per-doc
+    OOV tally (broadcast membership join, occurrence-counted — an
+    array_except would wrongly dedup repeats); integer tallies until
+    one exact division."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .orderBy(F.col("cw").desc(), "w")
+        .limit(VOCAB_COVERAGE_TOPN)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+            (
+                F.sum(F.col("in_vocab").isNull().cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+KN_DISCOUNT = 0.75  # 3/4 — exactly representable in binary
+KN_TOPN = 50
+
+
+@REG.add(
+    "corpus_kneser_ney_bigram",
+    # Interpolated Kneser-Ney from INTEGER count tables only; D = 0.75
+    # is exactly representable, so every term (max(c-D,0)/c1, the
+    # D*N1+/c1 backoff weight, the continuation ratio) is a fixed IEEE
+    # expression over identical integers — deterministic cross-engine.
+    oracle=f"""
+    WITH toks AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT pair[1] AS w1, pair[2] AS w2, count(*) AS c
+        FROM toks,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> [ts[i], ts[i + 1]])) AS u(pair)
+        GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT w1, sum(c) AS c1, count(*) AS n1_fwd FROM bi GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, count(*) AS n1_bwd FROM bi GROUP BY w2
+    ),
+    tot AS (SELECT count(*) AS n_types FROM bi)
+    SELECT b.w1 AS w1, b.w2 AS w2, CAST(b.c AS BIGINT) AS pair_count,
+           round(
+               greatest(b.c - CAST({KN_DISCOUNT} AS DOUBLE), 0) / ctx.c1
+               + (CAST({KN_DISCOUNT} AS DOUBLE) * ctx.n1_fwd / ctx.c1)
+                 * (CAST(cont.n1_bwd AS DOUBLE) / tot.n_types),
+               6) AS p_kn
+    FROM bi b
+    JOIN ctx ON ctx.w1 = b.w1
+    JOIN cont ON cont.w2 = b.w2
+    CROSS JOIN tot
+    ORDER BY pair_count DESC, b.w1, b.w2
+    LIMIT {KN_TOPN}
+    """,
+)
+def corpus_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (D={KN_DISCOUNT})
+    for the corpus's top-{KN_TOPN} bigrams — the LM-smoothing standard
+    behind n-gram quality scorers: continuation probability rewards
+    words that follow MANY contexts, not just frequent ones (the
+    'san francisco' pathology of raw MLE). Everything derives from one
+    bigram count table: context totals, distinct-follower counts
+    (N1+(w1·)), distinct-predecessor counts (N1+(·w2)), and the bigram
+    type total — four mergeable aggregates off one shuffle, joined back
+    broadcast (all vocabulary-bounded). Top-k on integer counts is
+    TakeOrderedAndProject."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("ts")
+    )
+    n = F.greatest(F.size("ts") - 1, F.lit(0))
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, n).alias("w1"), F.slice("ts", 2, n).alias("w2")
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # one bigram shuffle feeds 4 aggregates
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    tot = bi.agg(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(KN_DISCOUNT)
+    return (
+        bi.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("pair_count"),
+            F.round(
+                F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("c1")
+                + (d * F.col("n1_fwd") / F.col("c1"))
+                * (F.col("n1_bwd").cast("double") / F.col("n_types")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("pair_count").desc(), "w1", "w2")
+        .limit(KN_TOPN)
+    )

@@ -806,3 +806,35 @@ def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("c_mktsegment", "rk", "c_custkey")
     )
+
+
+@REG.add(
+    "win_percent_rank_cume_dist",
+    # percent_rank = (rank-1)/(n-1) and cume_dist = n_le/n are single
+    # divisions of integers — bit-identical cross-engine, no rounding.
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer
+    WHERE c_nationkey < 5
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_acctbal, c_custkey
+    """,
+)
+def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions — percent_rank and cume_dist
+    of each customer's balance inside its nation (the normalized-rank
+    features fed to scale-free models, and the SQL way to read 'this
+    account is in the top 3% of its cohort'). The (balance, key) order
+    makes ranks total, so both ratios are integer-exact; one shuffle on
+    the partition key serves both functions from the same sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("c_nationkey", "c_acctbal", "c_custkey")
