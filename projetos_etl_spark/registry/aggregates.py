@@ -290,41 +290,1029 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "agg_mode_deterministic",
-    # Spark 3.4+ ships mode(), but its tie choice is undefined — this
-    # entry is the engine-portable DETERMINISTIC form: max count, ties
-    # broken on the smallest value, pure integer/string comparisons.
     oracle="""
-    SELECT c_nationkey, c_mktsegment AS mode_segment, n AS n_customers
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
     FROM (
-        SELECT c_nationkey, c_mktsegment, count(*) AS n,
-               row_number() OVER (
-                   PARTITION BY c_nationkey
-                   ORDER BY count(*) DESC, c_mktsegment) AS rn
-        FROM customer
-        GROUP BY c_nationkey, c_mktsegment
-    ) WHERE rn = 1
-    ORDER BY c_nationkey
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    )
+    WHERE rn = 1
+    ORDER BY c_mktsegment
     """,
 )
 def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation modal market segment with a defined tie-break (count
-    DESC, then segment ASC) — the categorical summary statistic done
-    right: the built-in ``mode()`` leaves ties unspecified, which is a
-    silent nondeterminism bug in any incremental pipeline. One partial-
-    aggregated count shuffle, then ``min_by`` on a (-count, value)
-    struct — struct comparison is lexicographic, so the min is (max
-    count, then smallest segment) with no window over raw rows and no
-    second shuffle."""
-    c = load_table(spark, sf_dir, "customer")
-    counted = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    key = F.struct((-F.col("n")).alias("neg_n"), F.col("c_mktsegment").alias("seg"))
-    return (
-        counted.groupBy("c_nationkey")
-        .agg(
-            F.min_by("c_mktsegment", key).alias("mode_segment"),
-            F.max("n").alias("n_customers"),
+    """Mode (most frequent value) per group with an explicit tie-break:
+    count-then-rank instead of a native mode() aggregate, because
+    engines disagree on which tied value mode() returns — spelled out,
+    the result is engine-invariant and the plan is still just one
+    aggregation plus a window over the (tiny) per-group value counts."""
+    from pyspark.sql import Window
+
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
-        .orderBy("c_nationkey")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@REG.add(
+    "agg_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice)        AS biggest_order,
+           round(max(o_totalprice), 2)              AS biggest_total
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max / max_by aggregation: each customer's highest-value order
+    in ONE aggregation pass — no self-join back onto the max, no window.
+    (o_custkey, o_totalprice) pairs are unique in the fixture so the
+    argmax is well-defined; with tie-prone data you'd max_by on a
+    (value, unique-key) struct instead. Combinable partial aggregate:
+    the cheapest formulation of "row of the max" at any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("biggest_total"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@REG.add(
+    "agg_corr_regression",
+    oracle="""
+    SELECT o_orderstatus,
+           round(corr(o_totalprice, o_custkey), 4)        AS price_cust_corr,
+           round(covar_samp(o_totalprice, o_custkey), 2)  AS price_cust_covar,
+           round(regr_slope(o_totalprice, o_custkey), 6)  AS price_cust_slope,
+           CAST(count(*) AS BIGINT)                       AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covar_samp / regr_slope) per group —
+    single-pass combinable aggregates (each keeps a constant-size moment
+    tuple per group), so the 100 TB cost is one scan + one tiny shuffle.
+    Rounded because the moment accumulation order differs between Spark
+    partials and DuckDB; the statistics are normalized/ratio-scaled so
+    4-6 dp is far above the ulp noise."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("price_cust_corr"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias(
+                "price_cust_covar"
+            ),
+            F.round(
+                F.expr("regr_slope(o_totalprice, o_custkey)"), 6
+            ).alias("price_cust_slope"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@REG.add(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                              AS n_events,
+           md5(array_to_string(list(event_type ORDER BY ts, event_id), ',')) AS seq_md5
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each user's event-type *sequence* (time
+    order, event_id tie-break), digested for comparison. Spark's
+    collect_list is partition-order-dependent, so the deterministic
+    formulation collects (ts, event_id, type) structs and sort_array's
+    them AFTER the aggregate — the sequence signature is then engine-
+    and partitioning-invariant. This is the behavioral-sequence
+    extraction step of session/funnel mining."""
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.md5(F.array_join(seq, ",").cast("binary")).alias("seq_md5"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@REG.add(
+    "agg_percentile_approx",
+    # The estimate itself can't be value-oracled, but its CONTRACT can
+    # (VERDICT r4 #8, same pattern as agg_hll_sketch_rollup): the exact
+    # median is pinned, and the claim that the sketch lands within its
+    # rank-error band is COMPUTED on the Spark side (vs the exact 0.495
+    # and 0.505 quantiles — 5x the sketch's 0.001 guarantee) while the
+    # oracle pins it true. A broken sketch fails the hash compare.
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+           CAST(count(*) AS BIGINT) AS n,
+           true AS est_within_band
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest percentile sketch (``percentile_approx``) next to the
+    exact interpolated percentile — the 100 TB path for quantiles (the
+    sketch is map-side mergeable; exact percentile sorts per group).
+    ``tests/test_aggregate_bounds.py`` additionally asserts the rank
+    error against the accuracy parameter at both test scales."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+            F.expr("percentile(o_totalprice, 0.495)").alias("_lo"),
+            F.expr("percentile(o_totalprice, 0.505)").alias("_hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_median",
+            "n",
+            (
+                (F.col("approx_median") >= F.col("_lo"))
+                & (F.col("approx_median") <= F.col("_hi"))
+            ).alias("est_within_band"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@REG.add(
+    "agg_hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           true AS est_within_5pct
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE cardinality sketches — the property that matters at
+    100 TB: ``hll_sketch_agg`` builds a per-(event_type, day) Datasketches
+    HLL sketch (a small binary), and ``hll_union_agg`` re-aggregates
+    those sketches to event_type grain WITHOUT touching the raw rows
+    again. That two-level shape is how daily-rollup tables stay
+    re-aggregatable to any coarser grain (week/month/all-time) at the
+    cost of unioning kilobyte sketches — ``approx_count_distinct``
+    alone gives an estimate but not a storable, re-mergeable state.
+    The oracle pins the exact per-type distinct count plus the claim
+    the merged estimate lands within 5% of it (HLL at default
+    lgConfigK=12 is ~1.6% rse; the flag is computed, not assumed —
+    a broken merge fails the hash compare).
+    """
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.countDistinct("user_id").alias("n_day_exact"),
+        )
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+    )
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("est") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= 0.05
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@REG.add(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1 ORDER BY n_events DESC, item
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based frequent items via the native ``approx_top_k``
+    aggregate (Spark 4): ONE mergeable sketch pass, no full group-by
+    materialization — the heavy-hitter primitive for high-cardinality
+    keys where ``agg_heavy_hitters``' exact group-by would carry every
+    distinct key through the shuffle. The sketch is provably EXACT when
+    maxItemsTracked >= the column's true cardinality (here 1000 >>
+    ~10 event types), which is what lets an exact SQL oracle verify
+    it; at real cardinality the same call degrades gracefully to
+    approximate counts with a bounded-memory guarantee. Output is
+    re-sorted by (count desc, item) because the sketch's own tie order
+    is unspecified."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 20, 1000)").alias("top"))
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("n_events"), "item")
+    )
+
+
+@REG.add(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0)
+               AS finished_revenue,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_large
+    FROM orders GROUP BY 1 ORDER BY priority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard FILTER-clause aggregates: several differently-
+    conditioned metrics (overall volume, finished-only volume and
+    revenue, large-order count) computed in ONE pass over ONE shuffle —
+    the pattern that replaces N filtered subquery scans with N
+    conditional accumulators. Every FILTER stays inside the same
+    partial/final hash aggregate, so adding a segment metric costs one
+    register, not one job; this is how dashboard fact rollups stay
+    single-scan as the metric list grows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("count(*) FILTER (WHERE o_orderstatus = 'F')")
+            .cast("long")
+            .alias("n_finished"),
+            F.round(
+                F.expr("sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F')"), 0
+            ).alias("finished_revenue"),
+            F.expr("count(*) FILTER (WHERE o_totalprice > 200000)")
+            .cast("long")
+            .alias("n_large"),
+        )
+        .orderBy("priority")
+    )
+
+
+@REG.add(
+    "agg_listagg_sorted",
+    oracle="""
+    SELECT r_name AS region,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY region
+    """,
+)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (`LISTAGG ... WITHIN GROUP`, SQL:2016;
+    Spark 4 native) — the denormalized-label column every report and
+    entity-resolution explainer needs. The WITHIN GROUP order is what
+    makes it deterministic across partitionings (an unordered
+    concat_ws(collect_list(...)) silently changes per run — the classic
+    wrong-fix). Mind the scale footgun: the aggregate's state is the
+    whole group's strings, so at 100 TB this belongs AFTER a top-k or
+    bounded-cardinality grouping, never on an unbounded group (here:
+    ≤25 nations per region)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+        )
+        .orderBy("region")
+    )
+
+
+@REG.add(
+    "agg_mean_family",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT)                       AS n_parts,
+           round(avg(p_retailprice), 4)                   AS arith_mean,
+           round(exp(avg(ln(p_retailprice))), 4)          AS geo_mean,
+           round(count(*) / sum(1.0 / p_retailprice), 4)  AS harm_mean
+    FROM part WHERE p_retailprice > 0
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per group in one pass: arithmetic,
+    geometric (exp∘avg∘ln — the right average for ratios and the
+    aggregate behind composite eval scores like BLEU), and harmonic
+    (n/Σ(1/x) — the right average for rates). All three reduce to
+    plain sum/count accumulators under a log/reciprocal projection, so
+    the whole family stays ONE map-combinable hash aggregate — no
+    second pass, no window. Zero/negative inputs are excluded up front
+    (ln and 1/x are undefined there) and that predicate pushes to the
+    scan."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("arith_mean"),
+            F.round(F.exp(F.avg(F.log("p_retailprice"))), 4).alias("geo_mean"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(1.0 / F.col("p_retailprice")), 4
+            ).alias("harm_mean"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@REG.add(
+    "agg_bitwise",
+    oracle="""
+    SELECT p_brand,
+           CAST(bit_and(p_size) AS BIGINT) AS size_and,
+           CAST(bit_or(p_size) AS BIGINT)  AS size_or,
+           CAST(bit_xor(p_size) AS BIGINT) AS size_xor,
+           CAST(count(*) AS BIGINT)        AS n_parts
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) — the
+    flag-column rollup: OR accumulates 'any row has capability X', AND
+    'every row has it', XOR parity-checks. All three are commutative,
+    associative single-word accumulators — the cheapest mergeable
+    aggregates that exist — so flag rollups over 100 TB cost exactly
+    one map-combinable pass with 8 bytes of state per group per
+    function."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.expr("bit_and(p_size)").cast("long").alias("size_and"),
+            F.expr("bit_or(p_size)").cast("long").alias("size_or"),
+            F.expr("bit_xor(p_size)").cast("long").alias("size_xor"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@REG.add(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               sum(l_quantity) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, price,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum,
+               sum(w) OVER (PARTITION BY l_returnflag)                AS tot
+        FROM g
+    )
+    SELECT l_returnflag, round(min(price), 2) AS weighted_median
+    FROM c WHERE cum >= tot / 2
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (price weighted by quantity) per group —
+    the robust 'typical unit price' a mean can't give when a few huge
+    line items dominate. Distributed shape: pre-aggregate weights by
+    (group, value) FIRST (mergeable hash agg — the shuffle then carries
+    one row per distinct value, not one per input row), then a single
+    window sort per group turns cumulative weight into the median pick.
+    At 100 TB the distinct-value set per group is the binding quantity;
+    when the value domain is unbounded (continuous measures), swap the
+    exact window stage for ``percentile_approx`` — the pre-aggregation
+    stage and the cum-weight>=half rule are unchanged."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum("l_quantity").alias("w"))
+    wo = Window.partitionBy("l_returnflag").orderBy("price")
+    wp = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wo).alias("cum"),
+        F.sum("w").over(wp).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("price"), 2).alias("weighted_median"))
+        .orderBy("l_returnflag")
+    )
+
+
+@REG.add(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CASE grouping(o_orderstatus, o_orderpriority)
+                WHEN 0 THEN 'cell' WHEN 1 THEN 'status_total'
+                WHEN 2 THEN 'priority_total' ELSE 'grand_total' END AS level,
+           CAST(count(*) AS BIGINT)        AS n_orders,
+           round(sum(o_totalprice), 0)     AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping_id()`` level labeling over a CUBE: the bitmask that
+    tells subtotal rows apart from data cells whose key value happens
+    to be NULL — the only correct way to consume multi-level rollup
+    output downstream (filtering on ``key IS NULL`` misattributes real
+    NULL groups). Same single Expand + hash-agg plan as ``agg_cube``;
+    the id is computed from the Expand's grouping bitvector, zero
+    extra shuffle or pass."""
+    o = load_table(spark, sf_dir, "orders")
+    gid = F.grouping_id()
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            gid.cast("long").alias("gid"),
+            F.when(gid == 0, "cell")
+            .when(gid == 1, "status_total")
+            .when(gid == 2, "priority_total")
+            .otherwise("grand_total")
+            .alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("total_price"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@REG.add(
+    "agg_moments_family",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*)                  AS n,
+               avg(l_quantity)           AS mu,
+               sum(l_quantity * l_quantity)                            AS s2,
+               sum(l_quantity * l_quantity * l_quantity)               AS s3,
+               sum(l_quantity * l_quantity * l_quantity * l_quantity)  AS s4,
+               sum(l_quantity)           AS s1
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT l_returnflag, n, mu,
+               (s2 - n * mu * mu) / n                                    AS m2,
+               (s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n * mu * mu * mu)  AS cm3,
+               (s4 - 4 * mu * s3 + 6 * mu * mu * s2
+                   - 4 * mu * mu * mu * s1 + n * mu * mu * mu * mu)      AS cm4
+        FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT)                              AS n_rows,
+           round(mu, 4)                                   AS mean_qty,
+           round(sqrt(m2), 4)                             AS std_pop,
+           round((cm3 / n) / nullif(pow(m2, 1.5), 0), 4)  AS skewness,
+           round((cm4 / n) / nullif(m2 * m2, 0) - 3, 4)   AS kurtosis_excess
+    FROM c ORDER BY l_returnflag
+    """,
+)
+def agg_moments_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third and fourth standardized moments (skewness, excess
+    kurtosis) from raw power sums — the tail-shape profile a feature
+    audit wants next to mean/std. Built from sum(x), sum(x^2..x^4) so
+    the whole family is ONE map-combinable hash aggregate (5 doubles of
+    state per group, mergeable across 1000 executors by addition);
+    the central-moment algebra happens on the one-row-per-group result.
+    The same formula runs verbatim in the oracle — engine built-ins
+    disagree on bias correction (sample vs population), raw power sums
+    don't. Population definitions; excess kurtosis (normal = 0); a
+    zero-variance group yields NULL via nullif (ANSI mode would
+    otherwise raise on the division)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(q).alias("mu"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+        F.sum(q).alias("s1"),
+    )
+    n, mu = F.col("n"), F.col("mu")
+    m2 = (F.col("s2") - n * mu * mu) / n
+    cm3 = F.col("s3") - 3 * mu * F.col("s2") + 3 * mu * mu * F.col("s1") - n * mu * mu * mu
+    cm4 = (
+        F.col("s4")
+        - 4 * mu * F.col("s3")
+        + 6 * mu * mu * F.col("s2")
+        - 4 * mu * mu * mu * F.col("s1")
+        + n * mu * mu * mu * mu
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(mu, 4).alias("mean_qty"),
+        F.round(F.sqrt(m2), 4).alias("std_pop"),
+        F.round((cm3 / n) / F.nullif(F.pow(m2, 1.5), F.lit(0.0)), 4).alias("skewness"),
+        F.round((cm4 / n) / F.nullif(m2 * m2, F.lit(0.0)) - 3, 4).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")
+
+
+@REG.add(
+    "agg_pareto_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+               CAST(round(round(sum(o.o_totalprice), 2) * 100, 0) AS BIGINT)
+                   AS spend_c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, custkey, spend_c,
+               sum(spend_c) OVER (PARTITION BY segment
+                                  ORDER BY spend_c DESC, custkey) AS cum_c,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY spend_c DESC, custkey) AS rk
+        FROM spend
+    ),
+    tot AS (
+        SELECT segment, custkey, spend_c, cum_c, rk,
+               max(cum_c) OVER (PARTITION BY segment) AS total_c
+        FROM ranked
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN 10 * (cum_c - spend_c) < 8 * total_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           round(sum(CASE WHEN rk <= 10 THEN spend_c ELSE 0 END) / max(total_c), 6)
+               AS top10_share
+    FROM tot GROUP BY segment ORDER BY segment
+    """,
+)
+def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC concentration audit: per market segment, how many
+    customers carry 80% of revenue, and the top-10 share — the
+    skew-awareness report that decides whether a key needs salting
+    before it ever burns a 100 TB shuffle (the same heavy-hitter shape
+    `graph_degree_stats` reads off the purchase graph). Plan: one
+    grouped sum, one window sort per segment over the CUSTOMER-grain
+    rows (already reduced — never the raw facts), then a one-row-per-
+    segment aggregate. The cumulative threshold compare is integer-
+    exact: per-customer spend is fixed to BIGINT cents before the
+    window, so the running sum folds identically in both engines
+    regardless of how each associates float additions (a double
+    running sum put the 80% boundary on an ulp coin-flip — ADVICE r4);
+    the 0.8 threshold becomes the integer compare 10*(cum-spend) <
+    8*total."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.round(F.round(F.sum("o_totalprice"), 2) * 100, 0)
+            .cast("long")
+            .alias("spend_c")
+        )
+    )
+    wo = Window.partitionBy("segment").orderBy(F.col("spend_c").desc(), "custkey")
+    wp = Window.partitionBy("segment")
+    ranked = spend.select(
+        "segment",
+        "custkey",
+        "spend_c",
+        F.sum("spend_c").over(wo).alias("cum_c"),
+        F.row_number().over(wo).alias("rk"),
+    ).withColumn("total_c", F.max("cum_c").over(wp))
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(
+                (10 * (F.col("cum_c") - F.col("spend_c")) < 8 * F.col("total_c")).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_top80"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 10, F.col("spend_c")).otherwise(F.lit(0)))
+                / F.max("total_c"),
+                6,
+            ).alias("top10_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+@REG.add(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH cuts AS (
+        SELECT o_orderpriority AS priority,
+               quantile_cont(o_totalprice, 0.1) AS lo,
+               quantile_cont(o_totalprice, 0.9) AS hi
+        FROM orders GROUP BY 1
+    )
+    SELECT c.priority,
+           CAST(count(*) AS BIGINT)        AS n_all,
+           CAST(sum(CASE WHEN o.o_totalprice >= c.lo AND o.o_totalprice <= c.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(avg(o.o_totalprice), 2)   AS mean_raw,
+           round(avg(CASE WHEN o.o_totalprice >= c.lo AND o.o_totalprice <= c.hi
+                          THEN o.o_totalprice END), 2) AS mean_trimmed
+    FROM orders o JOIN cuts c ON o.o_orderpriority = c.priority
+    GROUP BY c.priority ORDER BY c.priority
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-90 trimmed mean per group next to the raw mean — the robust
+    eval-metric aggregate (a handful of degenerate outliers moves a raw
+    benchmark average; the trimmed one ignores both tails). Two passes
+    over one broadcast-joined fence table, exactly the
+    ``quality_outlier_iqr`` economics: the fence aggregate is the only
+    shuffle, facts re-join by broadcast. Cut points are percentiles of
+    the RAW column (verified bit-identical across engines — derived-
+    value percentiles are the ones that diverge, see
+    ``quality_outlier_mad``); the trimmed mean averages inside [lo, hi]
+    inclusively so kept rows are an exact data-defined set."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr("percentile(o_totalprice, 0.1)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("hi"),
+    )
+    kept = (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") <= F.col("hi"))
+    return (
+        o.join(F.broadcast(cuts), o["o_orderpriority"] == cuts["priority"])
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
+            F.round(F.avg(F.when(kept, F.col("o_totalprice"))), 2).alias("mean_trimmed"),
+        )
+        .orderBy("priority")
+    )
+
+
+@REG.add(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment AS segment,
+               c_acctbal - min(c_acctbal) OVER (PARTITION BY c_mktsegment) AS x,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS i,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           round(sum((2.0 * i - n - 1) * x) / (max(n) * nullif(sum(x), 0)), 6)
+               AS gini
+    FROM ranked GROUP BY segment ORDER BY segment
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient per group (0 = perfectly even, 1 = one member
+    holds everything) via the rank formula
+    ``sum((2i - n - 1) * x) / (n * sum(x))`` — the single-number
+    inequality measure that complements ``agg_pareto_concentration``'s
+    cutoff counts and ``quality_entropy_profile``'s categorical
+    balance. Values are shifted non-negative per group (Gini is
+    defined on non-negative quantities; account balances go negative)
+    by subtracting the group minimum. Cost: one window sort per group
+    over the grouping key's shuffle — the same single-exchange shape
+    as every keyed window; the i*x products fold map-side in the final
+    hash aggregate. Deterministic: ties rank by the unique customer
+    key, identically in both engines."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    wp = Window.partitionBy("c_mktsegment")
+    wo = wp.orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal") - F.min("c_acctbal").over(wp)).alias("x"),
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.round(
+                F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("x"))
+                / (F.max("n") * F.nullif(F.sum("x"), F.lit(0.0))),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("segment")
+    )
+
+
+@REG.add(
+    "agg_histogram_2d",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT)           AS qty_bin,
+           CAST(floor(l_extendedprice / 10000) AS BIGINT)   AS price_bin,
+           CAST(count(*) AS BIGINT)                         AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY qty_bin, price_bin
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap binning): quantity x price cells with
+    count and revenue — the joint-distribution profile behind every
+    density heatmap and the binned sketch a BI layer renders instead of
+    600 k raw points. Binning is two integer floor-divisions in the
+    projection, so the whole thing is ONE map-combinable hash aggregate
+    whose state is O(occupied cells) — at 100 TB the cell grid, not the
+    row count, bounds memory, and the same cells re-aggregate to
+    coarser grids without rescanning facts (the bitmap/HLL tier
+    argument, applied to density)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
+            F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("price_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("qty_bin", "price_bin")
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@REG.add(
+    "agg_corr_matrix",
+    # corr from raw moments: (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) *
+    # sqrt(n*Syy - Sy^2)) — one scan collects every sum, the matrix is
+    # assembled from the single stats row. Engine float-order noise in
+    # the sums is ~1e-15 relative, 9 orders below the 6dp rounding.
+    oracle="""
+    WITH s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(l_quantity) AS s1, sum(l_extendedprice) AS s2,
+               sum(l_discount) AS s3, sum(l_tax) AS s4,
+               sum(l_quantity * l_quantity) AS q11,
+               sum(l_extendedprice * l_extendedprice) AS q22,
+               sum(l_discount * l_discount) AS q33,
+               sum(l_tax * l_tax) AS q44,
+               sum(l_quantity * l_extendedprice) AS q12,
+               sum(l_quantity * l_discount) AS q13,
+               sum(l_quantity * l_tax) AS q14,
+               sum(l_extendedprice * l_discount) AS q23,
+               sum(l_extendedprice * l_tax) AS q24,
+               sum(l_discount * l_tax) AS q34
+        FROM lineitem
+    )
+    SELECT col_x, col_y,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr,
+           CAST(n AS BIGINT) AS n_rows
+    FROM (
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+               n, s1 AS sx, s2 AS sy, q11 AS sxx, q22 AS syy, q12 AS sxy FROM s
+        UNION ALL SELECT 'l_quantity', 'l_discount',
+               n, s1, s3, q11, q33, q13 FROM s
+        UNION ALL SELECT 'l_quantity', 'l_tax',
+               n, s1, s4, q11, q44, q14 FROM s
+        UNION ALL SELECT 'l_extendedprice', 'l_discount',
+               n, s2, s3, q22, q33, q23 FROM s
+        UNION ALL SELECT 'l_extendedprice', 'l_tax',
+               n, s2, s4, q22, q44, q24 FROM s
+        UNION ALL SELECT 'l_discount', 'l_tax',
+               n, s3, s4, q33, q44, q34 FROM s
+    )
+    ORDER BY col_x, col_y
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures in
+    ONE corpus pass — the feature-selection / multicollinearity audit
+    that precedes model training. All 15 raw moments (4 sums, 4 sum-of-
+    squares, 6 cross-products, count) come from a single partial-
+    aggregated reduce; the 6-pair matrix is assembled from that one
+    stats row (a 1-row broadcast, no second scan). The same moments are
+    mergeable, so at 100 TB this is a map-side-combined single shuffle
+    of one row per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(F.col(a)).alias(f"s{i}"))
+        for j, b in enumerate(cols):
+            if i <= j:
+                aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"q{i}{j}"))
+    # ONE job collects the single stats row (bounded driver state: 15
+    # doubles) — unioning 6 selects over the agg subplan instead would
+    # replan the scan per branch (measured: 12 FileScans, 0 reuse).
+    s = li.agg(*aggs).collect()[0].asDict()
+    pair_rows = [
+        (a, b, s["n"], s[f"s{i}"], s[f"s{j}"], s[f"q{i}{i}"], s[f"q{j}{j}"], s[f"q{i}{j}"])
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+        if i < j
+    ]
+    pairs = spark.createDataFrame(
+        pair_rows,
+        "col_x string, col_y string, n double, sx double, sy double, "
+        "sxx double, syy double, sxy double",
+    )
+    # corr + rounding computed as Spark column expressions so the
+    # HALF_UP semantics match the oracle exactly.
+    return pairs.select(
+        "col_x",
+        "col_y",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr"),
+        F.col("n").cast("long").alias("n_rows"),
+    ).orderBy("col_x", "col_y")
+
+
+#: CountMinSketch params: eps (additive error <= eps*N), confidence, seed.
+#: The FIXED seed makes the sketch — and therefore both contract flags —
+#: deterministic for a given fixture, not probabilistic across runs.
+_CMS_EPS, _CMS_CONF, _CMS_SEED, _CMS_TOP = 0.001, 0.999, 42, 10
+
+
+@REG.add(
+    "agg_count_min_sketch",
+    # Same contract-oracle pattern as the HLL/t-digest entries: the
+    # exact counts are pinned, the CMS guarantees are COMPUTED Spark-
+    # side (never-underestimate is unconditional; the eps*N bound holds
+    # with 99.9% confidence per key and is seed-deterministic here —
+    # verified at all three fixture scales) and pinned true.
+    oracle=f"""
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n,
+           true AS est_ge_exact, true AS est_within_eps
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY exact_n DESC, l_partkey LIMIT {_CMS_TOP}
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates beside exact counts — the
+    mergeable heavy-hitter sketch for 100 TB streams (fixed-size 2-D
+    counter array; map-side partials union by cell-wise add, so one
+    pass yields approximate counts for ANY later key probe without
+    storing per-key state). The sketch is built distributed
+    (``count_min_sketch`` aggregate); only the kilobyte sketch binary
+    and the {_CMS_TOP}-row probe set reach the driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.count()
+    sk = li.agg(
+        F.expr(
+            f"count_min_sketch(l_partkey, {_CMS_EPS}d, {_CMS_CONF}d, {_CMS_SEED})"
+        ).alias("s")
+    ).collect()[0].s
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "l_partkey")
+        .limit(_CMS_TOP)
+        .collect()
+    )
+    bound = _CMS_EPS * total
+    rows = []
+    for r in top:
+        est = cms.estimateCount(spark._jvm.java.lang.Long(int(r.l_partkey)))
+        rows.append(
+            (
+                int(r.l_partkey),
+                int(r.exact_n),
+                bool(est >= r.exact_n),
+                bool(est - r.exact_n <= bound),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "l_partkey long, exact_n long, est_ge_exact boolean, est_within_eps boolean"
+    ).orderBy(F.col("exact_n").desc(), "l_partkey")
+
+
+@REG.add(
+    "agg_linear_regression",
+    # regr_slope/intercept/r2 exist as built-in aggregates in BOTH
+    # engines and reduce to the same raw-moment formulas the corr-matrix
+    # entry pins; fold-order ulp noise sits far below the 6dp rounding.
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(regr_count(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0)
+                AS BIGINT) AS n,
+           round(regr_slope(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0), 6)
+               AS slope,
+           round(regr_intercept(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0), 6)
+               AS intercept,
+           round(regr_r2(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0), 6)
+               AS r2
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares via the SQL-standard ``regr_*``
+    aggregate family (slope / intercept / r2) — trend fitting as a
+    single mergeable hash aggregate, no ML library, no iteration (the
+    aggregates fold the same five raw moments the correlation matrix
+    uses). The regressor is fractional order time (year + month/12), so
+    this is literally the price-vs-time drift monitor."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.year("o_orderdate") + F.month("o_orderdate") / 12.0
+    y = F.col("o_totalprice")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("regr_count(o_totalprice, year(o_orderdate) + month(o_orderdate) / 12.0)")
+            .cast("long")
+            .alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("o_orderstatus")
     )
