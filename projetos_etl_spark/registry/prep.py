@@ -4365,3 +4365,204 @@ def privacy_generalize_to_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_out", "seg_out")
     )
+
+
+RIDGE_LAMBDA = 1000
+
+
+@REG.add(
+    "ml_ridge_regression_normal_eq",
+    # All nine sufficient statistics are EXACT integers (quantity,
+    # discount-pct, price-cents are integer-valued), so the 3x3 ridge
+    # normal equations solve by Cramer's rule as a fixed IEEE
+    # expression tree over identical doubles — no iteration, no
+    # accumulated-float hazard, deterministic cross-engine.
+    oracle=f"""
+    WITH s AS (
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sx1,
+               sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS sx2,
+               sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx11,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(round(l_discount * 100, 0) AS BIGINT)) AS sx12,
+               sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                   * CAST(round(l_discount * 100, 0) AS BIGINT)) AS sx22,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sy,
+               sum(CAST(l_quantity AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sx1y,
+               sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sx2y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(n + {RIDGE_LAMBDA} AS DOUBLE) AS a11,
+               CAST(sx1 AS DOUBLE) AS a12, CAST(sx2 AS DOUBLE) AS a13,
+               CAST(sx11 + {RIDGE_LAMBDA} AS DOUBLE) AS a22,
+               CAST(sx12 AS DOUBLE) AS a23,
+               CAST(sx22 + {RIDGE_LAMBDA} AS DOUBLE) AS a33,
+               CAST(sy AS DOUBLE) AS b1, CAST(sx1y AS DOUBLE) AS b2,
+               CAST(sx2y AS DOUBLE) AS b3
+        FROM s
+    ),
+    d AS (
+        SELECT *,
+               a11 * (a22 * a33 - a23 * a23)
+               - a12 * (a12 * a33 - a23 * a13)
+               + a13 * (a12 * a23 - a22 * a13) AS det
+        FROM m
+    )
+    SELECT round((b1 * (a22 * a33 - a23 * a23)
+                  - a12 * (b2 * a33 - a23 * b3)
+                  + a13 * (b2 * a23 - a22 * b3)) / det / 100, 6)
+               AS beta_intercept,
+           round((a11 * (b2 * a33 - a23 * b3)
+                  - b1 * (a12 * a33 - a23 * a13)
+                  + a13 * (a12 * b3 - b2 * a13)) / det / 100, 6)
+               AS beta_quantity,
+           round((a11 * (a22 * b3 - b2 * a23)
+                  - a12 * (a12 * b3 - b2 * a13)
+                  + b1 * (a12 * a23 - a22 * a13)) / det / 100, 6)
+               AS beta_discount_pct
+    FROM d
+    """,
+)
+def ml_ridge_regression_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression (price_cents ~ quantity +
+    discount_pct, lambda={RIDGE_LAMBDA}) solved in CLOSED FORM by the
+    normal equations — the non-iterative sibling of ``ml_logreg_gd``:
+    ONE mergeable aggregate collects the 9 sufficient statistics
+    (Gram matrix + moment vector), and Cramer's rule inverts the
+    3x3 system inside the engine. The statistics are exact integers
+    (cents/percent encoding), so at 100 TB this is a single
+    map-side-combined pass with O(1) driver state — the pattern that
+    generalizes to d features as the d^2 Gram aggregate
+    (``emb_pca_top_component`` runs the same shape at d=64). Betas
+    are emitted in display units (cents -> currency)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(x1 * x1).alias("sx11"),
+        F.sum(x1 * x2).alias("sx12"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+    )
+    lam = F.lit(RIDGE_LAMBDA)
+    m = s.select(
+        (F.col("n") + lam).cast("double").alias("a11"),
+        F.col("sx1").cast("double").alias("a12"),
+        F.col("sx2").cast("double").alias("a13"),
+        (F.col("sx11") + lam).cast("double").alias("a22"),
+        F.col("sx12").cast("double").alias("a23"),
+        (F.col("sx22") + lam).cast("double").alias("a33"),
+        F.col("sy").cast("double").alias("b1"),
+        F.col("sx1y").cast("double").alias("b2"),
+        F.col("sx2y").cast("double").alias("b3"),
+    )
+    a11, a12, a13 = F.col("a11"), F.col("a12"), F.col("a13")
+    a22, a23, a33 = F.col("a22"), F.col("a23"), F.col("a33")
+    b1, b2, b3 = F.col("b1"), F.col("b2"), F.col("b3")
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    return m.select(
+        F.round(
+            (
+                b1 * (a22 * a33 - a23 * a23)
+                - a12 * (b2 * a33 - a23 * b3)
+                + a13 * (b2 * a23 - a22 * b3)
+            )
+            / det
+            / 100,
+            6,
+        ).alias("beta_intercept"),
+        F.round(
+            (
+                a11 * (b2 * a33 - a23 * b3)
+                - b1 * (a12 * a33 - a23 * a13)
+                + a13 * (a12 * b3 - b2 * a13)
+            )
+            / det
+            / 100,
+            6,
+        ).alias("beta_quantity"),
+        F.round(
+            (
+                a11 * (a22 * b3 - b2 * a23)
+                - a12 * (a12 * b3 - b2 * a13)
+                + b1 * (a12 * a23 - a22 * a13)
+            )
+            / det
+            / 100,
+            6,
+        ).alias("beta_discount_pct"),
+    )
+
+
+@REG.add(
+    "eval_calibration_bins",
+    # percent_rank is (rank-1)/(n-1) — integer-exact — and the decile
+    # assignment floors an identical double; only the bin's mean score
+    # needs rounding (float accumulation order differs per engine).
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(event_type = 'purchase' AS INTEGER) AS pos,
+               percent_rank() OVER (ORDER BY value, event_id) AS score
+        FROM events
+    ),
+    binned AS (
+        SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+               pos, score
+        FROM scored
+    )
+    SELECT bin,
+           count(*) AS n,
+           round(avg(score), 6) AS mean_score,
+           CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate,
+           round(abs(round(avg(score), 6)
+                     - CAST(sum(pos) AS DOUBLE) / count(*)), 6) AS calib_gap
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for `value`-as-a-score against the
+    purchase label — the calibration companion to ``eval_auc_roc``
+    (AUC measures ranking; calibration measures whether score deciles
+    mean what they claim). Scores are the integer-exact percent_rank
+    of value (ties broken on event_id so the rank is total), folded
+    into 10 equal-width bins; per-bin positive rate is an exact
+    integer ratio. The global rank window is the honest cost of exact
+    calibration — at 100 TB swap it for decile boundaries from one
+    percentile reduce (the ``feat_quantile_bucketize`` shape) and keep
+    the per-bin aggregates identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    scored = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("pos"),
+        F.percent_rank().over(w).alias("score"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "pos",
+        "score",
+    )
+    pos_rate = F.sum("pos").cast("double") / F.count(F.lit(1))
+    mean_score = F.round(F.avg("score"), 6)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            mean_score.alias("mean_score"),
+            pos_rate.alias("pos_rate"),
+            F.round(F.abs(mean_score - pos_rate), 6).alias("calib_gap"),
+        )
+        .orderBy("bin")
+    )

@@ -838,3 +838,94 @@ def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     ).orderBy("c_nationkey", "c_acctbal", "c_custkey")
+
+
+CONC_GAP_SECONDS = 4 * 3600
+
+
+@REG.add(
+    "win_max_concurrency",
+    # The +1/-1 sweep is integer arithmetic over an explicit total
+    # order (ts, delta, user) — ends sort before starts at equal ts
+    # (half-open sessions), so the running level and its argmax are
+    # exact in both engines.
+    oracle=f"""
+    WITH marks AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w)
+                            > {CONC_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id,
+               ts
+        FROM marks
+    ),
+    spans AS (
+        SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+        FROM sess GROUP BY user_id, session_id
+    ),
+    deltas AS (
+        SELECT s AS at_ts, 1 AS delta, user_id FROM spans
+        UNION ALL
+        SELECT e, -1, user_id FROM spans
+    ),
+    level AS (
+        SELECT at_ts,
+               sum(delta) OVER (ORDER BY at_ts, delta, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS concurrent
+        FROM deltas
+    )
+    SELECT max(concurrent) AS max_concurrent,
+           strftime(min(at_ts) FILTER (concurrent =
+               (SELECT max(concurrent) FROM level)), '{TS_FMT_DUCK}')
+               AS first_peak_ts
+    FROM level
+    """,
+)
+def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions — the interval-counting classic
+    (capacity planning, licensing audits): sessionize each user's
+    events ({CONC_GAP_SECONDS // 3600}h gap), emit +1 at session start
+    and −1 at session end, and the running sum over (ts, delta, user)
+    — ends before starts at the same instant, i.e. half-open spans —
+    is the live concurrency level; its max and first peak time fall
+    out of the same ordered pass. The sweep sorts 2 rows per SESSION
+    (not per event) — at 100 TB the event->span rollup does the data
+    reduction, and the global ordered prefix-sum runs over the
+    span-bounded set (range-partitioned sort; per-partition offsets
+    compose because + is associative)."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", CONC_GAP_SECONDS)
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = spans.select(
+        F.col("s").alias("at_ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        spans.select(F.col("e").alias("at_ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    w = Window.orderBy("at_ts", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    level = deltas.select(
+        "at_ts", F.sum("delta").over(w).alias("concurrent")
+    )
+    peak = level.agg(F.max("concurrent").alias("m"))
+    return (
+        level.crossJoin(F.broadcast(peak))  # 1-row scalar
+        .agg(
+            F.max("concurrent").alias("max_concurrent"),
+            F.date_format(
+                F.min(F.when(F.col("concurrent") == F.col("m"), F.col("at_ts"))),
+                TS_FMT_SPARK,
+            ).alias("first_peak_ts"),
+        )
+    )
