@@ -4154,7 +4154,7 @@ def quality_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cum_nn
         FROM g
     )
-    SELECT sum(np) AS n_pos, sum(nn) AS n_neg,
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
            CAST(sum(2 * np * cum_nn) + sum(np * nn) AS DOUBLE)
                / (2 * sum(np) * sum(nn)) AS auc
     FROM c
@@ -4312,7 +4312,7 @@ K_ANON_TARGET = 12
                n_out
         FROM lvl1_sizes
     )
-    SELECT nation_out, seg_out, sum(n_out) AS released_n,
+    SELECT nation_out, seg_out, CAST(sum(n_out) AS BIGINT) AS released_n,
            CAST(sum(n_out) >= {K_ANON_TARGET} AS BOOLEAN) AS satisfies_k
     FROM lvl2
     GROUP BY nation_out, seg_out
@@ -4565,4 +4565,92 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(mean_score - pos_rate), 6).alias("calib_gap"),
         )
         .orderBy("bin")
+    )
+
+
+@REG.add(
+    "ts_stl_decompose",
+    # Integer-exact decomposition: hourly means become e6 integers, the
+    # 24h trend window sums integers, detrended values are the integer
+    # 24*m - sum24, and the seasonal means are exact integer ratios —
+    # every emitted double is a fixed expression over exact integers.
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(round(round(avg(value), 6) * 1000000, 0) AS BIGINT) AS m_e6
+        FROM events GROUP BY date_trunc('hour', ts)
+    ),
+    win AS (
+        SELECT h, m_e6,
+               sum(m_e6) OVER w AS sum24,
+               count(*) OVER w AS cnt
+        FROM hourly
+        WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ),
+    det AS (
+        SELECT h, m_e6, sum24,
+               24 * m_e6 - sum24 AS d_x24
+        FROM win WHERE cnt = 24
+    ),
+    seas AS (
+        SELECT CAST(hour(h) AS INTEGER) AS hod,
+               sum(d_x24) AS s_sum, count(*) AS s_n
+        FROM det GROUP BY hour(h)
+    )
+    SELECT strftime(d.h, '{TS_FMT_DUCK}') AS hour,
+           CAST(d.m_e6 AS DOUBLE) / 1000000 AS observed,
+           CAST(d.sum24 AS DOUBLE) / 24 / 1000000 AS trend,
+           CAST(s.s_sum AS DOUBLE) / s.s_n / 24 / 1000000 AS seasonal,
+           CAST(d.d_x24 AS DOUBLE) / 24 / 1000000
+               - CAST(s.s_sum AS DOUBLE) / s.s_n / 24 / 1000000 AS residual
+    FROM det d JOIN seas s ON s.hod = CAST(hour(d.h) AS INTEGER)
+    ORDER BY hour
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive STL-style decomposition of the global hourly value series:
+    trend = centered 24h moving average, seasonal = hour-of-day mean of
+    the detrended series, residual = remainder — the standard first
+    look at any metrics stream (and the feature split behind seasonal
+    anomaly detection; ``ts_seasonal_naive_error`` measures what this
+    removes). Kept integer-exact end to end: hourly means are fixed to
+    e6 integers, the moving window sums integers (complete 24-row
+    frames only, so edges are excluded rather than biased), detrending
+    uses 24*m − sum24, and seasonal means are integer ratios — so the
+    float emission is a fixed expression, not an accumulation. Cost:
+    one hourly rollup, one ordered window over the HOURLY grid (720
+    rows here; grid-bounded, not row-bounded, at 100 TB), one
+    24-group seasonal aggregate broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.round(F.round(F.avg("value"), 6) * 1000000, 0)
+        .cast("bigint")
+        .alias("m_e6")
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 11)
+    win = hourly.select(
+        "h",
+        "m_e6",
+        F.sum("m_e6").over(w).alias("sum24"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    det = win.filter(F.col("cnt") == 24).select(
+        "h", "m_e6", "sum24", (24 * F.col("m_e6") - F.col("sum24")).alias("d_x24")
+    )
+    seas = det.groupBy(F.hour("h").cast("int").alias("hod")).agg(
+        F.sum("d_x24").alias("s_sum"), F.count(F.lit(1)).alias("s_n")
+    )
+    seasonal = F.col("s_sum").cast("double") / F.col("s_n") / 24 / 1000000
+    return (
+        det.join(F.broadcast(seas), F.hour("h").cast("int") == F.col("hod"))
+        .select(
+            F.date_format("h", TS_FMT_SPARK).alias("hour"),
+            (F.col("m_e6").cast("double") / 1000000).alias("observed"),
+            (F.col("sum24").cast("double") / 24 / 1000000).alias("trend"),
+            seasonal.alias("seasonal"),
+            (
+                F.col("d_x24").cast("double") / 24 / 1000000 - seasonal
+            ).alias("residual"),
+        )
+        .orderBy("hour")
     )

@@ -815,7 +815,7 @@ VOCAB_COVERAGE_TOPN = 100
     )
     SELECT t.doc_id,
            count(*) AS n_tokens,
-           sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
                / count(*) AS oov_rate
     FROM toks t LEFT JOIN vocab v ON t.w = v.w
@@ -954,4 +954,91 @@ def corpus_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pair_count").desc(), "w1", "w2")
         .limit(KN_TOPN)
+    )
+
+
+KEYNESS_FOCUS = ("src0", "src1", "src2", "src3", "src4")
+KEYNESS_MIN_COUNT = 10
+KEYNESS_TOPN = 30
+
+
+@REG.add(
+    "text_keyness_g2",
+    # G2 = 2*[a*ln(aN/(R1*C)) + b*ln(bN/(R2*C))]: every ln argument is
+    # a ratio of BIGINT products cast to DOUBLE — bit-identical inputs,
+    # so the log-likelihood scores and their ordering agree exactly.
+    oracle=f"""
+    WITH toks AS (
+        SELECT CASE WHEN source IN {str(KEYNESS_FOCUS)} THEN 1 ELSE 0 END AS foc,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT w,
+               sum(foc) AS a,
+               sum(1 - foc) AS b
+        FROM toks GROUP BY w
+        HAVING sum(foc) > 0 AND sum(1 - foc) > 0
+           AND sum(foc) + sum(1 - foc) >= {KEYNESS_MIN_COUNT}
+    ),
+    tot AS (
+        SELECT sum(a) AS r1, sum(b) AS r2 FROM counts
+    )
+    SELECT w AS token, CAST(a AS BIGINT) AS n_focus, CAST(b AS BIGINT) AS n_ref,
+           round(2 * (a * ln(CAST(a * (r1 + r2) AS DOUBLE)
+                             / CAST(r1 * (a + b) AS DOUBLE))
+                      + b * ln(CAST(b * (r1 + r2) AS DOUBLE)
+                               / CAST(r2 * (a + b) AS DOUBLE))), 6) AS g2,
+           CAST(CAST(a * r2 AS DOUBLE) > CAST(b * r1 AS DOUBLE) AS BOOLEAN)
+               AS overused_in_focus
+    FROM counts, tot
+    ORDER BY g2 DESC, token
+    LIMIT {KEYNESS_TOPN}
+    """,
+)
+def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood (G2) keyness of tokens between a focus subcorpus
+    (sources {KEYNESS_FOCUS}) and the rest — the corpus-linguistics
+    standard for 'which words characterize this source', used to
+    detect domain drift or boilerplate contamination between corpus
+    slices before mixing them. ONE tokenize pass with the focus flag
+    folded into the count aggregate (a/b per token from a single
+    shuffle), totals as a 1-row broadcast scalar, ln over
+    integer-ratio arguments, top-k by TakeOrderedAndProject. The
+    overuse direction compares a*R2 vs b*R1 in integers — no division,
+    no rounding ambiguity."""
+    foc = F.col("source").isin(*KEYNESS_FOCUS).cast("long")
+    toks = _t(spark, sf_dir, "documents").select(
+        foc.alias("foc"), F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    counts = (
+        toks.groupBy("w")
+        .agg(F.sum("foc").alias("a"), F.sum(1 - F.col("foc")).alias("b"))
+        .filter(
+            (F.col("a") > 0)
+            & (F.col("b") > 0)
+            & (F.col("a") + F.col("b") >= KEYNESS_MIN_COUNT)
+        )
+        .localCheckpoint(eager=True)  # reused by totals and scoring
+    )
+    tot = counts.agg(F.sum("a").alias("r1"), F.sum("b").alias("r2"))
+    a, b, r1, r2 = F.col("a"), F.col("b"), F.col("r1"), F.col("r2")
+    n = r1 + r2
+    g2 = 2 * (
+        a * F.log((a * n).cast("double") / (r1 * (a + b)).cast("double"))
+        + b * F.log((b * n).cast("double") / (r2 * (a + b)).cast("double"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))  # 1-row scalar totals
+        .select(
+            F.col("w").alias("token"),
+            a.cast("long").alias("n_focus"),
+            b.cast("long").alias("n_ref"),
+            F.round(g2, 6).alias("g2"),
+            ((a * r2).cast("double") > (b * r1).cast("double")).alias(
+                "overused_in_focus"
+            ),
+        )
+        .orderBy(F.col("g2").desc(), "token")
+        .limit(KEYNESS_TOPN)
     )

@@ -883,7 +883,7 @@ CONC_GAP_SECONDS = 4 * 3600
                    AS concurrent
         FROM deltas
     )
-    SELECT max(concurrent) AS max_concurrent,
+    SELECT CAST(max(concurrent) AS BIGINT) AS max_concurrent,
            strftime(min(at_ts) FILTER (concurrent =
                (SELECT max(concurrent) FROM level)), '{TS_FMT_DUCK}')
                AS first_peak_ts
