@@ -570,3 +570,90 @@ def pipeline_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SPAN_LEN = 3
+
+
+@REG.add(
+    "corpus_span_corruption",
+    # Span starts ride the portable md5 hex (identical strings in both
+    # engines, as split_train_test_hash); coverage is an integer window
+    # max over the fixed span length — no randomness, no floats except
+    # one exact final ratio.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t.w, t.i
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                             generate_subscripts(string_split(text, ' '), 1) AS i) t
+    ),
+    marked AS (
+        SELECT doc_id, i,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '-'
+                                  || CAST(i AS VARCHAR)), 1, 1) = '0'
+                    THEN 1 ELSE 0 END AS is_start
+        FROM toks
+    ),
+    covered AS (
+        SELECT doc_id, i, is_start,
+               max(is_start) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN {SPAN_LEN - 1} PRECEDING AND CURRENT ROW
+               ) AS masked
+        FROM marked
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(is_start) AS BIGINT) AS n_spans,
+           CAST(sum(masked) AS BIGINT) AS n_masked,
+           CAST(sum(masked) AS DOUBLE) / count(*) AS corruption_rate
+    FROM covered
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: deterministic mask spans over
+    every document's token stream — span starts where the portable
+    ``md5(doc_id-pos)`` hex begins with '0' (1/16 of positions), each
+    span covering {SPAN_LEN} tokens; a position is masked if any span
+    started within the last {SPAN_LEN} positions (window max, integer).
+    This is the *planning* operator for denoising-objective pretraining
+    data: reproducible across engines, reruns, and repartitioning,
+    unlike an RNG mask. Per-doc outputs: span count (= sentinel count),
+    masked-token count, and the exact corruption rate. Cost: stateless
+    per-token expressions + one bounded window per doc — no shuffle
+    beyond the doc key."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"))
+    is_start = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("-"), F.col("i").cast("string")
+                )
+            ),
+            1,
+            1,
+        )
+        == "0"
+    ).cast("int")
+    marked = toks.select("doc_id", "i", is_start.alias("is_start"))
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(SPAN_LEN - 1), 0)
+    covered = marked.select(
+        "doc_id", "is_start", F.max("is_start").over(w).alias("masked")
+    )
+    return (
+        covered.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("is_start").alias("n_spans"),
+            F.sum("masked").alias("n_masked"),
+            (F.sum("masked").cast("double") / F.count(F.lit(1))).alias(
+                "corruption_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1650,3 +1650,137 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("jaccard").desc(), "supp_a", "supp_b")
         .limit(LINKPRED_TOPK)
     )
+
+
+KCORE_K = 8
+KCORE_ROUNDS = 6
+
+
+@REG.add(
+    "graph_kcore_decomposition",
+    # Iterative peeling is pure integer arithmetic (alive flags +
+    # within-subgraph degree counts), so the fixed-round replay is a
+    # recursive CTE twin — the pagerank union-fold shape, but with no
+    # float state at all.
+    oracle=f"""
+    WITH RECURSIVE
+    bip AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    und AS (
+        SELECT c AS src, {LPA_SUPP_BASE} + s AS dst FROM bip
+        UNION ALL
+        SELECT {LPA_SUPP_BASE} + s, c FROM bip
+    ),
+    r AS (
+        SELECT 0 AS it, src AS id, TRUE AS alive
+        FROM (SELECT DISTINCT src FROM und)
+        UNION ALL
+        SELECT it + 1, id, alive AND deg >= {KCORE_K}
+        FROM (
+            SELECT it, id, bool_or(self_alive) AS alive,
+                   sum(contrib) AS deg
+            FROM (
+                SELECT p.it, e.dst AS id, FALSE AS self_alive,
+                       CAST(p.alive AS INTEGER) AS contrib
+                FROM r p JOIN und e ON p.id = e.src
+                UNION ALL
+                SELECT p.it, p.id, p.alive, 0 FROM r p
+            ) u
+            GROUP BY it, id
+        )
+        WHERE it < {KCORE_ROUNDS}
+    ),
+    fin AS (SELECT id, alive FROM r WHERE it = {KCORE_ROUNDS}),
+    prev AS (SELECT id, alive FROM r WHERE it = {KCORE_ROUNDS} - 1),
+    deg_fin AS (
+        SELECT e.src AS id, sum(CAST(f.alive AS INTEGER)) AS d
+        FROM und e JOIN fin f ON f.id = e.dst
+        GROUP BY e.src
+    ),
+    conv AS (
+        SELECT (SELECT count(*) FROM fin WHERE alive)
+               = (SELECT count(*) FROM prev WHERE alive) AS converged
+    )
+    SELECT f.id AS node_id,
+           CAST(CASE WHEN f.alive THEN COALESCE(d.d, 0) ELSE 0 END
+                AS BIGINT) AS core_degree,
+           f.alive AS in_core,
+           conv.converged
+    FROM fin f LEFT JOIN deg_fin d ON d.id = f.id CROSS JOIN conv
+    ORDER BY node_id
+    """,
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the undirected purchase graph by iterative
+    peeling: each round drops nodes whose degree WITHIN the surviving
+    subgraph is under k, the classic dense-subgraph/spam-farm filter
+    (on a crawl graph the deep cores are the link farms; on a
+    co-purchase graph, the loyal clusters). All-integer state (alive
+    flags, degree tallies) over {KCORE_ROUNDS} synchronous rounds —
+    one edge-join shuffle + one aggregate per round, lineage truncated
+    — plus a ``converged`` column comparing the last two rounds'
+    survivor counts (computed identically in both engines, so it
+    documents rather than gambles). Per-round cost tracks surviving
+    edges, which only shrinks."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    bip = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            (F.col("l_suppkey") + F.lit(LPA_SUPP_BASE)).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    und = bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).localCheckpoint(eager=True)
+    alive = und.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(True).alias("alive")
+    ).localCheckpoint(eager=True)
+    prev_alive_n = None
+    for _ in range(KCORE_ROUNDS):
+        prev_alive_n = alive.filter(F.col("alive")).count()
+        deg = (
+            und.join(
+                alive.select(F.col("id").alias("dst"), F.col("alive").alias("da")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("da").cast("int")).alias("deg"))
+        )
+        alive = (
+            alive.join(deg, "id", "left")
+            .select(
+                "id",
+                (
+                    F.col("alive")
+                    & (F.coalesce(F.col("deg"), F.lit(0)) >= KCORE_K)
+                ).alias("alive"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    final_alive_n = alive.filter(F.col("alive")).count()
+    deg_fin = (
+        und.join(
+            alive.select(F.col("id").alias("dst"), F.col("alive").alias("da")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.col("da").cast("int")).cast("long").alias("d"))
+    )
+    return (
+        alive.join(deg_fin, "id", "left")
+        .select(
+            F.col("id").alias("node_id"),
+            F.when(F.col("alive"), F.coalesce(F.col("d"), F.lit(0)))
+            .otherwise(0)
+            .cast("long")
+            .alias("core_degree"),
+            F.col("alive").alias("in_core"),
+            F.lit(final_alive_n == prev_alive_n).alias("converged"),
+        )
+        .orderBy("node_id")
+    )

@@ -194,3 +194,87 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+SHARD_BYTES = 16384
+
+
+@REG.add(
+    "multimodal_webdataset_manifest",
+    # Shard assignment is an integer running byte-sum in doc order;
+    # shard digests are md5-of-ordered-md5s — strings identical in both
+    # engines, so the whole manifest hash-verifies.
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS digest,
+               COALESCE(sum(octet_length(encode(text))) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS bytes_before
+        FROM documents
+    ),
+    sharded AS (
+        SELECT *, CAST(bytes_before // {SHARD_BYTES} AS INTEGER) AS shard_id
+        FROM sized
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           md5(string_agg(digest, '' ORDER BY doc_id)) AS shard_digest
+    FROM sharded
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def multimodal_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest for the media corpus: payloads
+    are packed into ~{SHARD_BYTES}-byte shards in stable doc order (the
+    tar-shard layout multimodal training loaders stream), with per-
+    shard sample counts, byte totals, id ranges, and an order-sensitive
+    content digest (md5 of the concatenated per-sample md5s) for
+    transfer verification. The running byte-sum is ONE ordered
+    prefix-sum over per-doc integers (range-partitioned sort at scale;
+    offsets compose) and the manifest is one aggregate over the
+    assignment — the same two-pass shape as ``corpus_pack_bins``, plus
+    the integrity digest a real shard writer needs."""
+    from pyspark.sql import Window
+
+    sized = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.md5("text").alias("digest"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    sharded = sized.select(
+        "doc_id",
+        "n_bytes",
+        "digest",
+        F.floor(
+            F.coalesce(F.sum("n_bytes").over(w), F.lit(0)) / SHARD_BYTES
+        ).cast("int").alias("shard_id"),
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "digest"))
+                        ),
+                        lambda s: s["digest"],
+                    ),
+                    "",
+                )
+            ).alias("shard_digest"),
+        )
+        .orderBy("shard_id")
+    )
