@@ -1042,3 +1042,84 @@ def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("g2").desc(), "token")
         .limit(KEYNESS_TOPN)
     )
+
+
+PPL_VOCAB_SMOOTH = 1000  # Laplace smoothing denominator addend (vocab bound)
+
+
+@REG.add(
+    "eval_heldout_perplexity",
+    # Train/test assignment is the portable md5 split; the unigram LM
+    # probabilities are ln() of integer ratios (Laplace-smoothed), and
+    # the per-split average is a sum of those identical doubles over a
+    # deterministic set, rounded to 6dp on emission.
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                    THEN 'train' ELSE 'heldout' END AS split,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    train_counts AS (
+        SELECT w, count(*) AS c FROM tagged WHERE split = 'train' GROUP BY w
+    ),
+    train_total AS (
+        SELECT sum(c) AS n FROM train_counts
+    ),
+    scored AS (
+        SELECT t.split,
+               ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)
+                  / (tt.n + {PPL_VOCAB_SMOOTH})) AS lp
+        FROM tagged t
+        LEFT JOIN train_counts tc ON tc.w = t.w
+        CROSS JOIN train_total tt
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-sum(lp) / count(*), 6) AS avg_neg_log_prob
+    FROM scored GROUP BY split ORDER BY split
+    """,
+)
+def eval_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation done the reproducible way:
+    the corpus splits by the portable md5 hash (same assignment as
+    ``split_train_test_hash``), a Laplace-smoothed unigram LM trains on
+    the train shard only, and BOTH shards are scored with it — the
+    train/heldout gap in average −ln P(w) is the generalization (and
+    leakage!) probe run before trusting any corpus-level perplexity
+    number. Plan: one token pass with the split flag, the train count
+    table broadcast back onto all tokens, totals as a 1-row scalar; at
+    100 TB the vocabulary (not the corpus) bounds the broadcast.
+    Emitting avg −ln P rather than exp() of it keeps the compare free
+    of a second transcendental."""
+    tagged = _t(spark, sf_dir, "documents").select(
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b",
+            "train",
+        )
+        .otherwise("heldout")
+        .alias("split"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    )
+    train_counts = (
+        tagged.filter(F.col("split") == "train")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    train_total = train_counts.agg(F.sum("c").alias("n"))
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+        / (F.col("n") + PPL_VOCAB_SMOOTH)
+    )
+    return (
+        tagged.join(F.broadcast(train_counts), "w", "left")
+        .crossJoin(F.broadcast(train_total))  # 1-row scalar
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.sum(lp) / F.count(F.lit(1)), 6).alias(
+                "avg_neg_log_prob"
+            ),
+        )
+        .orderBy("split")
+    )
