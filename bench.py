@@ -107,6 +107,14 @@ BENCH_QUERIES = [
     "ml_decision_stump",
     "privacy_t_closeness_audit",
     "quality_js_divergence",
+    # round 6 additions: integer-exact iterative graph ops, the per-key
+    # EWMA fold, KN smoothing off one bigram shuffle, and the two-epoch
+    # streaming merge into the table log (compare per-query across
+    # rounds, as above).
+    "graph_label_propagation",
+    "ts_ewma_anomaly",
+    "corpus_kneser_ney_bigram",
+    "stream_upsert_tablelog",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes
