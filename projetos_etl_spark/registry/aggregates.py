@@ -1316,3 +1316,46 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@REG.add(
+    "agg_percentile_cont_multi",
+    # Exact interpolated quantiles: both engines sort the same doubles
+    # and interpolate linearly between the same two order statistics —
+    # a fixed IEEE expression on identical inputs, no estimation.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_percentile_cont_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile profile (p25/p50/p75/p90 of order value per
+    priority) via linearly-interpolated continuous percentiles — the
+    exact companion to ``agg_percentile_approx``: one aggregate
+    computes all four cut points from a single per-group sort, so
+    adding quantiles is free. Exactness is the point at audit time;
+    the approx sketch is the 100 TB default and this is the
+    verification pass run on samples or small groups. 4dp rounding
+    guards the interpolation's last ulp."""
+    o = _t(spark, sf_dir, "orders")
+    pct = F.percentile(F.col("o_totalprice"), F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)
+    ))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.element_at(pct, 1), 4).alias("p25"),
+            F.round(F.element_at(pct, 2), 4).alias("p50"),
+            F.round(F.element_at(pct, 3), 4).alias("p75"),
+            F.round(F.element_at(pct, 4), 4).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1784,3 +1784,87 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_id")
     )
+
+
+@REG.add(
+    "dedup_url_canonical",
+    # The synthetic URL grid (source x path-bucket x utm variants) and
+    # the canonicalization are pure string expressions with identical
+    # regex semantics in Java regex and RE2, so groups and survivors
+    # hash-verify exactly.
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'HTTPS://' || upper(source) || '.Example.com:443/docs/'
+               || CAST(doc_id % 10 AS VARCHAR)
+               || '?utm_source=feed&id=' || CAST(doc_id % 2 AS VARCHAR)
+               || '&utm_campaign=x#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           lower(regexp_replace(url, '#.*$', '')),
+                           '(utm_[a-z]+=[^&#]*&?)', '', 'g'),
+                       '[?&]$', ''),
+                   ':443/', '/') AS curl
+        FROM urls
+    )
+    SELECT curl AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dupes,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc
+    FROM canon
+    GROUP BY curl
+    HAVING count(*) > 1
+    ORDER BY curl
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL canonicalization + exact dedup: scheme/host
+    lowercased, the default :443 port dropped, tracking (utm_*) query
+    params stripped, fragments removed — then pages grouping to the
+    same canonical URL dedup to the lowest doc id. This is the
+    pre-pass every crawl corpus runs before content dedup (the same
+    page arrives under dozens of tracking-decorated URLs; canonical
+    grouping removes them for free before any shingling). Synthetic
+    URLs are derived deterministically from the fixture (source +
+    doc-id residues) so the operator exercises the real string
+    pipeline; stateless per-row canonicalization + ONE group-by on the
+    canonical key — at 100 TB this is the cheapest dedup tier there
+    is."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.com:443/docs/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit("&utm_campaign=x#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_replace(url, r"#.*$", "")),
+                r"(utm_[a-z]+=[^&#]*&?)",
+                "",
+            ),
+            r"[?&]$",
+            "",
+        ),
+        r":443/",
+        "/",
+    )
+    return (
+        d.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min("doc_id").alias("kept_doc"),
+        )
+        .filter(F.col("n_dupes") > 1)
+        .orderBy("canonical_url")
+    )
