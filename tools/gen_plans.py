@@ -31,6 +31,8 @@ SHOWCASE = [
     ("emb_pca_top_component", "Corpus pass is ONE ArrowEvalPython/mapInPandas stage emitting per-batch Gram partials; the reduce is a <=d^2-group hash aggregate; scoring is a codegen-only projection against literal arrays (no Python, no shuffle on the scoring side)."),
     ("graph_bipartite_projection", "The distinct edge set is a checkpointed Scan ExistingRDD leaf, so the orders x lineitem join subtree appears ONCE; degree filter and both self-join sides read the materialized edges; top-k is TakeOrderedAndProject."),
     ("agg_corr_matrix", "All 15 raw moments come from a single partial+final HashAggregate pair over one scan; the 6-pair matrix is driver-assembled from that one row (no repeated scans, no union of per-pair subplans)."),
+    ("corpus_kneser_ney_bigram", "ONE bigram-count shuffle feeds four aggregates (context totals, follower counts, predecessor counts, type total) via a checkpointed Scan ExistingRDD leaf; all re-joins are BroadcastHashJoin; top-k is TakeOrderedAndProject."),
+    ("win_max_concurrency", "The +1/-1 sweep's global Window sorts the SESSION-SPAN deltas (2 rows per session), not events: the event->span reduction is a partial+final HashAggregate below the union, and the peak pick is a 1-row broadcast scalar join."),
 ]
 
 #: Showcase entries whose interesting plan only appears under confs the
