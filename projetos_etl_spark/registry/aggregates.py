@@ -1359,3 +1359,39 @@ def agg_percentile_cont_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@REG.add(
+    "agg_boolean_family",
+    # bool_and/bool_or/count_if reduce to integer comparisons — exact
+    # in both engines; the any_value slot is made deterministic via min.
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)    AS all_over_1k,
+           bool_or(o_orderstatus = 'F')     AS any_finished,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_large,
+           min(o_orderstatus)               AS sample_status
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boolean aggregate family — bool_and / bool_or / count_if per
+    group (dashboard predicates: 'did every order clear X', 'any
+    failures?', 'how many above threshold'), plus a DETERMINISTIC
+    stand-in for any_value (min) since any_value's pick is
+    partition-order-dependent and therefore banned from any compared
+    or incremental path. All predicate logic folds map-side; one
+    shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+            F.min("o_orderstatus").alias("sample_status"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -4654,3 +4654,64 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@REG.add(
+    "quality_join_skew_audit",
+    # Key-frequency statistics are integers; the shares and ratios are
+    # single divisions of integers — exact cross-engine.
+    oracle="""
+    WITH freqs AS (
+        SELECT 'orders.o_custkey' AS key_col, o_custkey AS k, count(*) AS c
+        FROM orders GROUP BY o_custkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', l_suppkey, count(*)
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS top_key_rows,
+           CAST(max(c) AS DOUBLE) / sum(c) AS top_key_share,
+           CAST(max(c) AS DOUBLE) * count(*) / sum(c) AS skew_factor
+    FROM freqs
+    GROUP BY key_col
+    ORDER BY key_col
+    """,
+)
+def quality_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for the two hottest shuffle keys — the
+    pre-flight a 100 TB join plan actually needs: ``skew_factor`` =
+    (hottest key's rows) / (mean rows per key); anything far above ~5
+    means the naive hash join straggles on one task and the plan
+    should salt that key or lean on AQE's skew-join split
+    (``join_salted_skew`` is the remedy operator; this is the
+    detector). One count aggregate per key column, unioned, then a
+    second tiny rollup — the audit costs two partial-aggregated
+    shuffles regardless of table size, and its output is O(keys
+    audited)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    freqs = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit("orders.o_custkey").alias("key_col"), "k", "c")
+        .unionByName(
+            li.groupBy(F.col("l_suppkey").alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit("lineitem.l_suppkey").alias("key_col"), "k", "c")
+        )
+    )
+    return (
+        freqs.groupBy("key_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("top_key_rows"),
+            (F.max("c").cast("double") / F.sum("c")).alias("top_key_share"),
+            (
+                F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c")
+            ).alias("skew_factor"),
+        )
+        .orderBy("key_col")
+    )
