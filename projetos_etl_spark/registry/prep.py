@@ -4715,3 +4715,75 @@ def quality_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+@REG.add(
+    "eval_adversarial_validation",
+    # Same integer-exact pair-counting AUC as eval_auc_roc, but the
+    # LABEL is the md5 train/heldout split and the SCORE is a document
+    # feature — drift shows up as AUC far from 0.5.
+    oracle="""
+    WITH lab AS (
+        SELECT n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                    THEN 1 ELSE 0 END AS is_train
+        FROM documents
+    ),
+    g AS (
+        SELECT n_chars,
+               sum(is_train) AS np,
+               sum(1 - is_train) AS nn
+        FROM lab GROUP BY n_chars
+    ),
+    c AS (
+        SELECT np, nn,
+               COALESCE(sum(nn) OVER (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_nn
+        FROM g
+    )
+    SELECT CAST(sum(np) AS BIGINT) AS n_train,
+           CAST(sum(nn) AS BIGINT) AS n_heldout,
+           CAST(sum(2 * np * cum_nn) + sum(np * nn) AS DOUBLE)
+               / (2 * sum(np) * sum(nn)) AS drift_auc,
+           CAST(abs(CAST(sum(2 * np * cum_nn) + sum(np * nn) AS DOUBLE)
+                    / (2 * sum(np) * sum(nn)) - 0.5) < 0.05
+                AS BOOLEAN) AS split_is_unbiased
+    FROM c
+    """,
+)
+def eval_adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial validation, classifier-free form: can a document
+    feature (length) distinguish the train shard from the heldout
+    shard? AUC ≈ 0.5 means the split is exchangeable; AUC far from
+    0.5 means leakage or drift between shards — checked here for the
+    portable md5 split the engine's other entries rely on, with the
+    ±0.05 unbiasedness flag emitted (and pinned by the oracle, since a
+    hash split over an id-independent feature must pass). Same
+    integer-exact pair-counting machinery as ``eval_auc_roc``: one
+    groupBy on the score grid, one ordered window over distinct
+    values, one final division."""
+    d = load_table(spark, sf_dir, "documents")
+    lab = d.select(
+        "n_chars",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b")
+        .cast("long")
+        .alias("is_train"),
+    )
+    g = lab.groupBy("n_chars").agg(
+        F.sum("is_train").alias("np"),
+        F.sum(1 - F.col("is_train")).alias("nn"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select(
+        "np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn")
+    )
+    auc = (
+        F.sum(2 * F.col("np") * F.col("cum_nn")) + F.sum(F.col("np") * F.col("nn"))
+    ).cast("double") / (2 * F.sum("np") * F.sum("nn"))
+    return c.agg(
+        F.sum("np").cast("long").alias("n_train"),
+        F.sum("nn").cast("long").alias("n_heldout"),
+        auc.alias("drift_auc"),
+        (F.abs(auc - 0.5) < 0.05).alias("split_is_unbiased"),
+    )
