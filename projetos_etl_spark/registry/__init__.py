@@ -41,66 +41,65 @@ _FAMILIES = [
 # Rotate this list (plus the pin in tests/test_registry_window.py and
 # COVERAGE.md's ledger) in ONE commit at each round boundary.
 #
-# Round-6 window: the first 47 never-driver-green entries in registry
-# order (the r5-session additions: remaining similarity/ML tier incl.
-# the 3 ANN tiers newly retired from rows-only, text/corpus tail, the
-# graph/dedup survivors, and the prep quality/time-series/feature
-# tiers), plus the 3 entries the r5 snapshot commit added after the
-# closing battery (ml_decision_stump, privacy_t_closeness_audit,
-# quality_js_divergence) so each gets an official driver row.
+# Round-7 window: the 19-entry never-driver-green agg_* block promoted
+# to the front (per the r6 verdict: official driver rows retire the
+# family the r6 truncation incident touched), followed by the next 31
+# never-driver-green entries in registry order (ML/text/eval/graph/
+# time-series/privacy tiers from the r5/r6 sessions).  The remaining 43
+# backlog entries (scan/sink/maintenance + win_*/fn_*/set_*/join/sql
+# families) are reserved for the r8 window, closing the ledger 324/324.
 _WINDOW_HEAD = [
-    "stream_sliding_topk",
-    "stream_session_close_stateful",
-    "sim_search_ivf",
-    "sim_search_lsh_bucketed",
-    "sim_search_pq_adc",
-    "sim_search_ivf_pq",
-    "emb_pca_top_component",
-    "eval_ndcg_at_k",
-    "sim_hard_negative_mining",
-    "ml_kmeans_lloyd",
-    "emb_norm_outlier_audit",
-    "text_langid",
-    "text_bigram_pmi",
-    "text_bpe_merge_step",
-    "eval_precision_recall_f1",
-    "corpus_temperature_mix",
-    "pipeline_span_dedup",
-    "graph_bipartite_projection",
-    "dedup_exact_keep_best",
-    "feat_hashing_trick",
-    "quality_expectation_suite",
-    "incremental_var_merge",
-    "join_interval_overlap",
-    "quality_benford_audit",
-    "ts_autocorr_lag",
-    "ts_ohlc_bars",
-    "quality_entropy_profile",
-    "ts_week_over_week",
-    "corpus_domain_cap",
-    "pipeline_quality_gate_fused",
-    "quality_outlier_mad",
-    "sample_weighted_reservoir",
-    "quality_table_checksum",
-    "multimodal_dedup_phash",
-    "privacy_k_anonymity_audit",
-    "quality_freshness_sla",
-    "quality_join_cardinality_forecast",
-    "quality_table_reconcile",
-    "quality_pk_uniqueness_audit",
-    "emb_matryoshka_overlap",
-    "quality_ks_two_sample",
-    "ts_business_days_to_ship",
-    "sample_poisson_bootstrap",
-    "privacy_l_diversity_audit",
-    "feat_woe_encoding",
-    "ts_changepoint_cusum",
-    "feat_impute_missing",
-    "ml_decision_stump",
-    "privacy_t_closeness_audit",
-    "quality_js_divergence",
+    "agg_markov_transitions",
+    "agg_count_distinct_approx",
+    "agg_percentile_approx",
+    "agg_approx_top_k",
+    "agg_filter_clause",
+    "agg_listagg_sorted",
+    "agg_mean_family",
+    "agg_bitwise",
+    "agg_weighted_median",
+    "agg_grouping_id",
+    "agg_moments_family",
+    "agg_pareto_concentration",
+    "agg_trimmed_mean",
+    "agg_gini_coefficient",
+    "agg_histogram_2d",
+    "agg_corr_matrix",
+    "agg_count_min_sketch",
+    "agg_linear_regression",
+    "agg_percentile_cont_multi",
+    "agg_boolean_family",
+    "stream_upsert_tablelog",
+    "ml_knn_classify",
+    "ml_naive_bayes_train",
+    "text_readability_score",
+    "tokenizer_vocab_coverage",
+    "corpus_kneser_ney_bigram",
+    "text_keyness_g2",
+    "eval_heldout_perplexity",
+    "corpus_span_corruption",
+    "multimodal_webdataset_manifest",
+    "graph_label_propagation",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_decomposition",
+    "dedup_url_canonical",
+    "ts_seasonal_naive_error",
+    "text_zipf_fit",
+    "quality_parquet_stats_audit",
+    "ml_logreg_gd",
+    "quality_chisq_categorical_drift",
+    "ts_run_length_encode",
+    "privacy_noisy_count_laplace",
+    "eval_auc_roc",
+    "ts_ewma_anomaly",
+    "privacy_generalize_to_k",
+    "ml_ridge_regression_normal_eq",
+    "eval_calibration_bins",
+    "ts_stl_decompose",
+    "quality_join_skew_audit",
+    "eval_adversarial_validation",
+    "maintenance_compact_small_files",
 ]
-
 
 def build() -> Registry:
     import importlib

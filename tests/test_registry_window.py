@@ -18,66 +18,67 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r6 window: the next 47 never-driver-green entries in registry
-# order + the 3 late-r5-snapshot entries (COVERAGE.md ledger).
-R6_WINDOW = [
-    "stream_sliding_topk",
-    "stream_session_close_stateful",
-    "sim_search_ivf",
-    "sim_search_lsh_bucketed",
-    "sim_search_pq_adc",
-    "sim_search_ivf_pq",
-    "emb_pca_top_component",
-    "eval_ndcg_at_k",
-    "sim_hard_negative_mining",
-    "ml_kmeans_lloyd",
-    "emb_norm_outlier_audit",
-    "text_langid",
-    "text_bigram_pmi",
-    "text_bpe_merge_step",
-    "eval_precision_recall_f1",
-    "corpus_temperature_mix",
-    "pipeline_span_dedup",
-    "graph_bipartite_projection",
-    "dedup_exact_keep_best",
-    "feat_hashing_trick",
-    "quality_expectation_suite",
-    "incremental_var_merge",
-    "join_interval_overlap",
-    "quality_benford_audit",
-    "ts_autocorr_lag",
-    "ts_ohlc_bars",
-    "quality_entropy_profile",
-    "ts_week_over_week",
-    "corpus_domain_cap",
-    "pipeline_quality_gate_fused",
-    "quality_outlier_mad",
-    "sample_weighted_reservoir",
-    "quality_table_checksum",
-    "multimodal_dedup_phash",
-    "privacy_k_anonymity_audit",
-    "quality_freshness_sla",
-    "quality_join_cardinality_forecast",
-    "quality_table_reconcile",
-    "quality_pk_uniqueness_audit",
-    "emb_matryoshka_overlap",
-    "quality_ks_two_sample",
-    "ts_business_days_to_ship",
-    "sample_poisson_bootstrap",
-    "privacy_l_diversity_audit",
-    "feat_woe_encoding",
-    "ts_changepoint_cusum",
-    "feat_impute_missing",
-    "ml_decision_stump",
-    "privacy_t_closeness_audit",
-    "quality_js_divergence",
+# The r7 window: the 19 never-driver-green agg_* entries promoted to the
+# front, then the next 31 never-driver-green entries in registry order
+# (COVERAGE.md ledger); the remaining 43 backlog entries are reserved
+# for r8.
+R7_WINDOW = [
+    "agg_markov_transitions",
+    "agg_count_distinct_approx",
+    "agg_percentile_approx",
+    "agg_approx_top_k",
+    "agg_filter_clause",
+    "agg_listagg_sorted",
+    "agg_mean_family",
+    "agg_bitwise",
+    "agg_weighted_median",
+    "agg_grouping_id",
+    "agg_moments_family",
+    "agg_pareto_concentration",
+    "agg_trimmed_mean",
+    "agg_gini_coefficient",
+    "agg_histogram_2d",
+    "agg_corr_matrix",
+    "agg_count_min_sketch",
+    "agg_linear_regression",
+    "agg_percentile_cont_multi",
+    "agg_boolean_family",
+    "stream_upsert_tablelog",
+    "ml_knn_classify",
+    "ml_naive_bayes_train",
+    "text_readability_score",
+    "tokenizer_vocab_coverage",
+    "corpus_kneser_ney_bigram",
+    "text_keyness_g2",
+    "eval_heldout_perplexity",
+    "corpus_span_corruption",
+    "multimodal_webdataset_manifest",
+    "graph_label_propagation",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_decomposition",
+    "dedup_url_canonical",
+    "ts_seasonal_naive_error",
+    "text_zipf_fit",
+    "quality_parquet_stats_audit",
+    "ml_logreg_gd",
+    "quality_chisq_categorical_drift",
+    "ts_run_length_encode",
+    "privacy_noisy_count_laplace",
+    "eval_auc_roc",
+    "ts_ewma_anomaly",
+    "privacy_generalize_to_k",
+    "ml_ridge_regression_normal_eq",
+    "eval_calibration_bins",
+    "ts_stl_decompose",
+    "quality_join_skew_audit",
+    "eval_adversarial_validation",
+    "maintenance_compact_small_files",
 ]
 
-
 def test_driver_window_matches_coverage_plan():
-    assert len(R6_WINDOW) == 50
-    got = list(all_queries())[: len(R6_WINDOW)]
-    assert got == R6_WINDOW, (
+    assert len(R7_WINDOW) == 50
+    got = list(all_queries())[: len(R7_WINDOW)]
+    assert got == R7_WINDOW, (
         "The first-50 verification window shifted. The window is the "
         "explicit registry.__init__._WINDOW_HEAD list; if you changed it, "
         "update this pin AND COVERAGE.md's ledger deliberately."
@@ -87,7 +88,7 @@ def test_driver_window_matches_coverage_plan():
 def test_window_head_is_the_pin():
     # _WINDOW_HEAD and this pin must be the same list; divergence means a
     # half-finished rotation commit.
-    assert _WINDOW_HEAD == R6_WINDOW
+    assert _WINDOW_HEAD == R7_WINDOW
 
 
 def test_no_window_name_collisions():
