@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +57,27 @@ _COMMIT_RETRIES = 16
 
 class ConcurrentCommitError(RuntimeError):
     """Raised when a committer loses the version race too many times."""
+
+
+def _publish_exclusive(tmp: str, dst: str) -> None:
+    """Put-if-absent publish of ``tmp`` at ``dst``: raise FileExistsError
+    iff ``dst`` already exists. Prefers ``os.link`` (atomic, no data
+    copy); on filesystems without hard-link support (some network /
+    overlay / FAT mounts, where link raises EPERM/EOPNOTSUPP rather
+    than FileExistsError) falls back to ``O_CREAT|O_EXCL`` create +
+    write, which has the same exactly-one-winner guarantee."""
+    try:
+        os.link(tmp, dst)
+        return
+    except FileExistsError:
+        raise
+    except OSError:
+        fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # raises FileExistsError on a loser
+        try:
+            with open(tmp, "rb") as fh:
+                os.write(fd, fh.read())
+        finally:
+            os.close(fd)
 
 
 def _log_dir(table_dir: str) -> str:
@@ -109,8 +131,11 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> int:
         v = current_version(table_dir)
         prior: list[str] = []
         if mode == "append" and v > 0:
-            with open(os.path.join(_log_dir(table_dir), f"v{v}.json")) as fh:
-                prior = json.load(fh)["files"]
+            try:
+                with open(os.path.join(_log_dir(table_dir), f"v{v}.json")) as fh:
+                    prior = json.load(fh)["files"]
+            except FileNotFoundError:
+                continue  # a concurrent vacuum dropped v{v} — re-resolve and retry
         manifest = {"version": v + 1, "mode": mode, "files": prior + new_files}
         tmp = os.path.join(
             _log_dir(table_dir), f".v{v + 1}-{uuid.uuid4().hex}.json.tmp"
@@ -118,7 +143,7 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> int:
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         try:
-            os.link(tmp, os.path.join(_log_dir(table_dir), f"v{v + 1}.json"))
+            _publish_exclusive(tmp, os.path.join(_log_dir(table_dir), f"v{v + 1}.json"))
             return v + 1
         except FileExistsError:
             continue  # concurrent winner took v+1 — rebase and retry
@@ -142,14 +167,31 @@ def read(spark: SparkSession, table_dir: str, version: int | None = None) -> Dat
     return spark.read.parquet(*files)
 
 
-def vacuum(table_dir: str, keep_last: int = 2) -> dict[str, int]:
+def vacuum(
+    table_dir: str, keep_last: int = 2, min_age_seconds: float = 600.0
+) -> dict[str, int]:
     """Retire history: drop all but the newest ``keep_last`` manifests
     and delete data files referenced ONLY by the dropped versions —
     the Delta VACUUM division of labor (commits never delete; a
     separate retention sweep does, bounding time travel). Files named
     by any surviving manifest are kept, so current readers of kept
-    versions are never broken; real deployments add a staleness window
-    before deleting to protect in-flight writers' uncommitted files.
+    versions are never broken.
+
+    Two safety rules, mirroring Delta's VACUUM semantics:
+
+    - Membership in the kept set is decided by **basename**, never the
+      raw path string: all data files live in one flat ``data/`` dir
+      with uuid-prefixed (unique) names, so basenames are a complete
+      identity — and a raw-string compare would silently treat every
+      file as unreferenced (and delete live data) whenever vacuum is
+      called with a different spelling of ``table_dir`` than commit
+      used (relative vs absolute, trailing slash, symlink).
+    - Unreferenced files younger than ``min_age_seconds`` (mtime) are
+      SKIPPED: an in-flight commit moves data files into ``data/``
+      before publishing its manifest, and deleting that fresh window
+      would break the commit. Delta's retention-period default plays
+      the same role. Hermetic single-writer tests pass ``0.0``.
+
     Returns the sweep's audit counts."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -163,20 +205,29 @@ def vacuum(table_dir: str, keep_last: int = 2) -> dict[str, int]:
     referenced: set[str] = set()
     for v in kept:
         with open(os.path.join(log, f"v{v}.json")) as fh:
-            referenced.update(json.load(fh)["files"])
+            referenced.update(os.path.basename(p) for p in json.load(fh)["files"])
     data_dir = os.path.join(table_dir, "data")
     data_files = [
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
+    cutoff = time.time() - min_age_seconds
     deleted = 0
     for f in data_files:
-        if f not in referenced:
-            os.remove(f)
+        if os.path.basename(f) not in referenced:
+            try:
+                if os.path.getmtime(f) > cutoff:
+                    continue  # fresh: possibly an in-flight commit's file
+                os.remove(f)
+            except FileNotFoundError:
+                continue  # a concurrent vacuum got it first
             deleted += 1
     for v in dropped:
-        os.remove(os.path.join(log, f"v{v}.json"))
+        try:
+            os.remove(os.path.join(log, f"v{v}.json"))
+        except FileNotFoundError:
+            pass
     return {
         "versions_before": len(versions),
         "versions_after": len(kept),

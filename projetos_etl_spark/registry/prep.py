@@ -4509,25 +4509,33 @@ def ml_ridge_regression_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @REG.add(
     "eval_calibration_bins",
-    # percent_rank is (rank-1)/(n-1) — integer-exact — and the decile
-    # assignment floors an identical double; only the bin's mean score
-    # needs rounding (float accumulation order differs per engine).
+    # The order is total (ties broken on event_id), so percent_rank is
+    # (row_number-1)/(n-1); the integer numerator k rides along and the
+    # bin's mean score is the fixed expression sum(k)/(n-1)/count over
+    # exact integers — no float accumulation whose partition order
+    # could differ per engine (r6 ADVICE; avg(score) was the hazard).
     oracle="""
-    WITH scored AS (
+    WITH tot AS (SELECT count(*) AS n_all FROM events),
+    scored AS (
         SELECT CAST(event_type = 'purchase' AS INTEGER) AS pos,
-               percent_rank() OVER (ORDER BY value, event_id) AS score
-        FROM events
+               CAST(row_number() OVER (ORDER BY value, event_id) - 1
+                    AS BIGINT) AS k,
+               tot.n_all AS n_all
+        FROM events CROSS JOIN tot
     ),
     binned AS (
-        SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
-               pos, score
+        SELECT least(CAST(floor(CAST(k AS DOUBLE) / (n_all - 1) * 10)
+                          AS INTEGER), 9) AS bin,
+               pos, k, n_all
         FROM scored
     )
     SELECT bin,
            count(*) AS n,
-           round(avg(score), 6) AS mean_score,
+           round(CAST(sum(k) AS DOUBLE) / (max(n_all) - 1) / count(*), 6)
+               AS mean_score,
            CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate,
-           round(abs(round(avg(score), 6)
+           round(abs(round(CAST(sum(k) AS DOUBLE) / (max(n_all) - 1)
+                           / count(*), 6)
                      - CAST(sum(pos) AS DOUBLE) / count(*)), 6) AS calib_gap
     FROM binned GROUP BY bin ORDER BY bin
     """,
@@ -4542,20 +4550,32 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ratio. The global rank window is the honest cost of exact
     calibration — at 100 TB swap it for decile boundaries from one
     percentile reduce (the ``feat_quantile_bucketize`` shape) and keep
-    the per-bin aggregates identical."""
+    the per-bin aggregates identical. The rank's integer numerator k
+    rides along so the bin's mean score is sum(k)/(n-1)/count — a fixed
+    expression over exact integers, never a float accumulation."""
     ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("n_all"))
     w = Window.orderBy("value", "event_id")
-    scored = ev.select(
+    scored = ev.crossJoin(F.broadcast(total)).select(
         (F.col("event_type") == "purchase").cast("int").alias("pos"),
-        F.percent_rank().over(w).alias("score"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("k"),
+        "n_all",
     )
     binned = scored.select(
-        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.least(
+            F.floor(F.col("k").cast("double") / (F.col("n_all") - 1) * 10).cast(
+                "int"
+            ),
+            F.lit(9),
+        ).alias("bin"),
         "pos",
-        "score",
+        "k",
+        "n_all",
     )
     pos_rate = F.sum("pos").cast("double") / F.count(F.lit(1))
-    mean_score = F.round(F.avg("score"), 6)
+    mean_score = F.round(
+        F.sum("k").cast("double") / (F.max("n_all") - 1) / F.count(F.lit(1)), 6
+    )
     return (
         binned.groupBy("bin")
         .agg(

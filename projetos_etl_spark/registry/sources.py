@@ -1014,13 +1014,20 @@ def maintenance_tablelog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projetos_etl_spark.operators.tablelog import commit, read, vacuum
 
-    table = os.path.join(tempfile.gettempdir(), "pes_tlvacuum_scratch")
-    shutil.rmtree(table, ignore_errors=True)  # fixed per-host scratch
+    # PID-suffixed scratch so concurrent sessions on one host can't
+    # clobber each other's log mid-run; the returned DataFrame scans
+    # the kept files lazily, so the dir must outlive this function.
+    table = os.path.join(
+        tempfile.gettempdir(), f"pes_tlvacuum_scratch_{os.getpid()}"
+    )
+    shutil.rmtree(table, ignore_errors=True)
     nation = load_table(spark, sf_dir, "nation")
     commit(nation.filter(F.col("n_regionkey") == 0).coalesce(1), table, "overwrite")
     commit(nation.filter(F.col("n_regionkey") == 0).coalesce(1), table, "overwrite")
     commit(nation.filter(F.col("n_regionkey") == 1).coalesce(1), table, "append")
-    audit = vacuum(table, keep_last=2)
+    # min_age_seconds=0: hermetic single-writer run on files written
+    # milliseconds ago; the production default keeps a staleness window.
+    audit = vacuum(table, keep_last=2, min_age_seconds=0.0)
     latest = read(spark, table)
     v2_rows = read(spark, table, 2).count()
     still_reads = v2_rows == nation.filter(F.col("n_regionkey") == 0).count()

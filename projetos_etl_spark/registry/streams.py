@@ -743,8 +743,15 @@ def stream_upsert_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    table_dir = os.path.join(tempfile.gettempdir(), "pes_stream_upsert_log")
-    shutil.rmtree(table_dir, ignore_errors=True)  # fixed scratch, fresh run
+    # PID-suffixed scratch: concurrent sessions on one host (parallel
+    # pytest/bench/driver) must not clobber each other's table log
+    # mid-run. Same-process re-runs reuse and reset the dir; the
+    # returned DataFrame scans these files lazily, so the log must
+    # outlive this function (no finally-rmtree on table_dir).
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"pes_stream_upsert_log_{os.getpid()}"
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)  # fresh run
     watch = tempfile.mkdtemp(prefix="pes_upsert_watch_")
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -780,6 +787,7 @@ def stream_upsert_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()  # epoch 2 -> merge commit
         finally:
             q.stop()
+            shutil.rmtree(watch, ignore_errors=True)  # stream done; drop the drop-zone
 
     final_version = current_version(table_dir)
     return (

@@ -1050,9 +1050,12 @@ PPL_VOCAB_SMOOTH = 1000  # Laplace smoothing denominator addend (vocab bound)
 @REG.add(
     "eval_heldout_perplexity",
     # Train/test assignment is the portable md5 split; the unigram LM
-    # probabilities are ln() of integer ratios (Laplace-smoothed), and
-    # the per-split average is a sum of those identical doubles over a
-    # deterministic set, rounded to 6dp on emission.
+    # probabilities are ln() of integer ratios (Laplace-smoothed) —
+    # bit-identical doubles in both engines. Each lp is rounded to 6dp
+    # and summed as a scaled BIGINT (the repo's integer-exact
+    # convention): a raw float sum would accumulate in engine- and
+    # partition-order-dependent order, and a value near a 6dp rounding
+    # boundary could round differently per engine (r6 ADVICE).
     oracle=f"""
     WITH tagged AS (
         SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
@@ -1068,15 +1071,17 @@ PPL_VOCAB_SMOOTH = 1000  # Laplace smoothing denominator addend (vocab bound)
     ),
     scored AS (
         SELECT t.split,
-               ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)
-                  / (tt.n + {PPL_VOCAB_SMOOTH})) AS lp
+               CAST(round(ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE)
+                             / (tt.n + {PPL_VOCAB_SMOOTH})) * 1000000, 0)
+                    AS BIGINT) AS lp_micros
         FROM tagged t
         LEFT JOIN train_counts tc ON tc.w = t.w
         CROSS JOIN train_total tt
     )
     SELECT split,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(-sum(lp) / count(*), 6) AS avg_neg_log_prob
+           round(CAST(-sum(lp_micros) AS DOUBLE) / count(*) / 1000000, 6)
+               AS avg_neg_log_prob
     FROM scored GROUP BY split ORDER BY split
     """,
 )
@@ -1107,19 +1112,29 @@ def eval_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     train_total = train_counts.agg(F.sum("c").alias("n"))
-    lp = F.log(
-        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-        / (F.col("n") + PPL_VOCAB_SMOOTH)
-    )
+    # Per-token lp rounded to 6dp and accumulated as a scaled BIGINT so
+    # the sum is exact in any partition order (ADVICE r6: a raw double
+    # sum near a rounding boundary could round differently per engine).
+    lp_micros = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("n") + PPL_VOCAB_SMOOTH)
+        )
+        * 1000000,
+        0,
+    ).cast("bigint")
     return (
         tagged.join(F.broadcast(train_counts), "w", "left")
         .crossJoin(F.broadcast(train_total))  # 1-row scalar
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(-F.sum(lp) / F.count(F.lit(1)), 6).alias(
-                "avg_neg_log_prob"
-            ),
+            F.round(
+                (-F.sum(lp_micros)).cast("double")
+                / F.count(F.lit(1))
+                / 1000000,
+                6,
+            ).alias("avg_neg_log_prob"),
         )
         .orderBy("split")
     )
