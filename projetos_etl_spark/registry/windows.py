@@ -181,6 +181,68 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "win_ntile_scale",
+    # Same assignments as the exact variant, so the oracle IS the exact
+    # ntile — proving the distributed-rank plan computes identical
+    # buckets at fixture scale.
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+               AS decile
+    FROM orders
+    """,
+)
+def win_ntile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe twin of ``win_ntile``: EXACT global decile
+    assignment with no single-partition window over the input. The
+    classic distributed-rank recipe — ``repartitionByRange`` on the
+    total sort key (one range shuffle; the sampled boundaries affect
+    only which range a row lands in, never its rank, because the key is
+    unique), per-range-partition ``row_number`` (parallel local sorts),
+    plus broadcast cumulative partition offsets (a ≤#partitions-row
+    aggregate), gives every row its exact global rank; SQL ntile's
+    bucket arithmetic (first n%k buckets take one extra row) is then a
+    pure integer expression. Scale knob: the range-partition count (32
+    here ~ local cores; thousands on a cluster) bounds both sort width
+    and window parallelism. The exact-variant oracle pins that the
+    assignments are identical, not merely approximate."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = orders.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # Cumulative offsets over <=32 rows: the single-partition window here
+    # runs on the COUNTS, not the data — constant-size driver-side state.
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("offset"),
+        F.sum("cnt").over(
+            Window.orderBy("pid").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    local_w = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        ranged.withColumn("local_rn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rank", F.col("offset") + F.col("local_rn"))
+    )
+    # SQL ntile(k): base = n div k rows per bucket, the first extra =
+    # n % k buckets take base+1. All-integer arithmetic (`div`, never a
+    # double division that could truncate wrong near 2^53 at scale);
+    # greatest() guards the unreachable base=0 branch under ANSI.
+    decile = F.expr(
+        "CASE WHEN rank <= (n % 10) * (n div 10 + 1)"
+        " THEN (rank - 1) div (n div 10 + 1) + 1"
+        " ELSE (n % 10) + (rank - 1 - (n % 10) * (n div 10 + 1))"
+        "      div greatest(n div 10, 1) + 1 END"
+    )
+    return ranked.select("o_orderkey", decile.cast("int").alias("decile"))
+
+
+@REG.add(
     "sessionize_events",
     oracle=f"""
     WITH gaps AS (
