@@ -115,6 +115,16 @@ BENCH_QUERIES = [
     "ts_ewma_anomaly",
     "corpus_kneser_ney_bigram",
     "stream_upsert_tablelog",
+    # round 7 additions: representatives of the previously un-benched r6
+    # families — iterative k-core peeling, the broadcast-LM held-out
+    # perplexity pass, the integer-exact STL decomposition, the nearest
+    # as-of join, and the r7 distributed-rank decile twin (compare
+    # per-query across rounds, as above).
+    "graph_kcore_decomposition",
+    "eval_heldout_perplexity",
+    "ts_stl_decompose",
+    "join_asof_nearest",
+    "win_ntile_scale",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes

@@ -772,7 +772,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     the returned DataFrame lazily reads from it, so a finally-rmtree
     would race the caller's collect, and fresh temp dirs accumulated a
     table copy per sweep (ADVICE r4)."""
-    out = os.path.join(tempfile.gettempdir(), "pes_dynpart_scratch")
+    out = os.path.join(tempfile.gettempdir(), f"pes_dynpart_scratch_{os.getpid()}")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
@@ -819,7 +819,7 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text is swapped for a newline before the quoted write, so
     every row exercises the path; the restored corpus must digest-match
     the original table exactly."""
-    out = os.path.join(tempfile.gettempdir(), "pes_mlcsv_scratch")
+    out = os.path.join(tempfile.gettempdir(), f"pes_mlcsv_scratch_{os.getpid()}")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.select(
         "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
@@ -886,7 +886,7 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projetos_etl_spark.operators.tablelog import commit, read
 
-    table = os.path.join(tempfile.gettempdir(), "pes_tablelog_scratch")
+    table = os.path.join(tempfile.gettempdir(), f"pes_tablelog_scratch_{os.getpid()}")
     shutil.rmtree(table, ignore_errors=True)  # fixed per-host scratch
     orders = load_table(spark, sf_dir, "orders")
     commit(orders.filter(F.col("o_orderkey") % 2 == 0), table, "append")
@@ -949,7 +949,7 @@ def table_log_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetos_etl_spark.operators.cdc import apply_cdc
     from projetos_etl_spark.operators.tablelog import commit, read
 
-    table = os.path.join(tempfile.gettempdir(), "pes_tlmerge_scratch")
+    table = os.path.join(tempfile.gettempdir(), f"pes_tlmerge_scratch_{os.getpid()}")
     shutil.rmtree(table, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"

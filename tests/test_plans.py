@@ -506,3 +506,25 @@ def test_pca_scoring_is_codegen_only(spark, queries):
     plan = explain_str(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_ntile_scale_no_single_partition_over_input(spark, queries):
+    """win_ntile_scale's whole point: the data path must stay range+hash
+    partitioned; the ONLY SinglePartition exchange allowed is the one
+    over the <=32-row partition-counts aggregate feeding the broadcast
+    offsets. The exact variant's global-window shape (Window directly
+    over a SinglePartition exchange of the scan) must not reappear."""
+    from projetos_etl_spark.plans import explain_str
+
+    df = queries["win_ntile_scale"](spark, SF)
+    plan = explain_str(df)
+    assert "rangepartitioning" in plan, "distributed rank lost its range shuffle"
+    # The offsets subtree (counts -> cumulative sum) is the only place a
+    # SinglePartition exchange may appear, and it sits under a
+    # BroadcastExchange — never on the row-level data path.
+    data_path = plan.split("BroadcastExchange")[0]
+    assert "SinglePartition" not in data_path, (
+        "a SinglePartition exchange appeared on the data path - the "
+        "scale-safe ntile degenerated into the exact variant's plan"
+    )
+    assert "BroadcastHashJoin" in plan  # offsets re-join is broadcast

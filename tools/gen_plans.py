@@ -33,6 +33,7 @@ SHOWCASE = [
     ("agg_corr_matrix", "All 15 raw moments come from a single partial+final HashAggregate pair over one scan; the 6-pair matrix is driver-assembled from that one row (no repeated scans, no union of per-pair subplans)."),
     ("corpus_kneser_ney_bigram", "ONE bigram-count shuffle feeds four aggregates (context totals, follower counts, predecessor counts, type total) via a checkpointed Scan ExistingRDD leaf; all re-joins are BroadcastHashJoin; top-k is TakeOrderedAndProject."),
     ("win_max_concurrency", "The +1/-1 sweep's global Window sorts the SESSION-SPAN deltas (2 rows per session), not events: the event->span reduction is a partial+final HashAggregate below the union, and the peak pick is a 1-row broadcast scalar join."),
+    ("win_ntile_scale", "Exact global deciles with NO single-partition window over the input: Exchange rangepartitioning(32) then per-range row_number (Window partitioned by pid); the only Exchange SinglePartition sits over the <=32-row partition-counts aggregate; offsets re-join is BroadcastHashJoin; the bucket arithmetic is integer div/% codegen."),
 ]
 
 #: Showcase entries whose interesting plan only appears under confs the
@@ -68,7 +69,18 @@ def main() -> None:
         "change to these queries; tests/test_plans.py pins the same",
         "properties mechanically.",
         "",
+        "## Index",
+        "",
+        "| # | Entry | Property (gist) |",
+        "|---|---|---|",
     ]
+    all_sections = [(n, c) for n, c in SHOWCASE] + [
+        (n, c) for n, c, _ in SHOWCASE_CONF
+    ]
+    for i, (name, claim) in enumerate(all_sections, 1):
+        gist = claim.split(";")[0].split(". ")[0].rstrip(".")
+        out.append(f"| {i} | [`{name}`](#{name.lower()}) | {gist} |")
+    out.append("")
     def explain(name: str) -> str:
         df = reg[name](spark, SF)
         return df._sc._jvm.PythonSQLUtils.explainString(
