@@ -490,6 +490,191 @@ def test_gini_rank_formula_matches_python(spark, xs):
         assert abs(got - ref) < 1e-9, (got, ref)
 
 
+def _near_pairs_py(vals: list[int], max_dist: int) -> set[tuple[int, int]]:
+    return {
+        (i, j)
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if bin(vals[i] ^ vals[j]).count("1") <= max_dist
+    }
+
+
+@PROP
+@given(st.lists(st.integers(0, 65535), min_size=2, max_size=14))
+def test_simhash_pigeonhole_blocking_is_complete(spark, vals):
+    """The Manku pigeonhole guarantee on ARBITRARY signatures, not just
+    the corpus distribution the fixture oracle exercises: the union of
+    the three segment equi-joins followed by the exact Hamming filter
+    must find EXACTLY the brute-force pair set within radius 2 —
+    including duplicate signatures (distance 0) and adversarial
+    near-boundary patterns hypothesis likes to generate."""
+    from projetos_etl_spark.operators.simhash import hamming_distance
+    from projetos_etl_spark.registry.dedup import HAMMING_MAX_DIST, _SH_SEGMENTS
+
+    sigs = spark.createDataFrame(
+        [(i, format(v, "016b")) for i, v in enumerate(vals)],
+        "doc_id long, simhash string",
+    )
+    segs = None
+    for i, (start, length) in enumerate(_SH_SEGMENTS):
+        t = sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("seg_id"),
+            F.substring("simhash", start, length).alias("seg_val"),
+        )
+        segs = t if segs is None else segs.unionByName(t)
+    a, b = segs.alias("a"), segs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in cands.filter(
+            hamming_distance("sig_a", "sig_b") <= HAMMING_MAX_DIST
+        ).collect()
+    }
+    assert got == _near_pairs_py(vals, HAMMING_MAX_DIST)
+
+
+def _kcore_py(edges: set[tuple[int, int]], k: int) -> dict[int, int]:
+    """Peel to the fixpoint; returns {survivor: degree-within-core}."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        doomed = {v for v in alive if len(adj[v] & alive) < k}
+        if not doomed:
+            return {v: len(adj[v] & alive) for v in alive}
+        alive -= doomed
+
+
+@PROP
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(1, 3),
+)
+def test_kcore_peeling_reaches_true_fixpoint(spark, raw_edges, k):
+    """Synchronous distributed peeling (the graph_kcore_decomposition
+    loop shape: edge-join degree count + alive mask per round) must
+    converge to the unique k-core — the maximal subgraph of min degree
+    >= k — for arbitrary graphs and k, with survivor degrees matching a
+    sequential peel. n rounds always suffice: a non-converged round
+    kills at least one node."""
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges}
+    und_rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    und = spark.createDataFrame(und_rows, "src long, dst long")
+    alive = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.lit(True).alias("alive"))
+    )
+    n_nodes = len({v for e in edges for v in e})
+    for _ in range(n_nodes):
+        deg = (
+            und.join(
+                alive.select(F.col("id").alias("dst"), F.col("alive").alias("da")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("da").cast("int")).alias("deg"))
+        )
+        alive = alive.join(deg, "id", "left").select(
+            "id",
+            (F.col("alive") & (F.coalesce("deg", F.lit(0)) >= k)).alias("alive"),
+        )
+    deg_fin = (
+        und.join(
+            alive.select(F.col("id").alias("dst"), F.col("alive").alias("da")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.col("da").cast("int")).alias("d"))
+    )
+    got = {
+        r.id: r.d
+        for r in alive.join(deg_fin, "id", "left")
+        .filter(F.col("alive"))
+        .collect()
+    }
+    assert got == _kcore_py(edges, k)
+
+
+@PROP
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=40))
+def test_ntile_scale_arithmetic_matches_builtin(spark, values):
+    """The distributed-rank decile recipe (win_ntile_scale shape:
+    repartitionByRange + per-partition row_number + broadcast cumulative
+    offsets + integer bucket arithmetic) must assign the IDENTICAL
+    bucket as built-in ntile(10) for every n — including n < 10, heavy
+    ties on the value (the id tiebreak makes the total key unique), and
+    sizes that leave range partitions empty."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id long, v double"
+    )
+    ranged = df.repartitionByRange(4, "v", "id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("offset"),
+        F.sum("cnt")
+        .over(
+            Window.orderBy("pid").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    local_w = Window.partitionBy("pid").orderBy("v", "id")
+    ranked = (
+        ranged.withColumn("local_rn", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("rank", F.col("offset") + F.col("local_rn"))
+    )
+    decile = F.expr(
+        "CASE WHEN rank <= (n % 10) * (n div 10 + 1)"
+        " THEN (rank - 1) div (n div 10 + 1) + 1"
+        " ELSE (n % 10) + (rank - 1 - (n % 10) * (n div 10 + 1))"
+        "      div greatest(n div 10, 1) + 1 END"
+    )
+    got = {
+        r.id: r.decile
+        for r in ranked.select("id", decile.cast("int").alias("decile")).collect()
+    }
+    want = {
+        r.id: r.decile
+        for r in df.select(
+            "id", F.ntile(10).over(Window.orderBy("v", "id")).alias("decile")
+        ).collect()
+    }
+    assert got == want
+
+
 def _bdays_py(start, end) -> int:
     import datetime
 
