@@ -675,6 +675,57 @@ def test_ntile_scale_arithmetic_matches_builtin(spark, values):
     assert got == want
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["append", "overwrite"]),
+            st.lists(
+                st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_tablelog_time_travel_replays_every_version(spark, ops):
+    """Randomized append/overwrite sequences: after the whole sequence
+    commits, reading EVERY historical version must return exactly the
+    row multiset that was visible when that version was published —
+    append accumulates, overwrite resets, and later commits never
+    disturb earlier snapshots."""
+    import shutil
+    import tempfile
+
+    from projetos_etl_spark.operators.tablelog import commit, read
+
+    t = tempfile.mkdtemp(prefix="pes_prop_tlog_")
+    try:
+        expected_by_version: dict[int, list[tuple[int, int]]] = {}
+        state: list[tuple[int, int]] = []
+        for mode, rows in ops:
+            df = spark.createDataFrame(rows, "k int, v int")
+            ver = commit(df, t, mode=mode)
+            state = (state + rows) if mode == "append" else list(rows)
+            expected_by_version[ver] = sorted(state)
+        assert sorted(expected_by_version) == list(
+            range(1, len(ops) + 1)
+        )
+        for ver, want in expected_by_version.items():
+            got = sorted(
+                (r.k, r.v) for r in read(spark, t, version=ver).collect()
+            )
+            assert got == want, (ver, got, want)
+    finally:
+        shutil.rmtree(t, ignore_errors=True)
+
+
 def _bdays_py(start, end) -> int:
     import datetime
 
