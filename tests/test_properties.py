@@ -726,6 +726,196 @@ def test_tablelog_time_travel_replays_every_version(spark, ops):
         shutil.rmtree(t, ignore_errors=True)
 
 
+def _minhash_sigs_py(text: str, k: int = 16) -> list[str]:
+    import hashlib
+
+    toks = text.split(" ")
+    sh = (
+        {text}
+        if len(toks) < 3
+        else {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    )
+    out = []
+    for i in range(k):
+        digest_prefix = f"mh{i // 4}|"
+        lo = 8 * (i % 4)
+        out.append(
+            min(
+                hashlib.md5((digest_prefix + s).encode()).hexdigest()[lo : lo + 8]
+                for s in sh
+            )
+        )
+    return out
+
+
+def _lsh_candidates_py(
+    sigs: dict[int, list[str]], band_size: int, max_bucket: int
+) -> set[tuple[int, int]]:
+    buckets: dict[tuple[int, tuple[str, ...]], list[int]] = {}
+    for doc, sig in sigs.items():
+        for b in range(len(sig) // band_size):
+            key = (b, tuple(sig[b * band_size : (b + 1) * band_size]))
+            buckets.setdefault(key, []).append(doc)
+    pairs = set()
+    for members in buckets.values():
+        kept = sorted(members)[:max_bucket]
+        pairs.update(
+            (a, b) for i, a in enumerate(kept) for b in kept[i + 1 :]
+        )
+    return pairs
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(1, 3),
+)
+def test_minhash_stack_matches_python(spark, word_lists, cap):
+    """The full MinHash stack vs an independent Python re-derivation:
+    (1) every signature slice is exactly the Python md5 minimum — the
+    engine-portable construction really is engine-portable; (2) the
+    banded-LSH candidate set with a hot-bucket cap equals the Python
+    bucket simulation, including which members a capped bucket keeps
+    (lowest ids). The tiny vocab forces shingle collisions, identical
+    docs, and shared bands."""
+    from projetos_etl_spark.operators.minhash import (
+        lsh_candidate_ids,
+        minhash_signatures,
+    )
+
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs_df = minhash_signatures(df, "doc_id", "text")
+    got_sigs = {
+        r.doc_id: [r[f"sig_{i}"] for i in range(16)] for r in sigs_df.collect()
+    }
+    want_sigs = {i: _minhash_sigs_py(t) for i, t in enumerate(texts)}
+    assert got_sigs == want_sigs
+
+    got_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_ids(sigs_df, "doc_id", max_bucket=cap).collect()
+    }
+    assert got_pairs == _lsh_candidates_py(want_sigs, 4, cap)
+
+
+def _sessionize_py(
+    rows: list[tuple[int, int]], gap: int
+) -> dict[tuple[int, int], int]:
+    out = {}
+    by_key: dict[int, list[int]] = {}
+    for k, ts in rows:
+        by_key.setdefault(k, []).append(ts)
+    for k, tss in by_key.items():
+        sid = 0
+        prev = None
+        for ts in sorted(tss):
+            if prev is None or ts - prev > gap:
+                sid += 1
+            out[(k, ts)] = sid
+            prev = ts
+    return out
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    ),
+    st.integers(1, 50),
+)
+def test_sessionize_matches_python(spark, rows, gap):
+    """Gap-rule session assignment == a sequential per-key reference:
+    1-based ids in time order, a new session iff the gap STRICTLY
+    exceeds gap_seconds (boundary gaps stay in-session)."""
+    from projetos_etl_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(k, float(ts)) for k, ts in rows], "user_id int, ts double"
+    )
+    got = {
+        (r.user_id, int(r.ts)): r.session_id
+        for r in sessionize(df, key="user_id", ts_col="ts", gap_seconds=gap).collect()
+    }
+    assert got == _sessionize_py(rows, gap)
+
+
+def _scd2_py(dim_rows, upd_rows, batch_ts):
+    """Reference: dim_rows = (k, a, vf, vt); upd_rows = (k, a)."""
+    out = [r for r in dim_rows if r[3] is not None]  # history passes through
+    current = {r[0]: r for r in dim_rows if r[3] is None}
+    upd = dict(upd_rows)
+    for k, row in current.items():
+        if k not in upd or upd[k] == row[1]:
+            out.append(row)
+        else:
+            out.append((k, row[1], row[2], batch_ts))
+    for k, a in upd.items():
+        if k not in current or current[k][1] != a:
+            out.append((k, a, batch_ts, None))
+    return sorted(out, key=lambda r: (r[0], str(r[2]), str(r[3])))
+
+
+@PROP
+@given(
+    st.dictionaries(st.integers(0, 6), st.integers(0, 3), min_size=1, max_size=6),
+    st.dictionaries(st.integers(0, 9), st.integers(0, 3), max_size=6),
+)
+def test_scd2_apply_matches_python(spark, current_attrs, updates):
+    """SCD2 upsert vs a dict reference across random overlap patterns:
+    no-op updates pass through untouched, real changes close + reopen,
+    unseen keys insert as current, and pre-existing closed history rows
+    ride along unmodified."""
+    from projetos_etl_spark.operators.scd2 import scd2_apply
+
+    t0, t1, batch = "2020-01-01 00:00:00", "2020-02-01 00:00:00", "2020-06-01 00:00:00"
+    dim_rows = [(k, a, t0, None) for k, a in current_attrs.items()]
+    # one closed history row per current key, attr value shifted
+    dim_rows += [(k, a + 100, t0, t1) for k, a in current_attrs.items()]
+    dim = spark.createDataFrame(
+        dim_rows, "k int, a int, valid_from string, valid_to string"
+    ).select(
+        "k",
+        "a",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        list(updates.items()) or [(None, None)], "k int, a int"
+    )
+    if not updates:
+        upd = upd.filter(F.lit(False))
+    res = scd2_apply(dim, upd, key="k", attrs=["a"], batch_ts=batch)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    got = sorted(
+        (
+            (r.k, r.a, r.valid_from, r.valid_to)
+            for r in res.select(
+                "k",
+                "a",
+                F.date_format("valid_from", fmt).alias("valid_from"),
+                F.date_format("valid_to", fmt).alias("valid_to"),
+            ).collect()
+        ),
+        key=lambda r: (r[0], str(r[2]), str(r[3])),
+    )
+    want = _scd2_py(dim_rows, list(updates.items()), batch)
+    assert got == want
+
+
 def _bdays_py(start, end) -> int:
     import datetime
 
