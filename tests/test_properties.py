@@ -916,6 +916,101 @@ def test_scd2_apply_matches_python(spark, current_attrs, updates):
     assert got == want
 
 
+def _shingle_set_py(text: str) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) < 3:
+        return {text}
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.2, 0.5]),
+)
+def test_exact_jaccard_and_containment_match_python(spark, word_lists, threshold):
+    """The inverted-index exact tiers vs Python set arithmetic: the
+    shingle-join pair set, the Jaccard/containment values (6dp), and the
+    threshold filter must all agree — including identical docs (J=1),
+    subsumed docs (containment 1, small Jaccard), and pairs that share
+    no shingle (absent entirely, never 0-scored)."""
+    from projetos_etl_spark.operators.minhash import (
+        exact_containment_pairs,
+        exact_ngram_jaccard_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sets = {i: _shingle_set_py(t) for i, t in enumerate(texts)}
+
+    want_j, want_c = {}, {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = round(inter / len(sets[a] | sets[b]), 6)
+            c = round(inter / min(len(sets[a]), len(sets[b])), 6)
+            if j >= threshold:
+                want_j[(a, b)] = j
+            if c >= threshold:
+                want_c[(a, b)] = c
+
+    got_j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in exact_ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    got_c = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in exact_containment_pairs(
+            df, "doc_id", "text", threshold=threshold
+        ).collect()
+    }
+    assert got_j == want_j
+    assert got_c == want_c
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pagerank_conserves_mass_with_dangling_nodes(spark, edges):
+    """Invariant: with the dangling-aware formulation, total rank mass
+    stays exactly N (the vertex count) every run — random directed
+    graphs, dangling sinks included. Also every rank >= (1 - d), the
+    teleport floor."""
+    from projetos_etl_spark.operators.pagerank import DAMPING, pagerank
+
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    ranks = pagerank(e, iters=3).collect()
+    n = len({v for t in edges for v in t})
+    assert len(ranks) == n
+    assert abs(sum(r.rank for r in ranks) - n) < 1e-9 * max(n, 1)
+    assert all(r.rank >= (1 - DAMPING) - 1e-12 for r in ranks)
+
+
 def _bdays_py(start, end) -> int:
     import datetime
 
