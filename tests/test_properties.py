@@ -187,6 +187,60 @@ def test_asof_forward_matches_naive(spark, left_rows, right_rows):
         assert got[(lk, lts)] == best
 
 
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.integers(1, 30),
+    st.sampled_from(["backward", "forward"]),
+)
+def test_asof_tolerance_gates_stale_matches(spark, left_rows, right_rows, tol, direction):
+    """Bounded-staleness as-of: the carried value must be exactly the
+    plain as-of match when its age is <= tolerance and NULL when
+    STRICTLY older, in both directions — the boundary case (age ==
+    tolerance, still a match) is the one hypothesis will find."""
+    from projetos_etl_spark.operators.asof import asof_join
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, sec long").select(
+            "k", F.timestamp_seconds("sec").alias("ts"), "sec"
+        )
+
+    left = mk(left_rows)  # keeps `sec` as a pass-through left column
+    right = mk(right_rows).select("k", "ts", F.col("sec").alias("rv"))
+    got = {
+        (r.k, r.sec): r.rv
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_value_cols=["rv"], suffix="", direction=direction,
+            tolerance_seconds=float(tol),
+        ).collect()
+    }
+    assert len(got) == len(left_rows)
+    for lk, lsec in left_rows:
+        if direction == "backward":
+            best = max(
+                (s for k, s in right_rows if k == lk and s <= lsec), default=None
+            )
+            ok = best is not None and (lsec - best) <= tol
+        else:
+            best = min(
+                (s for k, s in right_rows if k == lk and s >= lsec), default=None
+            )
+            ok = best is not None and (best - lsec) <= tol
+        assert got[(lk, lsec)] == (best if ok else None), (lk, lsec, best, ok)
+
+
 def _cc_reference(n_vertices, edges):
     """Union-find reference for connected components."""
     parent = list(range(n_vertices))
