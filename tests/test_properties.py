@@ -1065,6 +1065,69 @@ def test_pagerank_conserves_mass_with_dangling_nodes(spark, edges):
     assert all(r.rank >= (1 - DAMPING) - 1e-12 for r in ranks)
 
 
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),  # user
+            st.integers(0, 60),  # start
+            st.integers(0, 20),  # length (0 = degenerate point session)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_concurrency_sweep_matches_interval_overlap(spark, raw_spans):
+    """The win_max_concurrency sweep shape (+1 at start / -1 at end,
+    ends-before-starts at equal ts) vs two independent references: a
+    sequential replay of the same total order, and the brute-force
+    half-open interval-overlap maximum — zero-length spans must never
+    register, and sessions meeting end-to-start at the same instant
+    must not count as concurrent."""
+    from pyspark.sql import Window
+
+    spans = [(u, s, s + ln) for u, s, ln in raw_spans]
+    df = spark.createDataFrame(spans, "user_id int, s long, e long")
+    deltas = df.select(
+        F.col("s").alias("at_ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        df.select(F.col("e").alias("at_ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    w = Window.orderBy("at_ts", "delta", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    level = deltas.select("at_ts", F.sum("delta").over(w).alias("concurrent"))
+    peak = level.agg(F.max("concurrent").alias("m"))
+    row = (
+        level.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("concurrent").alias("max_concurrent"),
+            F.min(
+                F.when(F.col("concurrent") == F.col("m"), F.col("at_ts"))
+            ).alias("first_peak_ts"),
+        )
+        .collect()[0]
+    )
+
+    events = sorted(
+        [(s, 1, u) for u, s, e in spans] + [(e, -1, u) for u, s, e in spans],
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    lvl, seq_max, first_ts = 0, None, None
+    for ts, d, _u in events:
+        lvl += d
+        if seq_max is None or lvl > seq_max:
+            seq_max, first_ts = lvl, ts
+    assert row.max_concurrent == seq_max
+    assert row.first_peak_ts == first_ts
+
+    brute = max(
+        sum(1 for _u, s, e in spans if s <= t < e)
+        for t in {s for _u, s, _e in spans}
+    )
+    assert seq_max == brute  # the sweep max IS the interval-overlap max
+
+
 def _bdays_py(start, end) -> int:
     import datetime
 
