@@ -125,6 +125,10 @@ BENCH_QUERIES = [
     "ts_stl_decompose",
     "join_asof_nearest",
     "win_ntile_scale",
+    # r7 addition: the second distributed-scan twin — peak concurrency
+    # via per-range-partition prefix sums + broadcast offsets (compare
+    # per-query across rounds, as above).
+    "win_max_concurrency_scale",
     # warehouse maintenance
     "cdc_apply_changes",
     # end-to-end medallion with real layer writes

@@ -905,13 +905,12 @@ def win_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONC_GAP_SECONDS = 4 * 3600
 
 
-@REG.add(
-    "win_max_concurrency",
-    # The +1/-1 sweep is integer arithmetic over an explicit total
-    # order (ts, delta, user) — ends sort before starts at equal ts
-    # (half-open sessions), so the running level and its argmax are
-    # exact in both engines.
-    oracle=f"""
+#: Shared by ``win_max_concurrency`` and its scale twin: the +1/-1
+#: sweep is integer arithmetic over an explicit total order
+#: (ts, delta, user) — ends sort before starts at equal ts (half-open
+#: sessions), so the running level and its argmax are exact in both
+#: engines, and BOTH Spark plans must reproduce it bit-for-bit.
+_MAX_CONCURRENCY_ORACLE = f"""
     WITH marks AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -950,8 +949,10 @@ CONC_GAP_SECONDS = 4 * 3600
                (SELECT max(concurrent) FROM level)), '{TS_FMT_DUCK}')
                AS first_peak_ts
     FROM level
-    """,
-)
+    """
+
+
+@REG.add("win_max_concurrency", oracle=_MAX_CONCURRENCY_ORACLE)
 def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent user sessions — the interval-counting classic
     (capacity planning, licensing audits): sessionize each user's
@@ -979,6 +980,71 @@ def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     level = deltas.select(
         "at_ts", F.sum("delta").over(w).alias("concurrent")
+    )
+    peak = level.agg(F.max("concurrent").alias("m"))
+    return (
+        level.crossJoin(F.broadcast(peak))  # 1-row scalar
+        .agg(
+            F.max("concurrent").alias("max_concurrent"),
+            F.date_format(
+                F.min(F.when(F.col("concurrent") == F.col("m"), F.col("at_ts"))),
+                TS_FMT_SPARK,
+            ).alias("first_peak_ts"),
+        )
+    )
+
+
+@REG.add("win_max_concurrency_scale", oracle=_MAX_CONCURRENCY_ORACLE)
+def win_max_concurrency_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe twin of ``win_max_concurrency``: the SAME peak /
+    first-peak answer (identical oracle pins it bit-for-bit) with NO
+    un-partitioned window over the delta stream. Prefix sums compose
+    across ranges because + is associative, so the global running level
+    splits into ``repartitionByRange`` on the total order
+    (at_ts, delta, user_id) — unique by construction: a user's sessions
+    are disjoint, so no two deltas share all three — per-partition
+    local running sums (parallel sorts), plus broadcast per-partition
+    TOTALS accumulated into exclusive offsets (a ≤#partitions-row
+    aggregate; with ``win_ntile_scale`` this is the second instance of
+    the distributed-rank/scan recipe, over sum instead of count). The
+    only single-partition work is the ≤32-row offsets window and the
+    final 1-row argmax — constant-size metadata at any input scale.
+    Scale knob: the range-partition count bounds sort width; the
+    event→span rollup before the sweep keeps the stream at 2 rows per
+    session."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", CONC_GAP_SECONDS)
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = spans.select(
+        F.col("s").alias("at_ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        spans.select(F.col("e").alias("at_ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    # Eager checkpoint: totals/offsets and the level branch BOTH consume
+    # the ranged stream; materializing it once makes every branch see
+    # the SAME pid assignment by construction (not via exchange reuse —
+    # two independently-planned range exchanges may sample different
+    # boundaries), and computes the event->span rollup once instead of
+    # four times. Unlike win_ntile_scale's full-table input, this set is
+    # 2 rows per SESSION — small enough that materialization is cheap at
+    # any scale (at 100 TB it is the span-reduced stream, not the data).
+    ranged = (
+        deltas.repartitionByRange(32, "at_ts", "delta", "user_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("pid").agg(F.sum("delta").alias("tot"))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("tot").over(off_w), F.lit(0)).alias("offset")
+    )
+    local_w = Window.partitionBy("pid").orderBy("at_ts", "delta", "user_id")
+    level = (
+        ranged.withColumn("run", F.sum("delta").over(local_w))
+        .join(F.broadcast(offsets), "pid")
+        .select("at_ts", (F.col("offset") + F.col("run")).alias("concurrent"))
     )
     peak = level.agg(F.max("concurrent").alias("m"))
     return (

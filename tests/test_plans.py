@@ -528,3 +528,24 @@ def test_ntile_scale_no_single_partition_over_input(spark, queries):
         "scale-safe ntile degenerated into the exact variant's plan"
     )
     assert "BroadcastHashJoin" in plan  # offsets re-join is broadcast
+
+
+def test_max_concurrency_scale_no_global_window_over_stream(spark, queries):
+    """win_max_concurrency_scale's whole point: the running level must
+    come from a pid-PARTITIONED window over the checkpointed ranged
+    stream plus broadcast offsets — never from the exact variant's
+    un-partitioned window ordered by at_ts. (The range exchange itself
+    sits inside the eager checkpoint job, so the returned plan reads the
+    materialized stream; the pin is on the window specs.)"""
+    from projetos_etl_spark.plans import explain_str
+
+    df = queries["win_max_concurrency_scale"](spark, SF)
+    plan = explain_str(df)
+    # the local prefix-sum window is partitioned by pid
+    assert "windowspecdefinition(pid" in plan, "pid-partitioned run window lost"
+    # no window spec orders the full delta stream globally
+    assert "windowspecdefinition(at_ts" not in plan, (
+        "an un-partitioned window over the delta stream reappeared - "
+        "the scale twin degenerated into the exact variant's plan"
+    )
+    assert "BroadcastHashJoin" in plan  # offsets re-join is broadcast
