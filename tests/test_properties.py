@@ -1170,3 +1170,235 @@ def test_business_day_closed_form_matches_sequence(spark, spans):
     out = df.select("d0", "d1", bdays.alias("b")).collect()
     for r in out:
         assert r.b == _bdays_py(r.d0, r.d1), (r.d0, r.d1, r.b)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_gap_islands_difference_trick_matches_run_detection(spark, pairs):
+    """The Tarjan hour-index-minus-row_number island key (win_gap_islands)
+    must produce exactly the maximal consecutive runs a sequential scan
+    finds — including single-hour islands, duplicate activity within an
+    hour (distinct-collapsed), and users with one island spanning the
+    whole range."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(pairs, "u int, h int").distinct()
+    w = Window.partitionBy("u").orderBy("h")
+    grp = df.withColumn("g", F.col("h") - F.row_number().over(w))
+    out = (
+        grp.groupBy("u", "g")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    spark_islands = {(r.u, r.lo, r.hi, r.n) for r in out}
+
+    by_user: dict = {}
+    for u, h in set(pairs):
+        by_user.setdefault(u, set()).add(h)
+    py_islands = set()
+    for u, hours in by_user.items():
+        hs = sorted(hours)
+        lo = prev = hs[0]
+        for h in hs[1:]:
+            if h == prev + 1:
+                prev = h
+            else:
+                py_islands.add((u, lo, prev, prev - lo + 1))
+                lo = prev = h
+        py_islands.add((u, lo, prev, prev - lo + 1))
+    assert spark_islands == py_islands
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_skyline_sweep_matches_brute_force_dominance(spark, raw_pts):
+    """The single-window sweep formulation (win_skyline_frontier) must
+    return exactly the non-dominated set the quadratic NOT-EXISTS
+    definition yields — dominance being (x'>x AND y'>=y) OR
+    (x'=x AND y'>y) — including duplicate-coordinate collapse and
+    all-collinear degenerate inputs."""
+    from pyspark.sql import Window
+
+    pts = spark.createDataFrame(raw_pts, "x int, y int").distinct()
+    w = Window.orderBy(F.col("x").desc(), F.col("y").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = pts.select("x", "y", F.max("y").over(w).alias("best"))
+    out = swept.filter(F.col("best").isNull() | (F.col("y") > F.col("best"))).collect()
+    spark_front = {(r.x, r.y) for r in out}
+
+    uniq = set(raw_pts)
+    py_front = {
+        (x, y)
+        for x, y in uniq
+        if not any(
+            (x2 > x and y2 >= y) or (x2 == x and y2 > y) for x2, y2 in uniq
+        )
+    }
+    assert spark_front == py_front
+
+
+def _interp_median_py(vals: list) -> float:
+    s = sorted(vals)
+    n = len(s)
+    if n % 2:
+        return float(s[n // 2])
+    return (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=6,
+        max_size=60,
+    )
+)
+def test_rolling_median_frame_matches_python(spark, rows):
+    """The self-excluding trailing-10 percentile frame
+    (win_rolling_median) must equal a sequential exact interpolated
+    median of each row's previous <=10 values, with the n_prev >= 5
+    warm-up gate — integer inputs keep the .5 interpolation points
+    binary-exact in both engines."""
+    from pyspark.sql import Window
+
+    data = [(u, i, v) for i, (u, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "u int, i int, v int")
+    w = Window.partitionBy("u").orderBy("i").rowsBetween(-10, -1)
+    out = (
+        df.select(
+            "u",
+            "i",
+            F.expr("percentile(v, 0.5D)").over(w).alias("med"),
+            F.count(F.lit(1)).over(w).alias("n_prev"),
+        )
+        .filter(F.col("n_prev") >= 5)
+        .collect()
+    )
+
+    hist: dict = {}
+    expect = {}
+    for u, i, v in data:
+        prev = hist.setdefault(u, [])
+        if len(prev) >= 5:
+            expect[(u, i)] = _interp_median_py(prev[-10:])
+        prev.append(v)
+    assert {(r.u, r.i) for r in out} == set(expect)
+    for r in out:
+        assert r.med == expect[(r.u, r.i)], (r.u, r.i)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_topk_with_ties_matches_python_rank(spark, rows):
+    """rank()<=3 (win_topk_with_ties) must return EVERY holder of the
+    first three distinct values per group — never an arbitrary tie
+    victim — and the rank numbers must match the 1-based count of
+    strictly-greater values."""
+    from pyspark.sql import Window
+
+    data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, i int, v int")
+    w = Window.partitionBy("g").orderBy(F.col("v").desc())
+    out = (
+        df.select("g", "i", "v", F.rank().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    )
+    spark_set = {(r.g, r.i, r.rk) for r in out}
+
+    by_g: dict = {}
+    for g, i, v in data:
+        by_g.setdefault(g, []).append((i, v))
+    py_set = set()
+    for g, members in by_g.items():
+        vals = [v for _i, v in members]
+        for i, v in members:
+            rk = 1 + sum(1 for x in vals if x > v)
+            if rk <= 3:
+                py_set.add((g, i, rk))
+    assert spark_set == py_set
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 12000), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_time_range_frame_matches_python(spark, rows):
+    """The RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW frame over
+    integer seconds (win_time_range_frame) must equal the explicit
+    'all rows of this key with sec in [s-3600, s]' set — including
+    peer rows sharing the current row's ordering key, which a ROWS
+    frame would miscount."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "u int, sec long, v int")
+    w = Window.partitionBy("u").orderBy("sec").rangeBetween(-3600, Window.currentRow)
+    out = df.select(
+        "u",
+        "sec",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+    ).collect()
+    for r in out:
+        frame = [v for u, sec, v in rows if u == r.u and r.sec - 3600 <= sec <= r.sec]
+        assert r.n == len(frame) and r.s == sum(frame), (r.u, r.sec)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 15)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_percent_rank_cume_dist_closed_forms(spark, rows):
+    """percent_rank and cume_dist (win_percent_rank_cume_dist) must
+    equal their closed forms — (rank-1)/(n-1) and |{<= v}|/n — bitwise,
+    since both engines evaluate the identical IEEE division."""
+    from pyspark.sql import Window
+
+    data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, i int, v int")
+    w = Window.partitionBy("g").orderBy("v")
+    out = df.select(
+        "g",
+        "i",
+        "v",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).collect()
+
+    by_g: dict = {}
+    for g, _i, v in data:
+        by_g.setdefault(g, []).append(v)
+    for r in out:
+        vals = by_g[r.g]
+        n = len(vals)
+        rk = 1 + sum(1 for x in vals if x < r.v)
+        assert r.pr == (0.0 if n == 1 else (rk - 1) / (n - 1)), (r.g, r.i)
+        assert r.cd == sum(1 for x in vals if x <= r.v) / n, (r.g, r.i)
