@@ -1402,3 +1402,139 @@ def test_percent_rank_cume_dist_closed_forms(spark, rows):
         rk = 1 + sum(1 for x in vals if x < r.v)
         assert r.pr == (0.0 if n == 1 else (rk - 1) / (n - 1)), (r.g, r.i)
         assert r.cd == sum(1 for x in vals if x <= r.v) / n, (r.g, r.i)
+
+
+@PROP
+@given(
+    st.lists(st.integers(0, 8), min_size=0, max_size=40),
+    st.lists(st.integers(0, 8), min_size=0, max_size=40),
+)
+def test_bag_setops_match_counter_arithmetic(spark, xs, ys):
+    """INTERSECT ALL / EXCEPT ALL (set_intersect_all, set_except_all)
+    are multiset operations: each value survives min(na, nb) /
+    max(0, na-nb) times — Counter arithmetic, not boolean membership."""
+    from collections import Counter
+
+    a = spark.createDataFrame([(x,) for x in xs], "v int")
+    b = spark.createDataFrame([(y,) for y in ys], "v int")
+    inter = Counter(r.v for r in a.intersectAll(b).collect())
+    exc = Counter(r.v for r in a.exceptAll(b).collect())
+    ca, cb = Counter(xs), Counter(ys)
+    assert inter == (ca & cb)
+    assert exc == (ca - cb)
+
+
+@PROP
+@given(
+    st.lists(st.one_of(st.none(), st.integers(0, 4)), min_size=1, max_size=40),
+    st.lists(st.one_of(st.none(), st.integers(0, 4)), min_size=1, max_size=10),
+)
+def test_null_safe_join_pairs_null_keys(spark, left_keys, right_keys):
+    """eqNullSafe (join_null_safe) must pair NULL with NULL exactly as
+    Python's None == None, while the plain equi-join must drop every
+    NULL-keyed row — on the same randomized input."""
+    ldf = spark.createDataFrame([(i, k) for i, k in enumerate(left_keys)], "i int, k int")
+    rdf = spark.createDataFrame([(j, k) for j, k in enumerate(right_keys)], "j int, k int")
+    safe = ldf.join(rdf, ldf["k"].eqNullSafe(rdf["k"])).select(ldf["i"], rdf["j"]).collect()
+    plain = ldf.join(rdf, ldf["k"] == rdf["k"]).select(ldf["i"], rdf["j"]).collect()
+
+    py_safe = {
+        (i, j)
+        for i, lk in enumerate(left_keys)
+        for j, rk in enumerate(right_keys)
+        if lk == rk
+    }
+    py_plain = {
+        (i, j)
+        for i, lk in enumerate(left_keys)
+        for j, rk in enumerate(right_keys)
+        if lk is not None and lk == rk
+    }
+    assert {(r.i, r.j) for r in safe} == py_safe
+    assert {(r.i, r.j) for r in plain} == py_plain
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_recursive_cte_bfs_matches_python(spark, raw_edges):
+    """The WITH RECURSIVE reachability shape (sql_recursive_cte) must
+    compute the same min-hops-within-3 map a sequential BFS finds —
+    including cycles (the hop guard bounds path re-expansion) and
+    unreachable nodes (absent, not infinite)."""
+    edges = sorted({(s, d) for s, d in raw_edges if s != d})
+    if not edges:
+        return
+    spark.createDataFrame(edges, "src int, dst int").createOrReplaceTempView(
+        "prop_edges"
+    )
+    out = spark.sql(
+        """
+        WITH RECURSIVE reach(dst, hop) AS (
+            SELECT dst, 1 AS hop FROM prop_edges WHERE src = 0
+            UNION ALL
+            SELECT e.dst, r.hop + 1
+            FROM reach r JOIN prop_edges e ON r.dst = e.src
+            WHERE r.hop < 3
+        )
+        SELECT dst, CAST(min(hop) AS INT) AS min_hops
+        FROM reach GROUP BY dst
+        """
+    ).collect()
+    spark.catalog.dropTempView("prop_edges")
+
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    expect: dict = {}
+    frontier = [0]
+    for hop in (1, 2, 3):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                nxt.append(v)
+                if v not in expect:
+                    expect[v] = hop
+        frontier = nxt
+    assert {r.dst: r.min_hops for r in out} == expect
+
+
+@PROP
+@given(
+    st.lists(st.one_of(st.none(), st.integers(0, 5)), min_size=1, max_size=30),
+    st.lists(st.one_of(st.none(), st.integers(0, 5)), min_size=1, max_size=10),
+)
+def test_not_exists_vs_not_in_null_semantics(spark, probe, pool):
+    """The NOT IN null trap (subquery_not_exists_vs_not_in): NOT EXISTS
+    computes the anti-join on randomized inputs, while NOT IN returns
+    ZERO rows the moment the subquery contains a single NULL — 3VL
+    making `x <> NULL` unknown for every x."""
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(probe)], "i int, v int"
+    ).createOrReplaceTempView("prop_probe")
+    spark.createDataFrame([(v,) for v in pool], "v int").createOrReplaceTempView(
+        "prop_pool"
+    )
+    ne = spark.sql(
+        "SELECT i FROM prop_probe p WHERE NOT EXISTS "
+        "(SELECT 1 FROM prop_pool q WHERE q.v = p.v)"
+    ).collect()
+    ni = spark.sql(
+        "SELECT i FROM prop_probe WHERE v NOT IN (SELECT v FROM prop_pool)"
+    ).collect()
+    spark.catalog.dropTempView("prop_probe")
+    spark.catalog.dropTempView("prop_pool")
+
+    pool_vals = {v for v in pool if v is not None}
+    py_ne = {i for i, v in enumerate(probe) if v not in pool_vals}
+    assert {r.i for r in ne} == py_ne
+    if None in pool:
+        assert ni == []
+    else:
+        py_ni = {i for i, v in enumerate(probe) if v is not None and v not in pool_vals}
+        assert {r.i for r in ni} == py_ni
