@@ -1538,3 +1538,99 @@ def test_not_exists_vs_not_in_null_semantics(spark, probe, pool):
     else:
         py_ni = {i for i, v in enumerate(probe) if v is not None and v not in pool_vals}
         assert {r.i for r in ni} == py_ni
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(
+                st.integers(-10**6, 10**6).map(str),
+                st.text(alphabet="abc$. ", max_size=6),
+            ),
+            st.integers(-5, 5),
+            st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_try_arith_matches_python_guards(spark, rows):
+    """try_cast and try_divide (fn_try_arith) must yield NULL exactly
+    where a guarded Python parse/divide yields None — never an error,
+    never a wrong value — over randomized dirty strings and zero
+    divisors."""
+    data = [(i, s, d, n) for i, (s, d, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "i int, s string, d int, n int")
+    out = df.select(
+        "i",
+        F.expr("try_cast(s AS bigint)").alias("parsed"),
+        F.expr("try_divide(n, d)").alias("ratio"),
+    ).collect()
+
+    def parse_py(s: str):
+        t = s.strip()
+        try:
+            return int(t)
+        except ValueError:
+            return None
+
+    for r in out:
+        _i, s, d, n = data[r.i]
+        assert r.parsed == parse_py(s), (s, r.parsed)
+        expect = None if d == 0 else n / d
+        assert r.ratio == expect, (n, d, r.ratio)
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(alphabet="ab ba01 xsz", max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_regexp_extract_all_matches_python_findall(spark, texts):
+    """regexp_extract_all (fn_regex_extract_all) must agree with
+    Python's re.findall for the word-boundary pattern class the entry
+    uses — same matches, same order, same count."""
+    import re
+
+    pat = r"\b(ba[a-z0-9]*)\b"
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    out = df.select(
+        "i", F.regexp_extract_all("t", F.lit(pat)).alias("ms")
+    ).collect()
+    for r in out:
+        assert list(r.ms) == re.findall(pat, texts[r.i]), texts[r.i]
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=9), min_size=1, max_size=12),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_map_functions_match_python_dict_ops(spark, token_lists):
+    """The MapType pipeline (fn_map_functions): map_from_arrays over
+    distinct tokens + map_filter + value-fold must equal plain Python
+    dict construction, filtering, and summation on the same tokens."""
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(token_lists)], "i int, toks array<string>"
+    )
+    toks = F.array_distinct("toks")
+    m = F.map_from_arrays(toks, F.transform(toks, lambda t: F.length(t)))
+    filtered = F.map_filter(m, lambda k, v: v >= 4)
+    out = df.select(
+        "i",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.aggregate(F.map_values(m), F.lit(0), lambda a, v: a + v).alias("sum_len"),
+        F.array_sort(F.map_keys(filtered)).alias("long_keys"),
+    ).collect()
+    for r in out:
+        d = {t: len(t) for t in dict.fromkeys(token_lists[r.i])}
+        assert r.n_keys == len(d)
+        assert r.sum_len == sum(d.values())
+        assert list(r.long_keys) == sorted(k for k, v in d.items() if v >= 4)
