@@ -1634,3 +1634,187 @@ def test_map_functions_match_python_dict_ops(spark, token_lists):
         assert r.n_keys == len(d)
         assert r.sum_len == sum(d.values())
         assert list(r.long_keys) == sorted(k for k, v in d.items() if v >= 4)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.booleans()),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_auc_tally_formula_matches_pair_counting(spark, rows):
+    """The integer-tally Mann-Whitney AUC (eval_auc_roc): one
+    groupBy(score) + ordered window must equal brute-force pair
+    counting (ties = 1/2) — the same integer numerator and denominator,
+    hence the same double, on randomized scores with arbitrary tie
+    structure."""
+    from hypothesis import assume
+    from pyspark.sql import Window
+
+    labels = [l for _s, l in rows]
+    assume(any(labels) and not all(labels))
+
+    df = spark.createDataFrame(rows, "score int, pos boolean")
+    g = df.groupBy("score").agg(
+        F.sum(F.col("pos").cast("long")).alias("np"),
+        F.sum((~F.col("pos")).cast("long")).alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.select("np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn"))
+    row = c.agg(
+        (
+            (F.sum(2 * F.col("np") * F.col("cum_nn")) + F.sum(F.col("np") * F.col("nn")))
+            .cast("double")
+            / (2 * F.sum("np") * F.sum("nn"))
+        ).alias("auc")
+    ).collect()[0]
+
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    above = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    assert row.auc == (2 * above + ties) / (2 * len(pos) * len(neg))
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.booleans()),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_ks_ecdf_gap_matches_python(spark, rows):
+    """The windowed two-sample KS statistic (quality_ks_two_sample)
+    must equal the explicit max-over-values ECDF gap — ties evaluated
+    at <= v on BOTH sides (the RANGE-default frame), integer cumulative
+    counts making the doubles bit-identical."""
+    from hypothesis import assume
+    from pyspark.sql import Window
+
+    flags = [a for _v, a in rows]
+    assume(any(flags) and not all(flags))
+
+    df = spark.createDataFrame(rows, "v int, a boolean")
+    s = df.select("v", F.col("a").cast("int").alias("a"))
+    wo = Window.orderBy("v")
+    tot = s.agg(F.sum("a").alias("n_a"), F.sum(1 - F.col("a")).alias("n_b"))
+    e = s.select(
+        F.sum("a").over(wo).alias("ca"), F.sum(1 - F.col("a")).over(wo).alias("cb")
+    )
+    row = (
+        e.crossJoin(F.broadcast(tot))
+        .agg(F.max(F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))).alias("ks"))
+        .collect()[0]
+    )
+
+    n_a = sum(flags)
+    n_b = len(flags) - n_a
+    ks_py = max(
+        abs(
+            sum(1 for v, a in rows if a and v <= t) / n_a
+            - sum(1 for v, a in rows if not a and v <= t) / n_b
+        )
+        for t in {v for v, _a in rows}
+    )
+    assert row.ks == ks_py
+
+
+def _round_half_up_9(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-20, 20)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ewma_jvm_fold_matches_python_recursion(spark, rows):
+    """The per-key F.aggregate EWMA fold with 9dp HALF_UP per-step
+    fixing (ts_ewma_anomaly) must walk the identical trajectory as a
+    sequential Python recursion using the same rounding — bitwise, the
+    determinism contract the oracle replay relies on."""
+    thresh = 5.0
+    data = [(u, i, float(x)) for i, (u, x) in enumerate(rows)]
+    df = spark.createDataFrame(data, "u int, i int, x double")
+    series = df.groupBy("u").agg(
+        F.array_sort(F.collect_list(F.struct("i", "x"))).alias("s")
+    )
+    row_t = "array<struct<i:int,x:double,ewma:double,anom:boolean>>"
+    acc_t = f"struct<rows:{row_t},last:double,started:boolean>"
+    init = F.struct(
+        F.array().cast(row_t).alias("rows"),
+        F.lit(0.0).alias("last"),
+        F.lit(False).alias("started"),
+    ).cast(acc_t)
+
+    def step(acc, e):
+        new_e = F.when(
+            acc["started"], F.round(0.2 * e["x"] + 0.8 * acc["last"], 9)
+        ).otherwise(e["x"])
+        anom = acc["started"] & (F.abs(e["x"] - acc["last"]) > thresh)
+        r = F.struct(
+            e["i"].alias("i"), e["x"].alias("x"), new_e.alias("ewma"), anom.alias("anom")
+        )
+        return F.struct(
+            F.concat(acc["rows"], F.array(r)).alias("rows"),
+            new_e.alias("last"),
+            F.lit(True).alias("started"),
+        ).cast(acc_t)
+
+    out = (
+        series.select("u", F.explode(F.aggregate("s", init, step).getField("rows")).alias("r"))
+        .select("u", "r.i", "r.ewma", "r.anom")
+        .collect()
+    )
+
+    expect: dict = {}
+    state: dict = {}
+    for u, i, x in data:
+        if u in state:
+            ew = _round_half_up_9(0.2 * x + 0.8 * state[u])
+            expect[(u, i)] = (ew, abs(x - state[u]) > thresh)
+        else:
+            ew = x
+            expect[(u, i)] = (ew, False)
+        state[u] = ew
+    assert {(r.u, r.i): (r.ewma, r.anom) for r in out} == expect
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(-3, 3), st.integers(-3, 3), st.booleans()),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_logreg_gd_matches_numpy_replay(spark, rows):
+    """The distributed full-batch GD (operators/logreg.py) must track a
+    numpy replay of the same descent (zero init, same lr, same 9dp
+    gradient fixing) to within amplified-rounding tolerance over 5
+    iterations — the engine computes one mergeable aggregate per step,
+    numpy computes the same mean gradient in closed form."""
+    import numpy as np
+
+    from projetos_etl_spark.operators.logreg import logreg_gd
+
+    data = [(float(a), float(b), 1.0, 1.0 if y else 0.0) for a, b, y in rows]
+    df = spark.createDataFrame(data, "f1 double, f2 double, bias double, y double")
+    w_spark = logreg_gd(df, ["f1", "f2", "bias"], "y", iters=5, lr=2.0)
+
+    X = np.array([[a, b, c] for a, b, c, _y in data])
+    y = np.array([lab for *_f, lab in data])
+    w = np.zeros(3)
+    for _ in range(5):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        g = np.round(((p - y)[:, None] * X).mean(axis=0), 9)
+        w = w - 2.0 * g
+    assert np.allclose(np.array(w_spark), w, atol=1e-6), (w_spark, w.tolist())
