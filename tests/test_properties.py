@@ -1818,3 +1818,128 @@ def test_logreg_gd_matches_numpy_replay(spark, rows):
         g = np.round(((p - y)[:, None] * X).mean(axis=0), 9)
         w = w - 2.0 * g
     assert np.allclose(np.array(w_spark), w, atol=1e-6), (w_spark, w.tolist())
+
+
+def _half_up(x: float, decimals: int) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal(f"1e-{decimals}"), rounding=ROUND_HALF_UP))
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(-8, 8), st.integers(-8, 8)),
+        min_size=3,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_kmeans_lloyd_matches_python_replay(spark, pts):
+    """kmeans_lloyd (operators/kmeans.py) must walk the identical
+    centroid trajectory as a sequential Python replay of the same
+    contract: k-lowest-id init, (distance, cid) lexicographic argmin,
+    per-dimension mean with 9dp HALF_UP fixing, empty clusters dropped.
+    Integer coordinates keep every distance exact."""
+    from projetos_etl_spark.operators.kmeans import kmeans_lloyd
+
+    k, iters = 2, 3
+    data = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(data, "vid int, vec array<double>")
+    got = kmeans_lloyd(df, "vid", "vec", k=k, iters=iters)
+
+    cents = {i: list(v) for i, v in data[:k]}
+    for _ in range(iters):
+        members: dict = {}
+        for i, v in data:
+            d_best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, c)), cid)
+                for cid, c in sorted(cents.items())
+            )
+            members.setdefault(d_best[1], []).append(v)
+        cents = {
+            cid: [
+                _half_up(sum(v[p] for v in vs) / len(vs), 9)
+                for p in range(len(vs[0]))
+            ]
+            for cid, vs in members.items()
+        }
+    assert {int(c): list(v) for c, v in got.items()} == cents
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(-5, 5), st.integers(-5, 5)),
+        min_size=3,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_brute_force_topk_matches_python(spark, raw_vecs):
+    """brute_force_topk (operators/cosine.py) must equal a Python
+    replay: cosine in the same left-fold order, 6dp HALF_UP rounding,
+    (sim desc, neighbor_id) tie-break, self excluded — the contract
+    every ANN tier's recall is measured against."""
+    import math
+
+    from projetos_etl_spark.operators.cosine import brute_force_topk
+
+    # trailing 1.0 guarantees nonzero norms
+    vecs = [(i, [float(a), float(b), float(c), 1.0]) for i, (a, b, c) in enumerate(raw_vecs)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    out = brute_force_topk(df.limit(2), df, k=3).collect()
+
+    def cos(u, v):
+        d = 0.0
+        for x, y in zip(u, v):
+            d += x * y
+        nu = su = 0.0
+        for x in u:
+            nu += x * x
+        for y in v:
+            su += y * y
+        return _half_up(d / (math.sqrt(nu) * math.sqrt(su)), 6)
+
+    expect = set()
+    qs = vecs[:2]
+    for qid, qv in qs:
+        scored = sorted(
+            ((-cos(qv, cv), nid) for nid, cv in vecs if nid != qid),
+        )[:3]
+        for rank, (neg_sim, nid) in enumerate(scored, 1):
+            expect.add((qid, nid, -neg_sim, rank))
+    assert {(r.query_id, r.neighbor_id, r.cosine_sim, r.rank) for r in out} == expect
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(-9, 9), st.integers(-9, 9), st.integers(-9, 9)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_distributed_covariance_matches_numpy(spark, raw_vecs):
+    """The one-pass Arrow Gram-partial covariance (operators/pca.py)
+    must equal numpy's full-matrix G/n - mu*mu' with the same HALF_UP
+    moment fixing — the distributed partial-sum reduce introduces no
+    drift on exact-integer inputs."""
+    import numpy as np
+
+    from projetos_etl_spark.operators.pca import MOMENT_DECIMALS, covariance_matrix
+
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b), float(c)]) for i, (a, b, c) in enumerate(raw_vecs)],
+        "vid int, vec array<double>",
+    )
+    n, mu, cov = covariance_matrix(df, "vec", 3)
+
+    X = np.array([list(v) for v in raw_vecs], dtype=np.float64)
+    assert n == len(raw_vecs)
+    mu_py = np.array([_half_up(m, MOMENT_DECIMALS) for m in X.sum(axis=0) / n])
+    raw = (X.T @ X) / n - np.outer(mu_py, mu_py)
+    scale = 10**MOMENT_DECIMALS
+    cov_py = np.sign(raw) * (np.floor(np.abs(raw) * scale + 0.5) / scale)
+    assert np.array_equal(mu, mu_py)
+    assert np.array_equal(cov, cov_py)
