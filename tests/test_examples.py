@@ -23,6 +23,7 @@ CASES = [
     ("training_corpus_pipeline.py", ["after exact dedup:", "after near-dedup:"]),
     ("embedding_quality_report.py", ["truncation: mean top-k overlap"]),
     ("ann_retrieval_pipeline.py", ["exact     :", "recall@"]),
+    ("lakehouse_table_log.py", ["TABLE LOG OK", "time travel to v2"]),
 ]
 
 
