@@ -17,13 +17,12 @@ Integer-cents discipline: every derived measure is a BIGINT cents value
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projetos_etl_spark.medallion import gold_profit_mart, run_pipeline, silver_conform
 from projetos_etl_spark.operators.scd2 import scd2_apply
+from projetos_etl_spark.scratch import scratch_dir
 from projetos_etl_spark.registry._core import (
     DATE_FMT_DUCK,
     DATE_FMT_SPARK,
@@ -182,7 +181,7 @@ def medallion_gold_profit_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would shuffle 16 formatted-string columns (~3x the bytes) for the
     # same effect. No-op on an already-wide scan.
     raw = _synth_financial_raw(spread(load_table(spark, sf_dir, "lineitem")))
-    base = tempfile.mkdtemp(prefix="pes_medallion_")
+    base = scratch_dir("medallion_")
     silver = run_pipeline(spark, raw, base, partition_cols=["year"])
     return gold_profit_mart(silver)
 

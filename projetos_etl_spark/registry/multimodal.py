@@ -178,10 +178,10 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     involvement beyond listing; ``pathGlobFilter``/``recursiveFileLookup``
     prune at the listing step."""
     import os
-    import tempfile
+    from projetos_etl_spark.scratch import scratch_dir
 
     rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    d = tempfile.mkdtemp(prefix="pes_binfiles_")
+    d = scratch_dir("binfiles_")
     for r in rows:
         with open(os.path.join(d, f"n_{r.n_nationkey}.bin"), "wb") as f:
             f.write(f"{r.n_name}|{r.n_regionkey}".encode())

@@ -26,7 +26,8 @@ data, hermetically (no network, no external DB):
 from __future__ import annotations
 
 import os
-import tempfile
+
+from projetos_etl_spark.scratch import scratch_dir, scratch_path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,7 +77,7 @@ def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     splittable text-format equivalent). Round-trips customer through a
     quoted CSV write, then scans it back with the declared StructType —
     doubles survive because Spark writes shortest-round-trip literals."""
-    out = tempfile.mkdtemp(prefix="pes_csv_")
+    out = scratch_dir("csv_")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
     )
@@ -90,7 +91,7 @@ def source_http_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan. Uses a file:// URL for hermetic CI; the code path is identical
     for http(s)://. Only the bounded fetch is driver-side — never on the
     100 TB path (SURVEY.md §7 'Hard parts')."""
-    spool = os.path.join(tempfile.mkdtemp(prefix="pes_http_"), "region.parquet")
+    spool = os.path.join(scratch_dir("http_"), "region.parquet")
     return source_http(spark, f"file://{sf_dir}/region.parquet", spool)
 
 
@@ -105,7 +106,6 @@ def source_http_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver never touching bytes. Here the nation table round-trips
     through two CSV shards served as file:// URLs (hermetic http stand-in)."""
     import glob
-    import tempfile
 
     from projetos_etl_spark.session import ship_package
     from projetos_etl_spark.sources.httpds import HttpFileDataSource
@@ -113,7 +113,7 @@ def source_http_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     spark.dataSource.register(HttpFileDataSource)
 
-    out = tempfile.mkdtemp(prefix="pes_httpds_")
+    out = scratch_dir("httpds_")
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -149,7 +149,7 @@ def scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
     # mkdtemp + fixed name (not the race-prone, deprecated mktemp): the
     # directory is created atomically and owned by this process.
-    path = os.path.join(tempfile.mkdtemp(prefix="pes_xlsx_"), "nation.xlsx")
+    path = os.path.join(scratch_dir("xlsx_"), "nation.xlsx")
     write_xlsx(
         path,
         [" n_nationkey", "n_name ", "n_regionkey"],
@@ -179,7 +179,7 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from projetos_etl_spark.sources.io import scan_jdbc, sink_jdbc_batch
 
-    db = tempfile.mkdtemp(prefix="pes_derby_") + "/db"
+    db = scratch_dir("derby_") + "/db"
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     sup = load_table(spark, sf_dir, "supplier").select(
@@ -224,7 +224,7 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters in the plan), so the 100 TB version reads only the
     'F' slice. This is the layer-write discipline sources/io.py
     prescribes for every silver/gold output."""
-    out = tempfile.mkdtemp(prefix="pes_part_")
+    out = scratch_dir("part_")
     orders = load_table(spark, sf_dir, "orders")
     sink_partitioned(orders, out, ["o_orderstatus"])
     return (
@@ -262,7 +262,7 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON is a full extra pass. Doubles survive because Spark writes
     shortest-round-trip literals; the nested ``props`` payload stays an
     opaque string here (``fn_json_extract`` covers extraction)."""
-    out = tempfile.mkdtemp(prefix="pes_json_")
+    out = scratch_dir("json_")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props"
     )
@@ -287,7 +287,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     as parquet (ORC has its own stripe statistics); exists so a
     reference user on an ORC warehouse can switch without a format
     migration."""
-    out = tempfile.mkdtemp(prefix="pes_orc_")
+    out = scratch_dir("orc_")
     supp = load_table(spark, sf_dir, "supplier")
     supp.write.mode("overwrite").orc(out)
     return spark.read.orc(out).select(
@@ -311,7 +311,7 @@ def catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog) dies, so a later fresh session hits
     LOCATION_ALREADY_EXISTS — DROP IF EXISTS can't see the orphan."""
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("pes_nation_src")
-    loc = tempfile.mkdtemp(prefix="pes_ctas_") + "/tbl"
+    loc = scratch_dir("ctas_") + "/tbl"
     spark.sql("DROP TABLE IF EXISTS pes_nation_ctas")
     spark.sql(
         f"""
@@ -346,7 +346,7 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, quarantining ``_corrupt_record IS NOT NULL`` to a
     dead-letter sink is the standard pattern; DROPMALFORMED silently
     loses data and FAILFAST loses the job."""
-    out = tempfile.mkdtemp(prefix="pes_badcsv_")
+    out = scratch_dir("badcsv_")
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     ev.write.mode("overwrite").option("header", False).csv(out)
     with open(f"{out}/zz-injected-bad.csv", "w") as f:
@@ -392,7 +392,7 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     exchange). File counts land in the result so the oracle verifies
     the compaction actually happened (64 -> 4), and row counts prove
     the rewrite lost nothing."""
-    frag_dir = os.path.join(tempfile.mkdtemp(prefix="pes_compact_"), "frag")
+    frag_dir = os.path.join(scratch_dir("compact_"), "frag")
     compact_dir = os.path.join(os.path.dirname(frag_dir), "compact")
     orders = load_table(spark, sf_dir, "orders")
     orders.repartition(64).write.mode("overwrite").parquet(frag_dir)
@@ -431,7 +431,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     XML drops (one file per feed per hour) parallelize by file count;
     pair with ``maintenance_compact_small_files`` downstream."""
     rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
-    d = tempfile.mkdtemp(prefix="pes_xml_")
+    d = scratch_dir("xml_")
     with open(os.path.join(d, "nations.xml"), "w", encoding="utf-8") as f:
         f.write("<nations>\n")
         for r in rows:
@@ -486,7 +486,7 @@ def scan_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     production posture is a table format or a catalog-pinned schema,
     with this flag for ad-hoc reads; the cost and the default-off are
     the point, not an accident."""
-    out = tempfile.mkdtemp(prefix="pes_evo_")
+    out = scratch_dir("evo_")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
     nat.filter(F.col("n_regionkey") == 0).select("n_nationkey", "n_name").write.mode(
@@ -523,7 +523,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     file non-splittable (a record can straddle any byte offset), so at
     100 TB hostile-content CSV wants many medium files, not few huge
     ones — or parquet, which is the engine's default interchange."""
-    out = tempfile.mkdtemp(prefix="pes_csv_")
+    out = scratch_dir("csv_")
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey",
         "n_name",
@@ -567,7 +567,7 @@ def sink_pyds_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetos_etl_spark.sources.jsonlsink import register
 
     register(spark)
-    out = tempfile.mkdtemp(prefix="pes_jsonl_") + "/shards"
+    out = scratch_dir("jsonl_") + "/shards"
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", F.upper("n_name").alias("name_uc"), "n_regionkey"
     )
@@ -613,7 +613,7 @@ def maintenance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetos_etl_spark.sources.io import retention_sweep
 
     ev = load_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="pes_retention_") + "/layer"
+    base = scratch_dir("retention_") + "/layer"
     ev.withColumn("d", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")).write.partitionBy(
         "d"
     ).parquet(base)
@@ -767,12 +767,13 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     aggregate equals the source-table oracle, i.e. the selective
     overwrite changed exactly nothing it shouldn't have.
 
-    Scratch space is a FIXED per-host path reused (and fully rewritten,
-    STATIC overwrite) on every invocation rather than a fresh mkdtemp:
-    the returned DataFrame lazily reads from it, so a finally-rmtree
-    would race the caller's collect, and fresh temp dirs accumulated a
-    table copy per sweep (ADVICE r4)."""
-    out = os.path.join(tempfile.gettempdir(), f"pes_dynpart_scratch_{os.getpid()}")
+    Scratch space is a FIXED per-process path reused (and fully
+    rewritten, STATIC overwrite) on every invocation rather than a
+    fresh mkdtemp: the returned DataFrame lazily reads from it, so a
+    finally-rmtree would race the caller's collect, and fresh temp dirs
+    accumulated a table copy per sweep (ADVICE r4; ``scratch.py`` now
+    also prunes dead sessions' dirs)."""
+    out = scratch_path("dynpart_scratch")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
@@ -819,7 +820,7 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text is swapped for a newline before the quoted write, so
     every row exercises the path; the restored corpus must digest-match
     the original table exactly."""
-    out = os.path.join(tempfile.gettempdir(), f"pes_mlcsv_scratch_{os.getpid()}")
+    out = scratch_path("mlcsv_scratch")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.select(
         "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
@@ -886,8 +887,8 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projetos_etl_spark.operators.tablelog import commit, read
 
-    table = os.path.join(tempfile.gettempdir(), f"pes_tablelog_scratch_{os.getpid()}")
-    shutil.rmtree(table, ignore_errors=True)  # fixed per-host scratch
+    table = scratch_path("tablelog_scratch")
+    shutil.rmtree(table, ignore_errors=True)  # per-process reuse-and-reset scratch
     orders = load_table(spark, sf_dir, "orders")
     commit(orders.filter(F.col("o_orderkey") % 2 == 0), table, "append")
     commit(orders.filter(F.col("o_orderkey") % 2 == 1), table, "append")
@@ -949,7 +950,7 @@ def table_log_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetos_etl_spark.operators.cdc import apply_cdc
     from projetos_etl_spark.operators.tablelog import commit, read
 
-    table = os.path.join(tempfile.gettempdir(), f"pes_tlmerge_scratch_{os.getpid()}")
+    table = scratch_path("tlmerge_scratch")
     shutil.rmtree(table, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -1014,12 +1015,11 @@ def maintenance_tablelog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from projetos_etl_spark.operators.tablelog import commit, read, vacuum
 
-    # PID-suffixed scratch so concurrent sessions on one host can't
-    # clobber each other's log mid-run; the returned DataFrame scans
-    # the kept files lazily, so the dir must outlive this function.
-    table = os.path.join(
-        tempfile.gettempdir(), f"pes_tlvacuum_scratch_{os.getpid()}"
-    )
+    # Per-process scratch (scratch.py) so concurrent sessions on one
+    # host can't clobber each other's log mid-run; the returned
+    # DataFrame scans the kept files lazily, so the dir must outlive
+    # this function — dead sessions' dirs are pruned by the next run.
+    table = scratch_path("tlvacuum_scratch")
     shutil.rmtree(table, ignore_errors=True)
     nation = load_table(spark, sf_dir, "nation")
     commit(nation.filter(F.col("n_regionkey") == 0).coalesce(1), table, "overwrite")

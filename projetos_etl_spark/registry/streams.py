@@ -9,11 +9,10 @@ against batch SQL (exact batch/stream equivalence on finite input).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projetos_etl_spark.scratch import scratch_dir, scratch_path
 from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
 from projetos_etl_spark.streaming.jobs import (
     read_events_stream,
@@ -170,7 +169,6 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the knob that bounds state: watermark delay trades
     late-data tolerance for state-store size (SURVEY.md §2B Streaming).
     """
-    import tempfile
 
     from projetos_etl_spark.streaming.jobs import stage_files
 
@@ -183,7 +181,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = ev_all.filter(F.col("ts") >= F.lit(cutoff))
     late = ev_all.filter(F.col("ts") < F.lit(cutoff))
 
-    watch = tempfile.mkdtemp(prefix="pes_late_")
+    watch = scratch_dir("late_")
     stage_files(on_time, watch, "batch1")
 
     stream = (
@@ -251,7 +249,6 @@ def stream_custom_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFram
     aggregate over all events — which is exactly the oracle. The sink
     keeps every update; the final row per user is the one with the
     highest running count."""
-    import tempfile
 
     from projetos_etl_spark.sources.io import load_table
     from projetos_etl_spark.streaming.jobs import stage_files
@@ -262,7 +259,7 @@ def stream_custom_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("percentile_approx(ts, 0.5)").alias("m")
     ).collect()[0][0]
 
-    watch = tempfile.mkdtemp(prefix="pes_state_")
+    watch = scratch_dir("state_")
     stage_files(ev_all.filter(F.col("ts") <= F.lit(median_ts)), watch, "batch1")
 
     stream = spark.readStream.format("parquet").schema(ev_all.schema).load(watch)
@@ -310,7 +307,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch parquet sink: per-epoch idempotent write (epoch id
     stamped on every row), read back keeping only the final epoch —
     the standard exactly-once-style custom-sink pattern."""
-    out_dir = tempfile.mkdtemp(prefix="pes_febatch_")
+    out_dir = scratch_dir("febatch_")
     agg = (
         _events_stream(spark, sf_dir)
         .groupBy("event_type")
@@ -459,7 +456,6 @@ def stream_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFra
     is the oracle's predicate. Windows still open when the stream ends
     are NEVER emitted in append mode: that is the semantic, visible
     here as the missing trailing ~2-3 hours."""
-    import tempfile
 
     from projetos_etl_spark.sources.io import load_table
     from projetos_etl_spark.streaming.jobs import stage_files
@@ -471,7 +467,7 @@ def stream_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFra
     old = ev_all.filter(F.col("ts") < F.lit(cutoff))
     new = ev_all.filter(F.col("ts") >= F.lit(cutoff))
 
-    watch = tempfile.mkdtemp(prefix="pes_append_")
+    watch = scratch_dir("append_")
     stage_files(old, watch, "batch1")
     stream = spark.readStream.format("parquet").schema(ev_all.schema).load(watch)
     agg = (
@@ -524,7 +520,6 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     equal to the batch left interval join — which is the oracle. This is
     the same bounded-state design as the inner variant: the interval
     condition lets both sides' state age out with the watermark."""
-    import tempfile
 
     from projetos_etl_spark.sources.io import load_table
     from projetos_etl_spark.streaming.jobs import stage_files
@@ -543,7 +538,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "props",
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
-    watch = tempfile.mkdtemp(prefix="pes_louter_")
+    watch = scratch_dir("louter_")
     stage_files(ev_all.select(*advancers.columns), watch, "batch1")
 
     # the staged files hold real TimestampType (already normalized), so
@@ -733,7 +728,6 @@ def stream_upsert_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-bounded table."""
     import os
     import shutil
-    import tempfile
 
     from projetos_etl_spark.operators.tablelog import commit, current_version, read
     from projetos_etl_spark.sources.io import load_table
@@ -743,16 +737,14 @@ def stream_upsert_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    # PID-suffixed scratch: concurrent sessions on one host (parallel
-    # pytest/bench/driver) must not clobber each other's table log
-    # mid-run. Same-process re-runs reuse and reset the dir; the
-    # returned DataFrame scans these files lazily, so the log must
-    # outlive this function (no finally-rmtree on table_dir).
-    table_dir = os.path.join(
-        tempfile.gettempdir(), f"pes_stream_upsert_log_{os.getpid()}"
-    )
+    # Per-process scratch (see ``scratch.py``): concurrent sessions on
+    # one host can't clobber each other's table log, and dead sessions'
+    # dirs are pruned by the next run. Same-process re-runs reuse and
+    # reset the dir; the returned DataFrame scans these files lazily,
+    # so the log must outlive this function (no finally-rmtree).
+    table_dir = scratch_path("stream_upsert_log")
     shutil.rmtree(table_dir, ignore_errors=True)  # fresh run
-    watch = tempfile.mkdtemp(prefix="pes_upsert_watch_")
+    watch = scratch_dir("upsert_watch_")
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         agg = batch_df.groupBy("user_id").agg(

@@ -66,14 +66,14 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_pes_package_shipped", False):
         return
-    import tempfile
+    from projetos_etl_spark.scratch import scratch_dir
     import zipfile
 
     import projetos_etl_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(projetos_etl_spark.__file__))
     zip_path = os.path.join(
-        tempfile.mkdtemp(prefix="pes_pyfiles_"), "projetos_etl_spark.zip"
+        scratch_dir("pyfiles_"), "projetos_etl_spark.zip"
     )
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):

@@ -142,9 +142,9 @@ def stage_files(df: DataFrame, watch_dir: str, tag: str) -> None:
     import glob
     import os
     import shutil
-    import tempfile
+    from projetos_etl_spark.scratch import scratch_dir
 
-    staging = tempfile.mkdtemp(prefix="pes_stage_")
+    staging = scratch_dir("stage_")
     df.write.mode("overwrite").parquet(staging)
     os.makedirs(watch_dir, exist_ok=True)
     for i, part in enumerate(sorted(glob.glob(f"{staging}/part-*.parquet"))):
