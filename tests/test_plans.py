@@ -549,3 +549,42 @@ def test_max_concurrency_scale_no_global_window_over_stream(spark, queries):
         "the scale twin degenerated into the exact variant's plan"
     )
     assert "BroadcastHashJoin" in plan  # offsets re-join is broadcast
+
+
+def test_ntile_scale_range_shuffle_reused_no_global_window(spark, queries):
+    """win_ntile_scale's contract at 100 TB: the input is range-shuffled
+    ONCE (the counts branch re-reads that materialized exchange — a
+    second, independently-sampled range exchange could assign different
+    pids to the two branches and corrupt every offset), and no window
+    runs over the un-partitioned input (the global-ntile shape this twin
+    exists to avoid). Executed-plan assertions, since AQE finalizes the
+    reuse at runtime."""
+    from projetos_etl_spark.plans.inspect import explain_str
+
+    df = queries["win_ntile_scale"](spark, SF)
+    df.collect()
+    plan = explain_str(df)
+    assert "isFinalPlan=true" in plan
+    final_tree = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final_tree  # counts re-read the ONE range shuffle
+    # data-path window is keyed on the range-partition id (the node
+    # details cover final-plan nodes; the spec string leads with its
+    # partition key)...
+    assert "windowspecdefinition(pid" in plan
+    # ...and the exact variant's global shape (window ordered straight on
+    # the sort column, no partition key) must not appear anywhere.
+    assert "windowspecdefinition(o_totalprice" not in plan
+
+
+def test_max_concurrency_scale_no_global_window(spark, queries):
+    """win_max_concurrency_scale's running level must come from
+    per-range-partition prefix sums (windows keyed on pid), never a
+    window over the un-partitioned delta stream — the documented
+    single-partition sweep its exact twin pays."""
+    from projetos_etl_spark.plans.inspect import explain_str
+
+    df = queries["win_max_concurrency_scale"](spark, SF)
+    df.collect()
+    plan = explain_str(df)
+    assert "windowspecdefinition(pid" in plan
+    assert "windowspecdefinition(at_ts" not in plan
