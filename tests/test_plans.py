@@ -588,3 +588,24 @@ def test_max_concurrency_scale_no_global_window(spark, queries):
     plan = explain_str(df)
     assert "windowspecdefinition(pid" in plan
     assert "windowspecdefinition(at_ts" not in plan
+
+
+def test_ewma_anomaly_no_window_no_python(spark, queries):
+    """ts_ewma_anomaly computes the per-key EWMA as a JVM array fold
+    (F.aggregate over collected spans) — the plan must contain neither a
+    Window operator nor a Python eval node; either would mean the hot
+    path fell off the codegen'd aggregate shape SCALE.md documents."""
+    from projetos_etl_spark.plans.inspect import explain_str
+
+    plan = explain_str(queries["ts_ewma_anomaly"](spark, SF))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython
+
+
+def test_kneser_ney_joins_are_broadcast(spark, queries):
+    """corpus_kneser_ney_bigram joins the bigram table to vocab-bounded
+    continuation/unigram sides — those sides must broadcast; a
+    SortMergeJoin would re-shuffle the full bigram leaf per join."""
+    df = queries["corpus_kneser_ney_bigram"](spark, SF)
+    assert has_operator(df, "BroadcastHashJoin")
+    assert not has_operator(df, "SortMergeJoin")
