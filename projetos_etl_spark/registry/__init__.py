@@ -97,8 +97,8 @@ _WINDOW_HEAD = [
     "eval_calibration_bins",
     "ts_stl_decompose",
     "quality_join_skew_audit",
-    "eval_adversarial_validation",
-    "maintenance_compact_small_files",
+    "win_ntile_scale",
+    "win_max_concurrency_scale",
 ]
 
 def build() -> Registry:

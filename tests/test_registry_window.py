@@ -19,9 +19,11 @@ from __future__ import annotations
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
 # The r7 window: the 19 never-driver-green agg_* entries promoted to the
-# front, then the next 31 never-driver-green entries in registry order
-# (COVERAGE.md ledger); the remaining 43 backlog entries are reserved
-# for r8.
+# front, then 29 more never-driver-green entries in registry order, then
+# the two r7-session scale twins (win_ntile_scale /
+# win_max_concurrency_scale) so their first official driver rows land
+# the round they were built (COVERAGE.md ledger); the remaining 45
+# backlog entries fit exactly one r8 window.
 R7_WINDOW = [
     "agg_markov_transitions",
     "agg_count_distinct_approx",
@@ -71,8 +73,8 @@ R7_WINDOW = [
     "eval_calibration_bins",
     "ts_stl_decompose",
     "quality_join_skew_audit",
-    "eval_adversarial_validation",
-    "maintenance_compact_small_files",
+    "win_ntile_scale",
+    "win_max_concurrency_scale",
 ]
 
 def test_driver_window_matches_coverage_plan():
