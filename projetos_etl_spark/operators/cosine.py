@@ -32,7 +32,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, with the all-zeros degenerate defined as 0.0
+    (no direction -> no similarity) rather than a DIVIDE_BY_ZERO crash:
+    Spark 4 runs ANSI mode by default, so a single zero vector anywhere
+    in 100 TB would otherwise kill the whole retrieval job. try_divide
+    yields NULL on a zero norm; coalesce pins the convention (and every
+    SQL oracle twin mirrors it as coalesce(x / nullif(den, 0), 0))."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0)
+    )
 
 
 def brute_force_topk(

@@ -190,7 +190,8 @@ def _cosine_pairs_oracle() -> str:
     )
     SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_dot("a.v", "b.v")} / ({_norm("a.v")} * {_norm("b.v")}), 6)
+               round(coalesce({_dot("a.v", "b.v")}
+                     / nullif({_norm("a.v")} * {_norm("b.v")}, 0), 0), 6)
                    AS cosine_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
     ) WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}

@@ -1123,7 +1123,7 @@ def feat_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer GROUP BY 1
     )
     SELECT c.c_custkey, s.segment, c.c_acctbal,
-           round((c.c_acctbal - s.lo) / (s.hi - s.lo), 6) AS minmax,
+           round((c.c_acctbal - s.lo) / nullif(s.hi - s.lo, 0), 6) AS minmax,
            round((c.c_acctbal - s.mu) / s.sd, 4) AS zscore
     FROM customer c JOIN s ON c.c_mktsegment = s.segment
     ORDER BY c.c_custkey
@@ -1151,10 +1151,16 @@ def feat_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "segment",
             "c_acctbal",
-            F.round((F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6)
-            .alias("minmax"),
-            F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sd"), 4)
-            .alias("zscore"),
+            F.round(
+                (F.col("c_acctbal") - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)),
+                6,
+            ).alias("minmax"),
+            F.round(
+                (F.col("c_acctbal") - F.col("mu"))
+                / F.nullif(F.col("sd"), F.lit(0.0)),
+                4,
+            ).alias("zscore"),
         )
         .orderBy("c_custkey")
     )
@@ -1170,8 +1176,9 @@ def feat_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1
     )
     SELECT o.o_orderkey, s.priority,
-           round((CAST(s.tot AS DOUBLE) - o.o_totalprice) / (s.n - 1), 6)
-               AS loo_mean_price
+           CASE WHEN s.n > 1
+                THEN round((CAST(s.tot AS DOUBLE) - o.o_totalprice) / (s.n - 1), 6)
+           END AS loo_mean_price
     FROM orders o JOIN s ON o.o_orderpriority = s.priority
     ORDER BY o.o_orderkey
     """,
@@ -1196,10 +1203,13 @@ def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "priority",
-            F.round(
-                (F.col("tot").cast("double") - F.col("o_totalprice"))
-                / (F.col("n") - 1),
-                6,
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("tot").cast("double") - F.col("o_totalprice"))
+                    / (F.col("n") - 1),
+                    6,
+                ),
             ).alias("loo_mean_price"),
         )
         .orderBy("o_orderkey")
@@ -1250,7 +1260,9 @@ def anomaly_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("value").over(w).alias("sd"),
         F.count(F.lit(1)).over(w).alias("n_prev"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    z = F.when(
+        F.col("sd") > 0, (F.col("value") - F.col("mu")) / F.col("sd")
+    )
     return (
         scored.filter(
             (F.col("n_prev") >= 5) & (F.col("sd") > 0) & (F.abs(z) > 2)
@@ -1415,7 +1427,8 @@ def _range_search_oracle() -> str:
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round({_dot("q.v", "c.v")} / ({_norm("q.v")} * {_norm("c.v")}), 6)
+               round(coalesce({_dot("q.v", "c.v")}
+                     / nullif({_norm("q.v")} * {_norm("c.v")}, 0), 0), 6)
                    AS cosine_sim
         FROM e q JOIN e c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {RANGE_N_QUERIES}
@@ -1708,7 +1721,7 @@ def incremental_var_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         n.cast("long").alias("n_events"),
         F.round(s / n, 6).alias("mean_value"),
-        F.round((s2 - s * s / n) / (n - 1), 6).alias("var_value"),
+        F.when(n > 1, F.round((s2 - s * s / n) / (n - 1), 6)).alias("var_value"),
     ).orderBy("event_type")
 
 
@@ -2052,7 +2065,9 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_value",
             "prior_week",
             F.round(
-                (F.col("day_value") - F.col("prior_week")) / F.col("prior_week"), 4
+                (F.col("day_value") - F.col("prior_week"))
+                / F.nullif(F.col("prior_week"), F.lit(0.0)),
+                4,
             ).alias("wow_change"),
         )
         .orderBy("day")
@@ -2798,8 +2813,9 @@ def _mrl_oracle() -> str:
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY round({_dot(f"q.{vec}", f"c.{vec}")}
-                                 / ({_norm(f"q.{vec}")} * {_norm(f"c.{vec}")}), 6) DESC,
+                       ORDER BY round(coalesce({_dot(f"q.{vec}", f"c.{vec}")}
+                                 / nullif({_norm(f"q.{vec}")} * {_norm(f"c.{vec}")},
+                                          0), 0), 6) DESC,
                                 c.vec_id) AS rank
             FROM e q JOIN e c ON c.vec_id != q.vec_id
             WHERE q.vec_id < {_MRL_QUERIES}
@@ -2920,7 +2936,12 @@ def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_a").cast("long").alias("n_a"),
             F.max("n_b").cast("long").alias("n_b"),
             F.round(
-                F.max(F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))),
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.nullif(F.col("n_a"), F.lit(0))
+                        - F.col("cb") / F.nullif(F.col("n_b"), F.lit(0))
+                    )
+                ),
                 6,
             ).alias("ks_stat"),
         )
@@ -3066,7 +3087,10 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "b", w.alias("w"), "o_totalprice")
         .groupBy(F.col("o_orderstatus").alias("status"), "b")
         .agg(
-            (F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m")
+            (
+                F.sum(F.col("w") * F.col("o_totalprice"))
+                / F.nullif(F.sum("w"), F.lit(0))
+            ).alias("m")
         )
     )
     ms = F.sort_array(F.collect_list("m"))
@@ -3541,8 +3565,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     return s.select(
         F.col("n").cast("long").alias("vocab_size"),
@@ -3552,9 +3576,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
-            / (
+            / F.nullif(
                 (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
             ),
             6,
         ).alias("r2"),
@@ -4123,8 +4148,8 @@ def quality_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
-    p = F.col("a") * F.lit(1.0) / F.col("na")
-    q = F.col("b") * F.lit(1.0) / F.col("nb")
+    p = F.col("a") * F.lit(1.0) / F.nullif(F.col("na"), F.lit(0))
+    q = F.col("b") * F.lit(1.0) / F.nullif(F.col("nb"), F.lit(0))
     m = (p + q) / 2
     term = F.when(F.col("a") > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
         F.col("b") > 0, q * F.log(q / m)
@@ -4185,7 +4210,7 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.sum(2 * F.col("np") * F.col("cum_nn")) + F.sum(F.col("np") * F.col("nn")))
             .cast("double")
-            / (2 * F.sum("np") * F.sum("nn"))
+            / F.nullif(2 * F.sum("np") * F.sum("nn"), F.lit(0))
         ).alias("auc"),
     )
 
@@ -4563,9 +4588,11 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned = scored.select(
         F.least(
-            F.floor(F.col("k").cast("double") / (F.col("n_all") - 1) * 10).cast(
-                "int"
-            ),
+            F.floor(
+                F.col("k").cast("double")
+                / F.nullif(F.col("n_all") - 1, F.lit(0))
+                * 10
+            ).cast("int"),
             F.lit(9),
         ).alias("bin"),
         "pos",
@@ -4574,7 +4601,10 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos_rate = F.sum("pos").cast("double") / F.count(F.lit(1))
     mean_score = F.round(
-        F.sum("k").cast("double") / (F.max("n_all") - 1) / F.count(F.lit(1)), 6
+        F.sum("k").cast("double")
+        / F.nullif(F.max("n_all") - 1, F.lit(0))
+        / F.count(F.lit(1)),
+        6,
     )
     return (
         binned.groupBy("bin")
@@ -4800,7 +4830,7 @@ def eval_adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     auc = (
         F.sum(2 * F.col("np") * F.col("cum_nn")) + F.sum(F.col("np") * F.col("nn"))
-    ).cast("double") / (2 * F.sum("np") * F.sum("nn"))
+    ).cast("double") / F.nullif(2 * F.sum("np") * F.sum("nn"), F.lit(0))
     return c.agg(
         F.sum("np").cast("long").alias("n_train"),
         F.sum("nn").cast("long").alias("n_heldout"),

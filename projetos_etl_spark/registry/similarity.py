@@ -38,7 +38,8 @@ def _topk_oracle() -> str:
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round({_dot("q.v", "c.v")} / ({_norm("q.v")} * {_norm("c.v")}), 6)
+               round(coalesce({_dot("q.v", "c.v")}
+                     / nullif({_norm("q.v")} * {_norm("c.v")}, 0), 0), 6)
                    AS cosine_sim
         FROM e q JOIN e c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
@@ -249,8 +250,9 @@ def _lsh_oracle() -> str:
         WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
     ), scored AS (
         SELECT cand.query_id, cand.neighbor_id,
-               round({dot.format(x="q.v", y="c.v")}
-                     / ({norm.format(x="q.v")} * {norm.format(x="c.v")}), 6)
+               round(coalesce({dot.format(x="q.v", y="c.v")}
+                     / nullif({norm.format(x="q.v")} * {norm.format(x="c.v")}, 0),
+                     0), 6)
                    AS cosine_sim
         FROM cand
         JOIN e q ON q.vec_id = cand.query_id
@@ -349,8 +351,10 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(s.vmax, 6) AS scale_max,
            md5(array_to_string(
                list_transform(e.embedding,
-                   v -> CAST(floor((CAST(v AS DOUBLE) - s.vmin)
-                                   / (s.vmax - s.vmin) * 255) AS BIGINT)),
+                   v -> CASE WHEN s.vmax <> s.vmin
+                             THEN CAST(floor((CAST(v AS DOUBLE) - s.vmin)
+                                             / (s.vmax - s.vmin) * 255) AS BIGINT)
+                             ELSE 0 END),
                ',')) AS q_md5
     FROM embeddings e JOIN stats s USING (vec_id)
     """,
@@ -368,13 +372,20 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vmin = F.array_min(v).cast("double")
     vmax = F.array_max(v).cast("double")
     d = emb.select("vec_id", "embedding", vmin.alias("vmin"), vmax.alias("vmax"))
+    # A constant vector has no quantization range; both engines pin its
+    # codes to 0 (ANSI Spark would otherwise DIVIDE_BY_ZERO the job, and
+    # a NULL code would vanish inside the join/digest differently per
+    # engine).
     codes = F.transform(
         F.col("embedding"),
-        lambda x: F.floor(
-            (x.cast("double") - F.col("vmin"))
-            / (F.col("vmax") - F.col("vmin"))
-            * 255
-        ),
+        lambda x: F.when(
+            F.col("vmax") != F.col("vmin"),
+            F.floor(
+                (x.cast("double") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * 255
+            ),
+        ).otherwise(F.lit(0)),
     )
     return d.select(
         "vec_id",
@@ -466,11 +477,12 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), scored AS (
         SELECT q.vec_id AS query_id, q.label AS q_label,
                c.vec_id AS neighbor_id, c.label AS c_label,
-               round(
+               round(coalesce(
                  list_sum(list_transform(generate_series(1, len(q.v)),
                                          i -> q.v[i] * c.v[i]))
-                 / (sqrt(list_sum(list_transform(q.v, t -> t * t)))
-                    * sqrt(list_sum(list_transform(c.v, t -> t * t)))), 6)
+                 / nullif(sqrt(list_sum(list_transform(q.v, t -> t * t)))
+                          * sqrt(list_sum(list_transform(c.v, t -> t * t))), 0),
+                 0), 6)
                    AS cosine_sim
         FROM e q JOIN e c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
@@ -554,11 +566,12 @@ def _hard_negative_oracle() -> str:
     ), scored AS (
         SELECT q.vec_id AS query_id, q.label AS q_label,
                c.vec_id AS negative_id, c.label AS neg_label,
-               round(
+               round(coalesce(
                  list_sum(list_transform(generate_series(1, len(q.v)),
                                          i -> q.v[i] * c.v[i]))
-                 / (sqrt(list_sum(list_transform(q.v, t -> t * t)))
-                    * sqrt(list_sum(list_transform(c.v, t -> t * t)))), 6)
+                 / nullif(sqrt(list_sum(list_transform(q.v, t -> t * t)))
+                          * sqrt(list_sum(list_transform(c.v, t -> t * t))), 0),
+                 0), 6)
                    AS cosine_sim
         FROM e q JOIN e c ON c.vec_id != q.vec_id AND c.label != q.label
         WHERE q.vec_id < {N_QUERIES}
@@ -769,11 +782,12 @@ KNN_K = 5
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), scored AS (
         SELECT q.vec_id, q.label AS true_label, c.label AS cand_label,
-               round(
+               round(coalesce(
                    list_sum(list_transform(generate_series(1, len(q.v)),
                                            i -> q.v[i] * c.v[i]))
-                   / (sqrt(list_sum(list_transform(q.v, t -> t * t)))
-                      * sqrt(list_sum(list_transform(c.v, t -> t * t)))), 6)
+                   / nullif(sqrt(list_sum(list_transform(q.v, t -> t * t)))
+                            * sqrt(list_sum(list_transform(c.v, t -> t * t))), 0),
+                   0), 6)
                    AS sim,
                c.vec_id AS cand_id
         FROM e q JOIN e c ON c.vec_id >= {KNN_HOLDOUT}

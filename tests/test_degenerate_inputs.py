@@ -1,0 +1,231 @@
+"""Degenerate-input hardening: the real registry entries driven against
+hostile fixtures the standard testdata never produces.
+
+Spark 4 runs ANSI mode by default, so ANY division whose divisor goes
+to zero RAISES (DIVIDE_BY_ZERO) instead of yielding NULL — a single
+degenerate group anywhere in 100 TB (a singleton category, a constant
+feature, a zero embedding, a one-class label column) would kill the
+whole job. Every case here crashed or would crash before the guards;
+the convention after them: an undefined statistic is NULL (cosine of a
+zero vector is 0.0, quantization codes of a constant vector are 0 —
+both pinned in the entries' oracles too).
+
+These tests call the REAL entry functions on tiny parquet tables
+written with the production schemas, so a regression in the entry
+itself (not a test-local copy) fails here.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from projetos_etl_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+_TS0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write(tmp_path, name: str, table: pa.Table) -> None:
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def _orders(tmp_path, rows):
+    _write(
+        tmp_path,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+                "o_orderdate": pa.array([_TS0] * len(rows), pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[4] for r in rows], pa.string()),
+            }
+        ),
+    )
+
+
+def _events(tmp_path, rows):
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+    )
+
+
+def _embeddings(tmp_path, vecs):
+    _write(
+        tmp_path,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([i % 2 for i in range(len(vecs))], pa.int32()),
+            }
+        ),
+    )
+
+
+def test_loo_encode_singleton_category_is_null(spark, queries, tmp_path):
+    _orders(
+        tmp_path,
+        [
+            (1, 1, "O", 10.0, "1-URGENT"),
+            (2, 1, "O", 30.0, "1-URGENT"),
+            (3, 1, "O", 99.0, "5-LOW"),  # singleton: LOO undefined
+        ],
+    )
+    rows = {
+        r["o_orderkey"]: r["loo_mean_price"]
+        for r in queries["feat_target_encode_loo"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1] == 30.0 and rows[2] == 10.0
+    assert rows[3] is None  # not a crash, not the row's own value
+
+
+def test_scale_normalize_constant_segment_is_null(spark, queries, tmp_path):
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["a", "b", "c"], pa.string()),
+                "c_nationkey": pa.array([0, 0, 0], pa.int32()),
+                "c_acctbal": pa.array([500.0, 500.0, 500.0], pa.float64()),
+                "c_mktsegment": pa.array(["FLAT"] * 3, pa.string()),
+            }
+        ),
+    )
+    got = queries["feat_scale_normalize"](spark, str(tmp_path)).collect()
+    assert len(got) == 3
+    assert all(r["minmax"] is None and r["zscore"] is None for r in got)
+
+
+def test_rolling_zscore_constant_history_yields_no_rows_not_a_crash(
+    spark, queries, tmp_path
+):
+    # 12 identical values: every trailing window has sd == 0. The guarded
+    # z is NULL there, the filter drops it; before the guard the PROJECTED
+    # division raised under ANSI even though the filter would discard it.
+    _events(
+        tmp_path,
+        [
+            (i, _TS0 + datetime.timedelta(minutes=i), 7, "view", 5.0)
+            for i in range(12)
+        ],
+    )
+    assert queries["anomaly_zscore_rolling"](spark, str(tmp_path)).count() == 0
+
+
+def test_auc_single_class_is_null(spark, queries, tmp_path):
+    _events(
+        tmp_path,
+        [
+            (i, _TS0 + datetime.timedelta(minutes=i), 1, "purchase", float(i))
+            for i in range(5)
+        ],
+    )
+    row = queries["eval_auc_roc"](spark, str(tmp_path)).collect()[0]
+    assert row["n_neg"] == 0 and row["auc"] is None
+
+
+def test_js_divergence_all_equal_timestamps_is_null(spark, queries, tmp_path):
+    # Every event <= the median cut: the late half is empty, q undefined.
+    _events(tmp_path, [(i, _TS0, 1, "view", 1.0) for i in range(6)])
+    row = queries["quality_js_divergence"](spark, str(tmp_path)).collect()[0]
+    assert row["js_divergence_nats"] is None
+
+
+def test_ks_one_empty_side_is_null(spark, queries, tmp_path):
+    _orders(tmp_path, [(i, 1, "O", float(i), "1-URGENT") for i in range(4)])
+    row = queries["quality_ks_two_sample"](spark, str(tmp_path)).collect()[0]
+    assert row["n_b"] == 0 and row["ks_stat"] is None
+
+
+def test_var_merge_singleton_group_is_null(spark, queries, tmp_path):
+    _events(
+        tmp_path,
+        [(0, _TS0, 1, "solo", 42.0)]
+        + [
+            (i, _TS0 + datetime.timedelta(hours=i), 1, "pair", float(i))
+            for i in range(1, 3)
+        ],
+    )
+    rows = {
+        r["event_type"]: r["var_value"]
+        for r in queries["incremental_var_merge"](spark, str(tmp_path)).collect()
+    }
+    assert rows["solo"] is None
+    assert rows["pair"] == pytest.approx(0.5)
+
+
+def test_zipf_single_type_vocab_is_null(spark, queries, tmp_path):
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["spark spark spark spark"], pa.string()),
+                "lang": pa.array(["en"], pa.string()),
+                "source": pa.array(["web"], pa.string()),
+                "n_chars": pa.array([23], pa.int64()),
+            }
+        ),
+    )
+    row = queries["text_zipf_fit"](spark, str(tmp_path)).collect()[0]
+    assert row["vocab_size"] == 1
+    assert row["zipf_slope"] is None  # one point defines no line
+
+
+def test_quantize_constant_vector_codes_are_zero(spark, queries, tmp_path):
+    _embeddings(tmp_path, [[1.0, 2.0, 3.0, 4.0], [0.5, 0.5, 0.5, 0.5]])
+    rows = {
+        r["vec_id"]: r for r in queries["emb_quantize_int8"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["scale_min"] == rows[1]["scale_max"] == 0.5
+    import hashlib
+
+    assert rows[1]["q_md5"] == hashlib.md5(b"0,0,0,0").hexdigest()
+
+
+def test_cosine_zero_vector_scores_zero_not_crash(spark, queries, tmp_path):
+    # vec 0 is a query (vec_id < N_QUERIES); vec 2 is all zeros — its
+    # similarity is defined as 0.0, so it ranks below every real match
+    # instead of killing the retrieval job.
+    _embeddings(
+        tmp_path,
+        [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.9, 0.1, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [-1.0, 0.0, 0.0, 0.0],
+        ],
+    )
+    got = queries["sim_search_topk"](spark, str(tmp_path)).collect()
+    by_neighbor = {
+        r["neighbor_id"]: r["cosine_sim"] for r in got if r["query_id"] == 0
+    }
+    assert by_neighbor[2] == 0.0
+    assert by_neighbor[1] > 0.9 and by_neighbor[3] == -1.0

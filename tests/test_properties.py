@@ -8,6 +8,7 @@ hypothesis case is a distributed job.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -1943,3 +1944,262 @@ def test_distributed_covariance_matches_numpy(spark, raw_vecs):
     cov_py = np.sign(raw) * (np.floor(np.abs(raw) * scale + 0.5) / scale)
     assert np.array_equal(mu, mu_py)
     assert np.array_equal(cov, cov_py)
+
+
+# --- supervised-encoder / drift / packing / retrieval-metric shapes ----------
+#
+# These five families' registry entries and their DuckDB oracles were written
+# by the same hand, so oracle parity cannot catch a formula MISUNDERSTANDING
+# shared by both engines. Each property below rebuilds the registry shape on
+# constructed data and checks it against the canonical textbook definition
+# implemented independently in Python.
+
+
+def _loo_py(rows: list[tuple[str, float]]) -> list[float | None]:
+    """Canonical leave-one-out mean: mean of the OTHER rows in the
+    category; undefined (None) for singleton categories."""
+    from collections import defaultdict
+
+    tot: dict[str, float] = defaultdict(float)
+    n: dict[str, int] = defaultdict(int)
+    for c, v in rows:
+        tot[c] += v
+        n[c] += 1
+    return [
+        None if n[c] == 1 else round((tot[c] - v) / (n[c] - 1), 6) for c, v in rows
+    ]
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_loo_target_encode_matches_python(spark, rows):
+    """feat_target_encode_loo's (sum - own) / (n - 1) over an exact
+    DECIMAL sum must equal the canonical LOO mean, and a singleton
+    category must yield NULL (0/0), never the row's own value leaking
+    through."""
+    data = [(i, c, float(v)) for i, (c, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, cat string, y double")
+    stats = df.groupBy("cat").agg(
+        F.sum(F.col("y").cast("decimal(18,2)")).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    got = {
+        r["id"]: r["loo"]
+        for r in df.join(F.broadcast(stats), "cat")
+        .select(
+            "id",
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("tot").cast("double") - F.col("y")) / (F.col("n") - 1),
+                    6,
+                ),
+            ).alias("loo"),
+        )
+        .collect()
+    }
+    want = _loo_py([(c, float(v)) for c, v in rows])
+    for i, w in enumerate(want):
+        if w is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(w, abs=1e-6)
+
+
+def _woe_py(rows: list[tuple[str, int]]) -> dict[str, tuple[float, float]]:
+    """Canonical weight of evidence with 0.5 Laplace smoothing:
+    woe_c = ln(((pos_c+0.5)/P) / ((neg_c+0.5)/N)); iv term
+    (pos_share - neg_share) * woe."""
+    import math
+    from collections import defaultdict
+
+    pos: dict[str, int] = defaultdict(int)
+    neg: dict[str, int] = defaultdict(int)
+    for c, y in rows:
+        (pos if y else neg)[c] += 0 or 1
+    cats = set(pos) | set(neg)
+    p_tot, n_tot = sum(pos.values()), sum(neg.values())
+    out = {}
+    for c in cats:
+        ps = (pos[c] + 0.5) / p_tot
+        ns = (neg[c] + 0.5) / n_tot
+        w = math.log(ps / ns)
+        out[c] = (round(w, 6), round((ps - ns) * w, 9))
+    return out
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 1)),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda r: any(y for _, y in r) and any(1 - y for _, y in r))
+)
+def test_woe_encoding_matches_python(spark, rows):
+    """feat_woe_encoding's smoothed log-odds and IV term must equal the
+    credit-scoring textbook formula — including categories with ZERO
+    positives or zero negatives, which only the 0.5 smoothing keeps
+    finite (the fixtures never produce an empty class)."""
+    df = spark.createDataFrame(rows, "cat string, y int")
+    cat = df.groupBy("cat").agg(
+        F.sum("y").alias("pos"), (F.count(F.lit(1)) - F.sum("y")).alias("neg")
+    )
+    tot = cat.agg(F.sum("pos").alias("p_tot"), F.sum("neg").alias("n_tot"))
+    ps = (F.col("pos") + 0.5) / F.col("p_tot")
+    ns = (F.col("neg") + 0.5) / F.col("n_tot")
+    woe = F.log(ps / ns)
+    got = {
+        r["cat"]: (r["woe"], r["iv"])
+        for r in cat.crossJoin(F.broadcast(tot))
+        .select(
+            "cat",
+            F.round(woe, 6).alias("woe"),
+            F.round((ps - ns) * woe, 9).alias("iv"),
+        )
+        .collect()
+    }
+    want = _woe_py(rows)
+    assert set(got) == set(want)
+    for c, (w_woe, w_iv) in want.items():
+        assert got[c][0] == pytest.approx(w_woe, abs=1e-6)
+        assert got[c][1] == pytest.approx(w_iv, abs=1e-8)
+
+
+@PROP
+@given(
+    early=st.lists(st.sampled_from("abc"), min_size=1, max_size=40),
+    late=st.lists(st.sampled_from("abd"), min_size=1, max_size=40),
+)
+def test_psi_term_matches_python(spark, early, late):
+    """quality_psi_drift's per-category term must equal the canonical
+    (p_e - p_l) * ln(p_e / p_l) with shares normalized WITHIN each half,
+    and a category present in only one half must be absent from the
+    output (the entry's inner-join semantics) — not NaN, not ±inf."""
+    import math
+    from collections import Counter
+    from pyspark.sql import Window
+
+    rows = [(c, "early") for c in early] + [(c, "late") for c in late]
+    df = spark.createDataFrame(rows, "cat string, half string")
+    c = df.groupBy("cat", "half").agg(F.count(F.lit(1)).alias("n"))
+    shares = c.select(
+        "cat",
+        "half",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("half"))).alias("p"),
+    )
+    e = shares.filter(F.col("half") == "early").select("cat", F.col("p").alias("pe"))
+    l = shares.filter(F.col("half") == "late").select("cat", F.col("p").alias("pl"))
+    got = {
+        r["cat"]: r["psi"]
+        for r in e.join(l, "cat")
+        .select(
+            "cat",
+            F.round(
+                (F.col("pe") - F.col("pl")) * F.log(F.col("pe") / F.col("pl")), 6
+            ).alias("psi"),
+        )
+        .collect()
+    }
+    ce, cl = Counter(early), Counter(late)
+    both = set(ce) & set(cl)
+    assert set(got) == both
+    for cat in both:
+        pe, pl = ce[cat] / len(early), cl[cat] / len(late)
+        assert got[cat] == pytest.approx((pe - pl) * math.log(pe / pl), abs=1e-6)
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from("st"), st.integers(1, 700)),
+        min_size=1,
+        max_size=50,
+    ),
+    cap=st.sampled_from([16, 512]),
+)
+def test_pack_bins_matches_python_running_sum(spark, docs, cap):
+    """corpus_pack_bins' windowed bin assignment must equal the
+    sequential packing reference: walk each source in doc_id order,
+    each doc starts at the running token offset, bin = offset // cap,
+    offset-in-bin = offset % cap — including docs LONGER than the
+    capacity (which straddle bins) and exact-boundary hits."""
+    data = [(s, i, n) for i, (s, n) in enumerate(docs)]
+    df = spark.createDataFrame(data, "source string, doc_id long, n_tokens long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in df.select(
+            "doc_id",
+            F.floor(start / cap).cast("int").alias("bin_id"),
+            (start % cap).cast("int").alias("bin_offset"),
+        ).collect()
+    }
+    offsets: dict[str, int] = {}
+    for s, i, n in sorted(data, key=lambda t: (t[0], t[1])):
+        off = offsets.get(s, 0)
+        assert got[i] == (off // cap, off % cap)
+        offsets[s] = off + n
+
+
+def _ndcg_py(rels: list[int]) -> float:
+    """Canonical binary NDCG over a ranked list: DCG with log2(rank+1)
+    discounts vs the ideal (relevant-first) ordering; 0 when nothing is
+    relevant."""
+    import math
+
+    dcg = sum(r / math.log2(i + 2) for i, r in enumerate(rels))
+    ideal = sorted(rels, reverse=True)
+    idcg = sum(r / math.log2(i + 2) for i, r in enumerate(ideal))
+    return 0.0 if idcg == 0 else dcg / idcg
+
+
+@PROP
+@given(
+    rels=st.lists(
+        st.lists(st.integers(0, 1), min_size=1, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_ndcg_shape_matches_python(spark, rels):
+    """eval_ndcg_at_k's window-ranked DCG/IDCG must equal textbook NDCG
+    per query — including the all-irrelevant query, which must score
+    exactly 0 (the explicit guard), never NULL from 0/0."""
+    from pyspark.sql import Window
+
+    data = [
+        (q, rank + 1, r)
+        for q, qs in enumerate(rels)
+        for rank, r in enumerate(qs)
+    ]
+    df = spark.createDataFrame(data, "query_id long, rank int, rel int")
+    ideal = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "rank")
+    )
+    scored = df.withColumn("ideal_rank", ideal)
+    dcg = F.sum(F.col("rel") / F.log2(F.col("rank") + 1.0))
+    idcg = F.sum(F.col("rel") / F.log2(F.col("ideal_rank") + 1.0))
+    got = {
+        r["query_id"]: r["ndcg"]
+        for r in scored.groupBy("query_id")
+        .agg(
+            F.when(F.sum("rel") == 0, F.lit(0.0)).otherwise(dcg / idcg).alias("ndcg")
+        )
+        .collect()
+    }
+    for q, qs in enumerate(rels):
+        assert got[q] == pytest.approx(_ndcg_py(qs), abs=1e-9)
