@@ -142,15 +142,19 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json_extract",
     oracle="""
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
     """,
 )
 def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the events ``props`` column
-    (``get_json_object`` — no UDF, no full JSON parse of untouched keys)."""
-    k = F.get_json_object("props", "$.k").cast("int")
+    (``get_json_object`` — no UDF, no full JSON parse of untouched keys).
+    try_cast, not cast: under ANSI (Spark 4 default) a non-numeric value
+    at ``$.k`` anywhere in the stream would otherwise kill the job; the
+    telemetry semantics we want is NULL-and-continue (TRY_CAST mirrors
+    it in the oracle)."""
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         _t(spark, sf_dir, "events")
         .select("event_id", "event_type", k.alias("k_val"))
@@ -579,9 +583,12 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     right trade at 100 TB where telemetry payloads carry many keys and
     queries touch several per row. Parquet can store the variant
     columnar ("shredded") so pushdown reaches sub-fields; here the
-    parse happens at scan time from the JSON string fixture."""
+    parse happens at scan time from the JSON string fixture. The try_
+    variants of both calls: a malformed payload or a non-int ``$.k``
+    yields NULL instead of failing the scan under ANSI — at telemetry
+    scale some rows WILL be garbage and must not kill the job."""
     ev = _t(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

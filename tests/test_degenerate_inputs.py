@@ -229,3 +229,31 @@ def test_cosine_zero_vector_scores_zero_not_crash(spark, queries, tmp_path):
     }
     assert by_neighbor[2] == 0.0
     assert by_neighbor[1] > 0.9 and by_neighbor[3] == -1.0
+
+
+def test_json_extract_non_numeric_value_is_null(spark, queries, tmp_path):
+    # '$.k' holds a string and one row is malformed JSON: both must yield
+    # NULL k (dropped by the >= filter), never an ANSI cast failure.
+    _events_props = [
+        (1, _TS0, 1, "view", 1.0, '{"k": 99}'),
+        (2, _TS0, 1, "view", 1.0, '{"k": "not-a-number"}'),
+        (3, _TS0, 1, "view", 1.0, "{broken"),
+    ]
+    _write(
+        tmp_path,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in _events_props], pa.int64()),
+                "ts": pa.array([r[1] for r in _events_props], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in _events_props], pa.int64()),
+                "event_type": pa.array([r[3] for r in _events_props], pa.string()),
+                "value": pa.array([r[4] for r in _events_props], pa.float64()),
+                "props": pa.array([r[5] for r in _events_props], pa.string()),
+            }
+        ),
+    )
+    got = queries["fn_json_extract"](spark, str(tmp_path)).collect()
+    assert [(r["event_id"], r["k_val"]) for r in got] == [(1, 99)]
+    variant = queries["fn_variant_extract"](spark, str(tmp_path)).collect()
+    assert variant[0]["n_events"] == 3 and variant[0]["k_total"] == 99
