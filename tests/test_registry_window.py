@@ -18,69 +18,68 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r7 window: the 19 never-driver-green agg_* entries promoted to the
-# front, then 29 more never-driver-green entries in registry order, then
-# the two r7-session scale twins (win_ntile_scale /
-# win_max_concurrency_scale) so their first official driver rows land
-# the round they were built (COVERAGE.md ledger); the remaining 45
-# backlog entries fit exactly one r8 window.
-R7_WINDOW = [
-    "agg_markov_transitions",
-    "agg_count_distinct_approx",
-    "agg_percentile_approx",
-    "agg_approx_top_k",
-    "agg_filter_clause",
-    "agg_listagg_sorted",
-    "agg_mean_family",
-    "agg_bitwise",
-    "agg_weighted_median",
-    "agg_grouping_id",
-    "agg_moments_family",
-    "agg_pareto_concentration",
-    "agg_trimmed_mean",
-    "agg_gini_coefficient",
-    "agg_histogram_2d",
-    "agg_corr_matrix",
-    "agg_count_min_sketch",
-    "agg_linear_regression",
-    "agg_percentile_cont_multi",
-    "agg_boolean_family",
-    "stream_upsert_tablelog",
-    "ml_knn_classify",
-    "ml_naive_bayes_train",
-    "text_readability_score",
-    "tokenizer_vocab_coverage",
-    "corpus_kneser_ney_bigram",
-    "text_keyness_g2",
-    "eval_heldout_perplexity",
-    "corpus_span_corruption",
-    "multimodal_webdataset_manifest",
-    "graph_label_propagation",
-    "graph_jaccard_link_prediction",
-    "graph_kcore_decomposition",
-    "dedup_url_canonical",
-    "ts_seasonal_naive_error",
-    "text_zipf_fit",
-    "quality_parquet_stats_audit",
-    "ml_logreg_gd",
-    "quality_chisq_categorical_drift",
-    "ts_run_length_encode",
-    "privacy_noisy_count_laplace",
-    "eval_auc_roc",
-    "ts_ewma_anomaly",
-    "privacy_generalize_to_k",
-    "ml_ridge_regression_normal_eq",
-    "eval_calibration_bins",
-    "ts_stl_decompose",
-    "quality_join_skew_audit",
-    "win_ntile_scale",
-    "win_max_concurrency_scale",
+# The r8 window: the final 45 never-driver-green backlog entries in
+# registry order (COVERAGE.md "r8 remaining backlog" row — closing the
+# cumulative official driver ledger at 326/326), then 5 re-verifications
+# of guard-touched entries whose official driver rows predate the r7
+# ANSI degenerate-input hardening.
+R8_WINDOW = [
+    "scan_xml",
+    "scan_parquet_merge_schema",
+    "sink_csv_roundtrip",
+    "sink_pyds_jsonl",
+    "maintenance_retention_sweep",
+    "gen_date_dim",
+    "obs_inline_metrics",
+    "sink_dynamic_partition_overwrite",
+    "scan_csv_multiline_quoted",
+    "scan_time_travel",
+    "table_log_merge_upsert",
+    "maintenance_tablelog_vacuum",
+    "win_gap_islands",
+    "win_rolling_median",
+    "win_time_range_frame",
+    "win_skyline_frontier",
+    "win_topk_with_ties",
+    "win_percent_rank_cume_dist",
+    "win_max_concurrency",
+    "fn_try_arith",
+    "fn_surrogate_key",
+    "fn_variant_extract",
+    "fn_regex_extract_all",
+    "fn_collation_groupby",
+    "fn_map_functions",
+    "set_intersect_all",
+    "set_except_all",
+    "join_asof_tolerance",
+    "join_null_safe",
+    "join_scd2_point_in_time",
+    "subquery_not_exists_vs_not_in",
+    "join_bloom_prune",
+    "sql_recursive_cte",
+    "sql_pipe_syntax",
+    "sql_declared_udf",
+    "join_lateral_topk",
+    "join_bucketed_no_shuffle",
+    "join_asof_forward",
+    "sql_star_except",
+    "sql_group_by_all",
+    "sql_lateral_column_alias",
+    "sql_unpivot_syntax",
+    "join_asof_nearest",
+    "eval_adversarial_validation",
+    "maintenance_compact_small_files",
+    "feat_target_encode_loo",
+    "feat_scale_normalize",
+    "emb_quantize_int8",
+    "anomaly_zscore_rolling",
+    "sim_search_topk",
 ]
 
 def test_driver_window_matches_coverage_plan():
-    assert len(R7_WINDOW) == 50
-    got = list(all_queries())[: len(R7_WINDOW)]
-    assert got == R7_WINDOW, (
+    assert len(R8_WINDOW) == 50
+    got = list(all_queries())[: len(R8_WINDOW)]
+    assert got == R8_WINDOW, (
         "The first-50 verification window shifted. The window is the "
         "explicit registry.__init__._WINDOW_HEAD list; if you changed it, "
         "update this pin AND COVERAGE.md's ledger deliberately."
@@ -90,7 +89,7 @@ def test_driver_window_matches_coverage_plan():
 def test_window_head_is_the_pin():
     # _WINDOW_HEAD and this pin must be the same list; divergence means a
     # half-finished rotation commit.
-    assert _WINDOW_HEAD == R7_WINDOW
+    assert _WINDOW_HEAD == R8_WINDOW
 
 
 def test_no_window_name_collisions():
