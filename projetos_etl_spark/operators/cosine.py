@@ -443,8 +443,14 @@ def srp_lsh_topk(
 
 
 def _l2_normalize(v: Column) -> Column:
+    """L2-normalize with the all-zeros degenerate pinned to the zero
+    vector (same convention as :func:`cosine`: no direction -> 0.0
+    similarity downstream) instead of an ANSI DIVIDE_BY_ZERO crash —
+    a single zero embedding anywhere in 100 TB would otherwise kill
+    every IVF/LSH/PQ retrieval job that normalizes the corpus side.
+    SQL oracle twins mirror this as x / nullif(norm, 0) -> coalesce 0."""
     n = norm(v)
-    return F.transform(v, lambda x: x / n)
+    return F.transform(v, lambda x: F.coalesce(F.try_divide(x, n), F.lit(0.0)))
 
 
 def train_pq_codebooks(

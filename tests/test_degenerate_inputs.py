@@ -257,3 +257,62 @@ def test_json_extract_non_numeric_value_is_null(spark, queries, tmp_path):
     assert [(r["event_id"], r["k_val"]) for r in got] == [(1, 99)]
     variant = queries["fn_variant_extract"](spark, str(tmp_path)).collect()
     assert variant[0]["n_events"] == 3 and variant[0]["k_total"] == 99
+
+
+# -- zero embedding vectors through the trained ANN tiers --------------------
+#
+# _l2_normalize used to divide by an unguarded norm: a single all-zeros
+# embedding anywhere in the corpus raised ANSI DIVIDE_BY_ZERO inside
+# quantizer TRAINING (_train_sample(normalize=True)) and the PQ encode /
+# exact-rerank stages — killing every IVF/LSH/PQ retrieval job.  The
+# convention now matches cosine(): a zero vector normalizes to the zero
+# vector, so its similarity to anything is 0.0 and it ranks below every
+# real match.  These drive the REAL registry entries on a 64-d corpus
+# with a planted zero vector (deterministic: seeded fixture, seeded
+# hyperplanes/codebooks, sequential F.aggregate folds).
+
+
+def _zero_vector_corpus(tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(48, 64)).astype(np.float32)
+    vecs[45] = 0.0  # outside the planted-probe id range [0, 40)
+    _embeddings(tmp_path, [[float(x) for x in v] for v in vecs])
+
+
+def test_ann_contract_tiers_survive_zero_vector(spark, queries, tmp_path):
+    _zero_vector_corpus(tmp_path)
+    for entry in ("sim_search_ivf", "sim_search_pq_adc", "sim_search_ivf_pq"):
+        rows = queries[entry](spark, str(tmp_path)).collect()
+        assert len(rows) == 10, entry
+        assert all(r["k_returned"] == 5 for r in rows), entry
+        assert all(r["ranks_contiguous"] for r in rows), entry
+        # The rerank recomputes exact cosine: the zero-vector convention
+        # must agree between the tier's reported score and cosine().
+        assert all(r["scores_exact"] for r in rows), entry
+
+
+def test_lsh_survives_zero_vector(spark, queries, tmp_path):
+    _zero_vector_corpus(tmp_path)
+    rows = queries["sim_search_lsh_bucketed"](spark, str(tmp_path)).collect()
+    assert rows and all(r["cosine_sim"] is not None for r in rows)
+    for r in rows:
+        if r["neighbor_id"] == 45:  # the zero vector, if bucketed with a query
+            assert r["cosine_sim"] == 0.0
+
+
+def test_l2_normalize_zero_vector_is_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from projetos_etl_spark.operators.cosine import _l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, 0.0, 4.0])], "id long, v array<double>"
+    )
+    got = {
+        r["id"]: r["nv"]
+        for r in df.select("id", _l2_normalize(F.col("v")).alias("nv")).collect()
+    }
+    assert got[1] == [0.0, 0.0, 0.0]
+    assert got[2] == pytest.approx([0.6, 0.0, 0.8])
