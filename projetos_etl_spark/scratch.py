@@ -45,6 +45,21 @@ _PREFIX = "pes_scratch_"
 #: migration sweep below retires them once they are plausibly orphaned.
 _LEGACY_PREFIX = "pes_"
 _LEGACY_MAX_AGE_SECONDS = 24 * 3600.0
+#: Legacy (pre-root) dir families whose names embedded the owner PID
+#: (``pes_tablelog_scratch_<pid>`` etc.).  For these the pid probe is
+#: authoritative, exactly as for rooted dirs: a LIVE owner may hold lazy
+#: DataFrame references indefinitely (>24h sessions exist — mtime alone
+#: must never delete under it during a mixed-version rollout), while a
+#: dead owner's dir is garbage immediately.  Anonymous ``mkdtemp``
+#: leftovers (random suffix, no owner recorded) keep the 24h mtime rule.
+_LEGACY_PID_PREFIXES = (
+    "pes_stream_upsert_log_",
+    "pes_tablelog_scratch_",
+    "pes_tlmerge_scratch_",
+    "pes_tlvacuum_scratch_",
+    "pes_dynpart_scratch_",
+    "pes_mlcsv_scratch_",
+)
 
 _pruned_this_process = False
 
@@ -64,8 +79,11 @@ def _pid_alive(pid: int) -> bool:
 
 def prune_dead_roots(base: str | None = None) -> int:
     """Remove sibling scratch roots whose owner PID is dead, plus
-    legacy un-rooted ``pes_*`` dirs old enough (24h mtime) that no live
-    session can still be lazily reading them. Returns dirs removed.
+    legacy un-rooted ``pes_*`` dirs that are provably orphaned: families
+    that embedded their owner PID (``_LEGACY_PID_PREFIXES``) go by the
+    pid probe — dead owner deleted at any age, live owner NEVER deleted
+    however stale — and only truly anonymous ``mkdtemp`` leftovers use
+    the 24h-mtime rule. Returns dirs removed.
     Safe concurrently: only dead owners' roots are touched, and
     concurrent pruners racing on the same dir are absorbed by
     ``ignore_errors``."""
@@ -88,6 +106,18 @@ def prune_dead_roots(base: str | None = None) -> int:
                 shutil.rmtree(path, ignore_errors=True)
                 removed += 1
         elif entry.startswith(_LEGACY_PREFIX) and os.path.isdir(path):
+            pid_prefix = next(
+                (p for p in _LEGACY_PID_PREFIXES if entry.startswith(p)), None
+            )
+            if pid_prefix is not None:
+                suffix = entry[len(pid_prefix) :]
+                if suffix.isdigit():
+                    pid = int(suffix)
+                    if pid != os.getpid() and not _pid_alive(pid):
+                        shutil.rmtree(path, ignore_errors=True)
+                        removed += 1
+                    continue  # live (or our own) owner: never delete
+                # malformed pid suffix: fall through to the mtime rule
             try:
                 stale = os.path.getmtime(path) < cutoff
             except OSError:

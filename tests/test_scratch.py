@@ -102,3 +102,44 @@ def test_first_root_call_prunes_once(tmp_path, monkeypatch):
     os.utime(late, (1_000_000.0, 1_000_000.0))
     scratch_root()
     assert late.exists()  # subsequent calls don't re-scan (prune rides on process start)
+
+
+def test_prune_legacy_pid_dirs_go_by_pid_probe_not_mtime(tmp_path):
+    import subprocess
+    import sys
+
+    child = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    dead_pid = int(child.stdout.strip())
+    old = 1_000_000.0  # epoch 1970: far past the 24h cutoff
+
+    # A LIVE owner's legacy dir is never deleted, however stale — a >24h
+    # session running the pre-scratch.py build may still lazily read it
+    # during a mixed-version rollout window.
+    live_stale = tmp_path / f"pes_tablelog_scratch_{os.getppid()}"
+    live_stale.mkdir()
+    os.utime(live_stale, (old, old))
+
+    # A DEAD owner's legacy dir is garbage immediately (no 24h wait).
+    dead_fresh = tmp_path / f"pes_stream_upsert_log_{dead_pid}"
+    dead_fresh.mkdir()
+
+    assert prune_dead_roots(str(tmp_path)) == 1
+    assert live_stale.exists()
+    assert not dead_fresh.exists()
+
+
+def test_prune_legacy_pid_prefix_with_malformed_suffix_uses_mtime(tmp_path):
+    # No parseable owner: the anonymous 24h-mtime rule applies.
+    stale = tmp_path / "pes_tlmerge_scratch_notapid"
+    stale.mkdir()
+    os.utime(stale, (1_000_000.0, 1_000_000.0))
+    fresh = tmp_path / "pes_dynpart_scratch_alsonotapid"
+    fresh.mkdir()
+    assert prune_dead_roots(str(tmp_path)) == 1
+    assert not stale.exists()
+    assert fresh.exists()
