@@ -609,3 +609,27 @@ def test_kneser_ney_joins_are_broadcast(spark, queries):
     df = queries["corpus_kneser_ney_bigram"](spark, SF)
     assert has_operator(df, "BroadcastHashJoin")
     assert not has_operator(df, "SortMergeJoin")
+
+
+def test_kcore_one_edge_join_checkpointed_leaves_no_window(spark, queries):
+    """graph_kcore_decomposition's final-round plan (representative of
+    every peeling round) must be one edge-join shuffle + one
+    partial+final HashAggregate over CHECKPOINTED leaves: localCheckpoint
+    truncates lineage each round, so the plan never re-derives the
+    orders x lineitem bipartite build nor grows with KCORE_ROUNDS. A
+    FileScan leaf here means the checkpoint was dropped (plan blow-up and
+    a re-scan per round at 100 TB); a Window/Python/nested-loop node
+    means the peeling fell off the join+aggregate shape PLANS.md pins."""
+    from projetos_etl_spark.plans.inspect import explain_str
+
+    df = queries["graph_kcore_decomposition"](spark, SF)
+    plan = explain_str(df)
+    assert "Scan ExistingRDD" in plan  # checkpointed leaves only
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert has_operator(df, "HashAggregate")  # the degree count
+    # Exactly one aggregate pair: the within-subgraph degree sum.
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
