@@ -138,9 +138,23 @@ BENCH_QUERIES = [
 ]
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages, None where the OS lacks them.
+    Recorded at bench start AND end (VERDICT r7 item 6): bench is
+    contention-sensitive (a concurrent sweep once inflated every query a
+    uniform ~1.4x), so the artifact itself must carry enough to
+    adjudicate contention after the fact — load near the core count
+    during the run means the numbers measure the HOST, not the engine."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except (OSError, AttributeError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    load_start = _loadavg()
     spark = get_spark(app_name="projetos-etl-spark-bench")
 
     registry = all_queries()
@@ -221,6 +235,9 @@ def main() -> None:
         "write_split_runs": split_runs,
         "errors": errors,
         "delta": delta,
+        "load_avg_start": load_start,
+        "load_avg_end": _loadavg(),
+        "ncpus": os.cpu_count(),
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -237,6 +254,7 @@ def main() -> None:
         "errors": errors,
         "delta_vs": (delta or {}).get("vs"),
         "regressions": (delta or {}).get("regressions"),
+        "load_avg": {"start": load_start, "end": detail["load_avg_end"]},
         "sf": sf,
     }
     line = json.dumps(compact)
