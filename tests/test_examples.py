@@ -24,6 +24,10 @@ CASES = [
     ("embedding_quality_report.py", ["truncation: mean top-k overlap"]),
     ("ann_retrieval_pipeline.py", ["exact     :", "recall@"]),
     ("lakehouse_table_log.py", ["TABLE LOG OK", "time travel to v2"]),
+    (
+        "distributed_rank_recipes.py",
+        ["assignments identical: True", "exact/scale identical: True", "DISTRIBUTED RANK OK"],
+    ),
 ]
 
 
