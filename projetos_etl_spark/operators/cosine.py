@@ -133,6 +133,12 @@ def _train_sample(
         .limit(n_sample)
         .collect()
     )
+    if not rows:
+        # Empty corpus (an upstream filter can legitimately produce
+        # one): a 2-D empty array keeps the shape contract; callers
+        # early-exit with an empty result instead of crashing inside
+        # numpy training.
+        return np.zeros((0, 0))
     return np.array([r.v for r in rows])
 
 
@@ -182,7 +188,19 @@ def train_ivf_centroids(
         if sample is not None
         else _train_sample(vectors, id_col, vec_col, TRAIN_SAMPLE, seed_mod)
     )
+    if x.shape[0] == 0:
+        return np.zeros((0, 0))  # empty corpus: no cells to train
     return _lloyd(x, x[:n_cells], iters)
+
+
+def _empty_topk(spark) -> DataFrame:
+    """The trained tiers' result shape with zero rows — what an EMPTY
+    corpus retrieves (the exact/LSH tiers produce this naturally; the
+    trained tiers early-exit to it before numpy training, which has no
+    sample to fit)."""
+    return spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+    )
 
 
 def ivf_topk(
@@ -202,6 +220,8 @@ def ivf_topk(
     from pyspark.sql import Window
 
     centroids = train_ivf_centroids(candidates, id_col, vec_col, n_cells)
+    if centroids.shape[0] == 0:
+        return _empty_topk(queries.sparkSession)
     qv = as_double_array(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -283,6 +303,8 @@ def ivf_pq_topk(
     # wasn't already a coin flip, and the exact rerank absorbs any
     # residual), but codebooks may differ at the ulp from a two-draw run.
     x_raw = _train_sample(candidates, id_col, vec_col, TRAIN_SAMPLE, 997)
+    if x_raw.shape[0] == 0:
+        return _empty_topk(queries.sparkSession)  # empty corpus
     norms = np.sqrt((x_raw * x_raw).sum(axis=1, keepdims=True))
     x_norm = x_raw / np.where(norms == 0.0, 1.0, norms)
     centroids = train_ivf_centroids(
@@ -487,6 +509,8 @@ def train_pq_codebooks(
             vectors, id_col, vec_col, TRAIN_SAMPLE, seed_mod, normalize=True
         )
     )
+    if x.shape[0] == 0:
+        return np.zeros((0, 0, 0))  # empty corpus: no codebooks to fit
     codebooks = np.array(
         [
             _lloyd(
@@ -579,6 +603,8 @@ def pq_adc_topk(
     codebooks = train_pq_codebooks(
         candidates, id_col, vec_col, dim, n_subspaces, n_codes
     )
+    if codebooks.size == 0:
+        return _empty_topk(queries.sparkSession)  # empty corpus
     q_rows = (
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -52,8 +52,12 @@ def kmeans_lloyd(
     iters: int = KM_ITERS,
 ) -> dict[int, list[float]]:
     """Returns {cluster_id: centroid} after ``iters`` Lloyd steps,
-    seeded from the first ``k`` vectors by id (raises if fewer than
-    ``k`` rows exist — ids need not be contiguous or zero-based).
+    seeded from the first ``k`` vectors by id (ids need not be
+    contiguous or zero-based). Fewer than ``k`` rows seed that many
+    clusters; an EMPTY corpus returns no centroids — exactly the
+    ``ORDER BY id LIMIT k`` seeding the SQL oracle twin replays, and
+    the behavior that keeps a pipeline alive when an upstream filter
+    legitimately empties the training input.
 
     Centroids ship as a broadcast k-row DataFrame, NOT as literal
     arrays baked into the expression tree: k*d inline literals made
@@ -68,9 +72,9 @@ def kmeans_lloyd(
         eager=True
     )
     init = data.orderBy("__id").limit(k).collect()
-    if len(init) < k:
-        raise ValueError(f"k={k} centroids requested but only {len(init)} rows")
     cents: dict[int, list[float]] = {int(r["__id"]): list(r["__x"]) for r in init}
+    if not cents:
+        return cents
     for _ in range(iters):
         cent_df = spark.createDataFrame(
             sorted(cents.items()), "cid int, c array<double>"

@@ -37,11 +37,14 @@ def logreg_gd(
     label_col: str,
     iters: int = GD_ITERS,
     lr: float = GD_LR,
-) -> list[float]:
+) -> list[float] | None:
     """Returns the trained weight vector (one weight per feature column;
-    include a constant column for the bias). ``data`` is re-scanned per
-    iteration — eagerly checkpoint/cache it upstream when the features
-    are derived (the registry entry does)."""
+    include a constant column for the bias), or ``None`` when ``data``
+    is EMPTY — no gradient exists over zero rows (``avg`` is NULL), and
+    the recursive-CTE oracle twin's recursion dies on the empty cross
+    join the same way. ``data`` is re-scanned per iteration — eagerly
+    checkpoint/cache it upstream when the features are derived (the
+    registry entry does)."""
     d = len(feature_cols)
     w = [0.0] * d
     for _ in range(iters):
@@ -56,5 +59,7 @@ def logreg_gd(
                 for j, c in enumerate(feature_cols)
             ]
         ).collect()[0]
+        if grads[0] is None:
+            return None
         w = [w[j] - lr * grads[j] for j in range(d)]
     return w

@@ -67,6 +67,12 @@ def covariance_matrix(vecs: DataFrame, vec_col: str, dim: int) -> tuple[int, np.
     # Elementwise reduce of the partial arrays: explode to (pos, val),
     # ONE partial-aggregated shuffle of <= d*d groups, nothing else.
     n_total = partials.agg(F.sum("n")).collect()[0][0]
+    if not n_total:
+        # Empty corpus (a filter upstream can legitimately produce one):
+        # no moments exist. Zero mean/cov keep every consumer total —
+        # scoring selects over the same empty input, so the result is
+        # empty either way — instead of a float/None crash here.
+        return 0, np.zeros(dim), np.zeros((dim, dim))
     moments = (
         partials.select(
             F.posexplode(F.concat(F.col("s"), F.col("g"))).alias("pos", "val")
@@ -104,7 +110,10 @@ def top_component(cov: np.ndarray, iters: int = POWER_ITERS) -> np.ndarray:
     v = np.full(d, 1.0 / np.sqrt(d))
     for _ in range(iters):
         w = cov @ v
-        v = w / np.linalg.norm(w)
+        norm = np.linalg.norm(w)
+        if norm == 0.0:  # zero matrix (empty/degenerate corpus): any
+            return v  # direction is an eigenvector; keep the init
+        v = w / norm
     return v
 
 

@@ -89,6 +89,14 @@ def agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "agg_rollup",
+    # HAVING count(*) > 0 pins the one grouping-sets edge where the
+    # engines' NATIVE semantics diverge: on EMPTY input the SQL standard
+    # (and DuckDB) emit the global () row, but Spark's Expand-based
+    # implementation emits no rows at all. On non-empty input every
+    # grouping-set row has count >= 1, so the clause provably changes
+    # nothing there — it makes the oracle a true twin of Spark's
+    # behavior across all inputs (same clause on the cube /
+    # grouping-sets / grouping-id twins).
     oracle="""
     SELECT r_name AS region_name,
            n_name AS nation_name,
@@ -98,6 +106,7 @@ def agg_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    HAVING count(*) > 0
     ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST
     """,
 )
@@ -127,6 +136,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                  AS n_rows
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
 )
@@ -153,6 +163,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                    AS n_orders
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    HAVING count(*) > 0
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 )
@@ -779,6 +790,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(o_totalprice), 0)     AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 )

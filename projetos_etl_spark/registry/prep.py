@@ -3632,13 +3632,33 @@ def quality_parquet_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows, kmin, kmax, nulls = 0, None, None, 0
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
+        if g.num_rows == 0:
+            # A zero-row group (e.g. an empty table's single group)
+            # carries no statistics object at all — nothing to audit,
+            # and min/max stay NULL exactly like the oracle's
+            # min()/max() over zero rows.
+            continue
         n_rows += g.num_rows
         ks = g.column(key_idx).statistics
+        if ks is None:
+            # Data without footer stats: the audit CANNOT vouch for
+            # pruning safety — that is a finding, not a crash path.
+            raise ValueError(
+                f"row group {rg} has rows but no l_orderkey statistics; "
+                "footer-based pruning over this file is unsafe"
+            )
         kmin = ks.min if kmin is None else min(kmin, ks.min)
         kmax = ks.max if kmax is None else max(kmax, ks.max)
         nulls += g.column(flag_idx).statistics.null_count
     return spark.createDataFrame(
-        [(n_rows, int(kmin), int(kmax), nulls)],
+        [
+            (
+                n_rows,
+                None if kmin is None else int(kmin),
+                None if kmax is None else int(kmax),
+                nulls,
+            )
+        ],
         "n_rows long, min_orderkey long, max_orderkey long, n_null_returnflag long",
     )
 
@@ -3706,9 +3726,9 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
     ).localCheckpoint(eager=True)
     w = logreg_gd(feats, ["x0", "x1", "x2"], "y")
+    rows = [] if w is None else [(j + 1, round(w[j], 6)) for j in range(3)]
     return spark.createDataFrame(
-        [(j + 1, round(w[j], 6)) for j in range(3)],
-        "feature_idx int, weight double",
+        rows, "feature_idx int, weight double"
     ).orderBy("feature_idx")
 
 

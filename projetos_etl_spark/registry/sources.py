@@ -187,6 +187,9 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink_jdbc_batch(sup, url, "supplier_wh", mode="overwrite", properties=props)
     hi = sup.agg(F.max("s_suppkey")).collect()[0][0]  # 1-row bound lookup
+    # max() over an EMPTY warehouse table is NULL: bounds of [0, 1) plan
+    # 4 range queries that each fetch nothing — the scan stays total
+    # instead of crashing on int(None).
     back = scan_jdbc(
         spark,
         url,
@@ -194,7 +197,7 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_column="s_suppkey",
         num_partitions=4,
         lower_bound=0,
-        upper_bound=int(hi) + 1,
+        upper_bound=1 if hi is None else int(hi) + 1,
         properties=props,
     )
     return back.select(
@@ -227,8 +230,12 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("part_")
     orders = load_table(spark, sf_dir, "orders")
     sink_partitioned(orders, out, ["o_orderstatus"])
+    # Pin the layer schema on read-back (the production-reader
+    # discipline): an EMPTY increment writes no data files, and a
+    # schema-less read of the bare directory would fail with
+    # UNABLE_TO_INFER_SCHEMA instead of returning the empty slice.
     return (
-        spark.read.parquet(out)
+        spark.read.schema(orders.schema).parquet(out)
         .filter(F.col("o_orderstatus") == "F")
         .groupBy("o_orderpriority")
         .agg(
@@ -377,7 +384,16 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "maintenance_compact_small_files",
-    oracle="SELECT CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after, count(*) AS n_rows FROM orders",
+    # The empty branch mirrors Spark's writer behavior on a zero-row
+    # table: both the fragmented write (AQE coalesces the empty
+    # repartition(64) to one task) and the compaction emit exactly one
+    # empty part file, so the layer stays readable.
+    oracle="""
+    SELECT CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 64 END AS BIGINT) AS files_before,
+           CAST(CASE WHEN count(*) = 0 THEN 1 ELSE 4 END AS BIGINT) AS files_after,
+           count(*) AS n_rows
+    FROM orders
+    """,
 )
 def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the table-maintenance job every parquet
@@ -614,11 +630,16 @@ def maintenance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     base = scratch_dir("retention_") + "/layer"
-    ev.withColumn("d", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")).write.partitionBy(
-        "d"
-    ).parquet(base)
+    layer = ev.withColumn(
+        "d", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    layer.write.partitionBy("d").parquet(base)
     retention_sweep(spark, base, "ts", RETENTION_CUTOFF)
-    kept = spark.read.parquet(base)
+    # Pin the layer schema on read-back (production-reader discipline):
+    # an EMPTY layer has no partition directories to infer from, and a
+    # fully-swept layer must read back as zero surviving rows, not as
+    # an UNABLE_TO_INFER_SCHEMA failure.
+    kept = spark.read.schema(layer.schema).parquet(base)
     return (
         kept.groupBy(F.col("d").cast("string").alias("day"))
         .agg(
@@ -786,8 +807,12 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         ).partitionBy("o_orderstatus").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Pin the layer schema on read-back (production-reader discipline):
+    # an EMPTY source writes no partition directories, and the rerun of
+    # an empty increment must read back as an empty table, not fail
+    # schema inference.
     return (
-        spark.read.parquet(out)
+        spark.read.schema(orders.schema).parquet(out)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -832,22 +857,28 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
         .select("doc_id", F.regexp_replace("text", "\n", " ").alias("text"))
     )
+    corpus_md5 = F.md5(
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("doc_id"),
+                        F.md5(F.col("text").cast("binary")).alias("h"),
+                    )
+                )
+            ).getField("h"),
+        ).cast("binary")
+    )
     return back.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
-        F.md5(
-            F.concat_ws(
-                "",
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("doc_id"),
-                            F.md5(F.col("text").cast("binary")).alias("h"),
-                        )
-                    )
-                ).getField("h"),
-            ).cast("binary")
-        ).alias("corpus_md5"),
+        # A digest of an EMPTY corpus is undefined -> NULL (the engine's
+        # degenerate convention), matching SQL string_agg over zero rows
+        # — not md5('') which would claim a checksum for no content.
+        F.when(F.count(F.lit(1)) > 0, corpus_md5)
+        .otherwise(F.lit(None))
+        .alias("corpus_md5"),
     )
 
 

@@ -782,6 +782,16 @@ def stream_upsert_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(watch, ignore_errors=True)  # stream done; drop the drop-zone
 
     final_version = current_version(table_dir)
+    if final_version == 0:
+        # No event ever arrived: neither epoch committed, so there is
+        # no table version to read — an empty stream upserts an empty
+        # table (the oracle aggregates the same zero rows), it doesn't
+        # crash the sink job.
+        return spark.createDataFrame(
+            [],
+            "user_id long, n_events long, sum_value double, "
+            "last_ts string, multi_commit boolean",
+        )
     return (
         read(spark, table_dir)
         .select(
