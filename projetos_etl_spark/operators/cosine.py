@@ -337,7 +337,9 @@ def ivf_pq_topk(
         lut = [
             [
                 float(qv[s * sub_dim : (s + 1) * sub_dim] @ codebooks[s][c])
-                for c in range(n_codes)
+                # a tiny corpus trains fewer than n_codes codes — the
+                # LUT covers exactly the codes that exist
+                for c in range(codebooks.shape[1])
             ]
             for s in range(n_subspaces)
         ]
@@ -619,7 +621,9 @@ def pq_adc_topk(
         lut = [
             [
                 float(qv[s * sub_dim : (s + 1) * sub_dim] @ codebooks[s][c])
-                for c in range(n_codes)
+                # a tiny corpus trains fewer than n_codes codes — the
+                # LUT covers exactly the codes that exist
+                for c in range(codebooks.shape[1])
             ]
             for s in range(n_subspaces)
         ]

@@ -122,6 +122,15 @@ def pca_scores(
 ) -> DataFrame:
     """(id, pc1_score) for every vector: score = (x - mean) . v1."""
     n, mu, cov = covariance_matrix(vecs, vec_col, dim)
+    if not np.any(cov):
+        # Degenerate corpus (a single vector, or one vector duplicated):
+        # the rounded covariance is all-zero, so no principal direction
+        # exists — scores are undefined -> NULL, exactly what the SQL
+        # twin's power-iteration replay propagates (0-norm division
+        # NULLs v, and 0 * NULL is NULL).
+        return vecs.select(
+            F.col(id_col), F.lit(None).cast("double").alias("pc1_score")
+        ).orderBy(id_col)
     v1 = top_component(cov)
     # The dot product against the broadcast-literal component: zip the
     # centered vector with v1 and fold — sequential, codegen-only.

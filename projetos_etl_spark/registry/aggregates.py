@@ -1215,11 +1215,14 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "col_x",
         "col_y",
+        # try_divide: a zero variance (single-row or constant column)
+        # makes the correlation undefined -> NULL, matching the SQL
+        # twin's x/0 -> NULL instead of an ANSI DIVIDE_BY_ZERO.
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
+            F.try_divide(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
                 F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
             ),
             6,
         ).alias("corr"),

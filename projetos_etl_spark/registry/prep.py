@@ -2010,8 +2010,14 @@ def quality_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.round(-F.sum(p_i * F.log(p_i)), 6).alias("entropy_nats"),
+            # try_divide: a single-valued column has log(k)=0 capacity —
+            # normalized entropy is undefined -> NULL (SQL-twin x/0
+            # semantics), not an ANSI DIVIDE_BY_ZERO.
             F.round(
-                -F.sum(p_i * F.log(p_i)) / F.log(F.col("k").cast("double")), 6
+                F.try_divide(
+                    -F.sum(p_i * F.log(p_i)), F.log(F.col("k").cast("double"))
+                ),
+                6,
             ).alias("normalized_entropy"),
         )
         .select(
@@ -3108,7 +3114,14 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
     )
-    ms = F.sort_array(F.collect_list("m"))
+    # collect_list DROPS NULL elements but DuckDB's list() KEEPS them —
+    # and a replicate whose every weight drew 0 (a near-certainty for
+    # single-row groups, p = 0.37^n) has m = 0/0 = NULL. Collect structs
+    # (never NULL even when the field is) and extract, so both engines
+    # index the same 64-slot NULLS-FIRST-sorted array: the CI of a
+    # degenerate group degrades to NULL identically instead of an
+    # INVALID_ARRAY_INDEX on a shrunken array.
+    ms = F.sort_array(F.collect_list(F.struct(F.col("m")))).getField("m")
     return (
         reps.groupBy("status")
         .agg(
@@ -3790,13 +3803,20 @@ def quality_chisq_categorical_drift(spark: SparkSession, sf_dir: str) -> DataFra
     tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     ea = (F.col("a") + F.col("b")) * F.col("na") * 1.0 / (F.col("na") + F.col("nb"))
     eb = (F.col("a") + F.col("b")) * F.col("nb") * 1.0 / (F.col("na") + F.col("nb"))
+    # try_divide: a zero expected count (one half of the split empty —
+    # a single-row stream puts its median row wholly in half A) NULLs
+    # that category's contribution, and NULL + x NULLs the row — the
+    # exact x/0 -> NULL fold DuckDB applies to the same formula, so
+    # chi_squared degrades to NULL identically instead of an ANSI
+    # DIVIDE_BY_ZERO killing the audit.
     return counts.crossJoin(F.broadcast(tot)).agg(
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         F.max("na").cast("long").alias("n_first_half"),
         F.max("nb").cast("long").alias("n_second_half"),
         F.round(
             F.sum(
-                F.pow(F.col("a") - ea, 2) / ea + F.pow(F.col("b") - eb, 2) / eb
+                F.try_divide(F.pow(F.col("a") - ea, 2), ea)
+                + F.try_divide(F.pow(F.col("b") - eb, 2), eb)
             ),
             6,
         ).alias("chi_squared"),

@@ -98,13 +98,21 @@ RECALL_FLOOR = 0.8
 
 
 def _ann_contract_oracle() -> str:
+    # The count() gate mirrors the Spark side's: the planted-probe
+    # construction needs vec_ids [0, 2*N_PROBES) to exist, so on a
+    # corpus smaller than that the audit ABSTAINS (empty result) in
+    # both engines rather than pinning clauses the fixture can't
+    # support. Tiny corpora remain covered by the exact/LSH tiers,
+    # which are defined at any size.
     return f"""
     SELECT CAST(vec_id AS INTEGER) AS query_id,
            {TOP_K} AS k_returned,
            TRUE AS ranks_contiguous,
            TRUE AS scores_exact,
            TRUE AS planted_recall_ok
-    FROM embeddings WHERE vec_id < {N_QUERIES}
+    FROM embeddings
+    WHERE vec_id < {N_QUERIES}
+      AND (SELECT count(*) FROM embeddings) >= {2 * N_PROBES}
     ORDER BY query_id
     """
 
@@ -115,6 +123,18 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
     from projetos_etl_spark.operators.cosine import as_double_array, cosine
 
     emb = _t(spark, sf_dir, "embeddings")
+    if emb.count() < 2 * N_PROBES:
+        # The planted-probe construction needs vec_ids [0, 2*N_PROBES);
+        # below that the audit abstains (empty, mirrored by the oracle's
+        # count() gate) instead of asserting clauses — e.g. a full TOP_K
+        # shortlist — that a tiny corpus cannot satisfy. The count is a
+        # parquet metadata-only job, negligible beside quantizer
+        # training.
+        return spark.createDataFrame(
+            [],
+            "query_id int, k_returned int, ranks_contiguous boolean, "
+            "scores_exact boolean, planted_recall_ok boolean",
+        )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     res = tier_fn(queries, emb, k=TOP_K)
 

@@ -699,13 +699,19 @@ def stream_session_close_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     # The streamed two-epoch merge must land exactly where one batch
     # aggregate lands; sums ride integer cents so the two-stage
     # accumulation cannot drift from the oracle's single pass.
+    # multi_commit is computed, not pinned TRUE: a commit happens per
+    # NON-EMPTY epoch (epochs split on event_id parity), so a stream
+    # whose events are all one parity legitimately commits once —
+    # degenerate-but-valid input, same convention as the empty-stream
+    # empty result.
     oracle=f"""
     SELECT user_id,
            count(*) AS n_events,
            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
                AS sum_value,
            strftime(max(ts), '{TS_FMT_DUCK}') AS last_ts,
-           TRUE AS multi_commit
+           (SELECT count(DISTINCT event_id % 2) FROM events) = 2
+               AS multi_commit
     FROM events
     GROUP BY user_id
     ORDER BY user_id

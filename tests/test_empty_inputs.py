@@ -131,3 +131,88 @@ def test_kmeans_seeds_min_k_n_clusters(spark):
     cents = kmeans_lloyd(df, "vid", "vec", k=5, iters=2)
     assert len(cents) == 2
     assert kmeans_lloyd(df.limit(0), "vid", "vec", k=5, iters=2) == {}
+
+
+# -- single-row / degenerate-size inputs (the second audit axis) -------------
+
+
+@pytest.fixture(scope="module")
+def onerow_sf(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("sf_onerow")
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(SRC_SF, f"{t}.parquet"))
+        pq.write_table(tab.slice(0, 1), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_undefined_statistics_are_null_on_one_row(spark, queries, onerow_sf):
+    # One row: zero variance, a one-sided median split, a single-valued
+    # column, all-zero bootstrap weights — every statistic that divides
+    # by these degrades to NULL (matching SQL x/0 -> NULL), never an
+    # ANSI DIVIDE_BY_ZERO.
+    corr = queries["agg_corr_matrix"](spark, onerow_sf).collect()
+    assert len(corr) == 6 and all(r["corr"] is None for r in corr)
+
+    chi = queries["quality_chisq_categorical_drift"](spark, onerow_sf).collect()[0]
+    assert chi["n_second_half"] == 0 and chi["chi_squared"] is None
+
+    ent = queries["quality_entropy_profile"](spark, onerow_sf).collect()[0]
+    assert ent["n_distinct"] == 1 and ent["normalized_entropy"] is None
+
+
+def test_bootstrap_keeps_null_replicates_in_order_statistics(
+    spark, queries, onerow_sf
+):
+    # A single-row group draws weight 0 on some (here: all) replicates;
+    # their means are NULL and must stay IN the sorted 64-slot array
+    # (DuckDB list() keeps NULLs; collect_list would drop them and the
+    # CI indexes crash or shift).
+    row = queries["sample_poisson_bootstrap"](spark, onerow_sf).collect()[0]
+    assert row["n_replicates"] == 64
+    assert row["boot_mean"] is None
+    assert row["ci_lo"] is None and row["ci_hi"] is None
+
+
+def test_pca_scores_null_when_no_direction_exists(spark, queries, tmp_path):
+    # Constant corpus with n > 1: covariance is all-zero, so the top
+    # component is undefined -> NULL scores (the oracle's replay
+    # propagates the same NULL through its 0-norm division).
+    import pyarrow as pa
+
+    v = [0.5] * 64
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(3), pa.int64()),
+                "embedding": pa.array([v, v, v], pa.list_(pa.float32())),
+                "label": pa.array([0, 1, 0], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = queries["emb_pca_top_component"](spark, str(tmp_path)).collect()
+    assert len(rows) == 3 and all(r["pc1_score"] is None for r in rows)
+
+
+def test_ann_contract_abstains_below_probe_range(spark, queries, onerow_sf):
+    # The planted-probe audit needs vec_ids [0, 2*N_PROBES); below that
+    # both engines return an empty contract instead of pinning clauses
+    # a tiny corpus cannot satisfy.
+    for entry in ("sim_search_ivf", "sim_search_pq_adc", "sim_search_ivf_pq"):
+        assert queries[entry](spark, onerow_sf).count() == 0, entry
+
+
+def test_single_parity_stream_commits_once(spark, queries, onerow_sf):
+    # Epochs split on event_id parity; one row is one parity, so only
+    # one epoch commits and multi_commit is honestly False.
+    row = queries["stream_upsert_tablelog"](spark, onerow_sf).collect()[0]
+    assert row["n_events"] == 1 and row["multi_commit"] is False
+
+
+def test_compaction_counts_null_below_fragment_count(spark, queries, onerow_sf):
+    # 0 < n < 64: physical file counts are writer/AQE internals, not a
+    # contract — both engines report NULL (pinned 64->4 at n >= 64 and
+    # 1->1 at n = 0).
+    row = queries["maintenance_compact_small_files"](spark, onerow_sf).collect()[0]
+    assert row["n_rows"] == 1
+    assert row["files_before"] is None and row["files_after"] is None
