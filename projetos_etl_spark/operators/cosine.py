@@ -219,6 +219,12 @@ def ivf_topk(
     recall/cost dial (n_probe=n_cells is exact search)."""
     from pyspark.sql import Window
 
+    # NULL vectors have no position in space: they cannot be quantized
+    # into a cell nor probe one — excluded from index and query sides
+    # (same rule in the PQ tiers; the exact/LSH tiers exclude them
+    # naturally via NULL buckets / 0.0 similarity).
+    candidates = candidates.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     centroids = train_ivf_centroids(candidates, id_col, vec_col, n_cells)
     if centroids.shape[0] == 0:
         return _empty_topk(queries.sparkSession)
@@ -302,6 +308,8 @@ def ivf_pq_topk(
     # cluster means, ulp-level input jitter moves no assignment that
     # wasn't already a coin flip, and the exact rerank absorbs any
     # residual), but codebooks may differ at the ulp from a two-draw run.
+    candidates = candidates.filter(F.col(vec_col).isNotNull())  # see ivf_topk
+    queries = queries.filter(F.col(vec_col).isNotNull())
     x_raw = _train_sample(candidates, id_col, vec_col, TRAIN_SAMPLE, 997)
     if x_raw.shape[0] == 0:
         return _empty_topk(queries.sparkSession)  # empty corpus
@@ -602,6 +610,8 @@ def pq_adc_topk(
     (probe-then-ADC) for sublinear stage-1 scans."""
     from pyspark.sql import Window
 
+    candidates = candidates.filter(F.col(vec_col).isNotNull())  # see ivf_topk
+    queries = queries.filter(F.col(vec_col).isNotNull())
     codebooks = train_pq_codebooks(
         candidates, id_col, vec_col, dim, n_subspaces, n_codes
     )

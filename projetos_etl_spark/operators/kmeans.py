@@ -68,8 +68,13 @@ def kmeans_lloyd(
     not the compiler."""
     spark = vecs.sparkSession
     x = F.col(vec_col).cast("array<double>")
-    data = vecs.select(F.col(id_col).alias("__id"), x.alias("__x")).localCheckpoint(
-        eager=True
+    # NULL vectors have no position in space: excluded from seeding and
+    # assignment (the oracle twin filters identically). A crash here —
+    # list(None) at seed collect — would kill the job for one bad row.
+    data = (
+        vecs.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), x.alias("__x"))
+        .localCheckpoint(eager=True)
     )
     init = data.orderBy("__id").limit(k).collect()
     cents: dict[int, list[float]] = {int(r["__id"]): list(r["__x"]) for r in init}

@@ -65,7 +65,12 @@ def fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """Deterministic decode STUB (stands in for PIL/ffmpeg): derives
     (n_bytes, width, height, n_frames) from the byte length only, so the
     DuckDB oracle can reproduce it exactly. Replace this one function
-    with a real codec to get real features through the same plan."""
+    with a real codec to get real features through the same plan.
+    NULL payload -> NULL features (a missing media blob is an everyday
+    state in a 100 TB lake; a kernel crash on it would kill the batch —
+    real codec kernels must make the same check)."""
+    if payload is None:
+        return None, None, None, None
     n = len(payload)
     return n, 64 + n % 512, 64 + (n * 7) % 512, n // 1000 + 1
 
@@ -85,13 +90,16 @@ def decode_features(bundled: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [fake_decode(b) for b in pdf["media"]]
+            # nullable Int64: NULL-media rows carry None features, and a
+            # plain list would become float64 (NaN), which Arrow refuses
+            # to cast to the integer result schema.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [f[0] for f in feats],
-                    "width": [f[1] for f in feats],
-                    "height": [f[2] for f in feats],
-                    "n_frames": [f[3] for f in feats],
+                    "n_bytes": pd.array([f[0] for f in feats], dtype="Int64"),
+                    "width": pd.array([f[1] for f in feats], dtype="Int64"),
+                    "height": pd.array([f[2] for f in feats], dtype="Int64"),
+                    "n_frames": pd.array([f[3] for f in feats], dtype="Int64"),
                 }
             )
 
@@ -151,7 +159,12 @@ def transcode_stub(bundled: DataFrame, max_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "out_media": [bytes(b)[:max_bytes] for b in pdf["media"]],
+                    # NULL media -> NULL output (same rule as
+                    # fake_decode: missing blobs must not kill the batch)
+                    "out_media": [
+                        None if b is None else bytes(b)[:max_bytes]
+                        for b in pdf["media"]
+                    ],
                 }
             )
 

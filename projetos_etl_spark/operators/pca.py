@@ -61,8 +61,14 @@ def covariance_matrix(vecs: DataFrame, vec_col: str, dim: int) -> tuple[int, np.
     All rounding happens in Spark SQL (HALF_UP, = DuckDB ``round``), not
     numpy (ties-to-even), so the oracle twin folds identical decimals.
     """
-    partials = vecs.select(F.col(vec_col).cast("array<double>").alias("v")).mapInPandas(
-        _gram_partials, schema="n long, s array<double>, g array<double>"
+    # NULL vectors carry no moments (the SQL twin's sums skip them the
+    # same way); without the filter np.stack crashes on the first None
+    # in a batch. Scoring stays over ALL rows — a NULL vector's centered
+    # dot product is NULL, so its pc1_score is NULL in both engines.
+    partials = (
+        vecs.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInPandas(_gram_partials, schema="n long, s array<double>, g array<double>")
     )
     # Elementwise reduce of the partial arrays: explode to (pos, val),
     # ONE partial-aggregated shuffle of <= d*d groups, nothing else.

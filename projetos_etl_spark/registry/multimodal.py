@@ -88,10 +88,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "multimodal_transcode_roundtrip",
+    # substr-then-measure instead of least(octet_length(...), 64):
+    # DuckDB's least() IGNORES NULLs (Postgres-style), so a NULL payload
+    # would report 64 bytes instead of NULL; substr(NULL) propagates.
+    # Byte-equivalent for the ASCII stand-in text this entry documents.
     oracle="""
     SELECT doc_id,
-           least(octet_length(encode(text)), 64) AS out_bytes,
-           md5(substr(text, 1, 64))              AS out_md5
+           octet_length(encode(substr(text, 1, 64))) AS out_bytes,
+           md5(substr(text, 1, 64))                  AS out_md5
     FROM documents
     """,
 )

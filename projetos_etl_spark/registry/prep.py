@@ -704,10 +704,15 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge so float totals match the oracle bit-for-bit after 2 dp
     rounding."""
     ev = load_table(spark, sf_dir, "events")
+    # Two partial counts: row count (n_events = count(*)) and NON-NULL
+    # value count — avg's mergeable decomposition is sum/count(value),
+    # not sum/count(*), or a NULL-holed day silently deflates the
+    # average the oracle's avg() computes by skipping NULLs.
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("p_cnt"),
+            F.count("value").alias("p_cnt_val"),
             F.sum("value").alias("p_sum"),
             F.min("value").alias("p_min"),
             F.max("value").alias("p_max"),
@@ -716,7 +721,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = daily.groupBy("event_type").agg(
         F.sum("p_cnt").cast("long").alias("n_events"),
         F.sum("p_sum").alias("m_sum"),
-        F.sum("p_cnt").alias("m_cnt"),
+        F.sum("p_cnt_val").alias("m_cnt"),
         F.min("p_min").alias("m_min"),
         F.max("p_max").alias("m_max"),
     )
@@ -724,7 +729,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         F.round("m_sum", 2).alias("total_value"),
-        F.round(F.col("m_sum") / F.col("m_cnt"), 6).alias("avg_value"),
+        F.round(F.try_divide(F.col("m_sum"), F.col("m_cnt")), 6).alias("avg_value"),
         F.round("m_min", 6).alias("min_value"),
         F.round("m_max", 6).alias("max_value"),
     ).orderBy("event_type")
@@ -1959,10 +1964,19 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("hour", "ts"), HOUR_FMT_SPARK).alias("hour"),
         )
         .agg(
-            F.round(F.min_by("value", "ts"), 6).alias("open"),
+            # Anchor on the ts only where the value is non-NULL: a NULL
+            # tick is not a price. min_by/max_by skip NULL ordering
+            # keys, so this reproduces DuckDB arg_min/arg_max's
+            # ignore-NULL-arg semantics; an all-NULL bar opens/closes
+            # NULL in both engines. n_ticks stays count(*).
+            F.round(
+                F.min_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))), 6
+            ).alias("open"),
             F.round(F.max("value"), 6).alias("high"),
             F.round(F.min("value"), 6).alias("low"),
-            F.round(F.max_by("value", "ts"), 6).alias("close"),
+            F.round(
+                F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))), 6
+            ).alias("close"),
             F.count(F.lit(1)).cast("long").alias("n_ticks"),
         )
         .orderBy("user_id", "hour")
@@ -4221,12 +4235,18 @@ def quality_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cum_neg(<s)] + sum[n_pos(s)*n_neg(s)]) / (2*n_pos*n_neg) — the
     # Mann-Whitney U with tie-averaging, every term an exact integer
     # until ONE final division (bit-identical cross-engine).
+    # WHERE value IS NOT NULL: an unscored row cannot be ranked — and
+    # the engines would otherwise place the NULL-score group at
+    # OPPOSITE ends of the ROC sweep (Spark windows order NULLS FIRST,
+    # DuckDB NULLS LAST), silently shifting every cumulative count.
+    # Excluding unscored rows identically is the only rank-stable
+    # convention.
     oracle="""
     WITH g AS (
         SELECT value,
                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
                sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
-        FROM events GROUP BY value
+        FROM events WHERE value IS NOT NULL GROUP BY value
     ), c AS (
         SELECT np, nn,
                COALESCE(sum(nn) OVER (ORDER BY value
@@ -4249,8 +4269,10 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, the ordered window runs over that collapsed grid, and all
     arithmetic stays integer until the single final division. At 100 TB
     the grid (not the rows) bounds the window; for truly continuous
-    scores bucket the grid first (same identity per bucket)."""
-    ev = load_table(spark, sf_dir, "events")
+    scores bucket the grid first (same identity per bucket). Unscored
+    (NULL-value) rows are excluded — they cannot be ranked, and engines
+    disagree on where NULL sorts (see the oracle comment)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     g = ev.groupBy("value").agg(
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
         F.sum((F.col("event_type") != "purchase").cast("long")).alias("nn"),
@@ -4594,14 +4616,18 @@ def ml_ridge_regression_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame
     # bin's mean score is the fixed expression sum(k)/(n-1)/count over
     # exact integers — no float accumulation whose partition order
     # could differ per engine (r6 ADVICE; avg(score) was the hazard).
+    # WHERE value IS NOT NULL: same rank-stability rule as
+    # eval_auc_roc — an unscored row cannot be percent-ranked, and the
+    # engines sort NULL to opposite ends of the rank window.
     oracle="""
-    WITH tot AS (SELECT count(*) AS n_all FROM events),
+    WITH nn AS (SELECT * FROM events WHERE value IS NOT NULL),
+    tot AS (SELECT count(*) AS n_all FROM nn),
     scored AS (
         SELECT CAST(event_type = 'purchase' AS INTEGER) AS pos,
                CAST(row_number() OVER (ORDER BY value, event_id) - 1
                     AS BIGINT) AS k,
                tot.n_all AS n_all
-        FROM events CROSS JOIN tot
+        FROM nn CROSS JOIN tot
     ),
     binned AS (
         SELECT least(CAST(floor(CAST(k AS DOUBLE) / (n_all - 1) * 10)
@@ -4632,8 +4658,10 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile reduce (the ``feat_quantile_bucketize`` shape) and keep
     the per-bin aggregates identical. The rank's integer numerator k
     rides along so the bin's mean score is sum(k)/(n-1)/count — a fixed
-    expression over exact integers, never a float accumulation."""
-    ev = load_table(spark, sf_dir, "events")
+    expression over exact integers, never a float accumulation.
+    Unscored (NULL-value) rows are excluded, same rule as
+    ``eval_auc_roc``."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     total = ev.agg(F.count(F.lit(1)).alias("n_all"))
     w = Window.orderBy("value", "event_id")
     scored = ev.crossJoin(F.broadcast(total)).select(

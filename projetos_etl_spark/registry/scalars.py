@@ -256,9 +256,13 @@ def udf_pandas_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "udf_scalar",
+    # NULL value -> NULL tier, stated explicitly: SQL CASE would
+    # otherwise fall through NULL comparisons to 'low', silently
+    # conflating "unknown" with the lowest tier.
     oracle="""
     SELECT event_id,
-           CASE WHEN value >= 300 THEN 'high'
+           CASE WHEN value IS NULL THEN NULL
+                WHEN value >= 300 THEN 'high'
                 WHEN value >= 100 THEN 'mid'
                 ELSE 'low' END AS tier
     FROM events
@@ -267,10 +271,15 @@ def udf_pandas_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF — registered to cover the surface, kept out
     of every other query's hot path on purpose (per-row serde; ~10-100x
-    slower than the pandas UDF above at scale)."""
+    slower than the pandas UDF above at scale). NULL in -> NULL out: a
+    Python UDF receives SQL NULL as ``None``, and ``None >= 300`` is a
+    TypeError — every row-level UDF must handle the NULL case itself
+    (built-in expressions get this propagation for free)."""
 
     @F.udf("string")
     def tier(v: float) -> str:
+        if v is None:
+            return None
         return "high" if v >= 300 else ("mid" if v >= 100 else "low")
 
     return _t(spark, sf_dir, "events").select(
@@ -388,7 +397,14 @@ def udtf_chunk_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_id int, chunk string")
     class ChunkTokens:
         def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
-            toks = (text or "").split(" ")
+            if text is None:
+                # NULL text -> one NULL chunk: the document stays
+                # present (inner LATERAL would drop it on zero rows)
+                # and NULL propagates, matching the SQL twin's
+                # slice-of-NULL-list semantics.
+                yield 0, None
+                return
+            toks = text.split(" ")
             for i in range(0, max(len(toks), 1), CHUNK_TOKENS):
                 yield i // CHUNK_TOKENS, " ".join(toks[i : i + CHUNK_TOKENS])
 
@@ -605,8 +621,14 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regex_extract_all",
     oracle="""
     SELECT doc_id,
-           coalesce(array_to_string(regexp_extract_all(text, '\\b(ba[a-z]+)\\b'), ','), '')
-               AS b_words,
+           -- two NULL sources to keep apart: NULL text -> NULL
+           -- extraction (Spark propagation), but a non-null NO-MATCH is
+           -- '' — DuckDB's array_to_string([]) is NULL (unlike Spark's
+           -- array_join), hence coalesce INSIDE the CASE only
+           CASE WHEN text IS NULL THEN NULL
+                ELSE coalesce(array_to_string(
+                         regexp_extract_all(text, '\\b(ba[a-z]+)\\b'), ','), '')
+           END AS b_words,
            CAST(len(regexp_extract_all(text, '\\b(ba[a-z]+)\\b')) AS BIGINT)
                AS n_b_words,
            regexp_extract(text, '\\b(s[a-z]+)\\b', 1)         AS first_s_word
@@ -695,8 +717,14 @@ def fn_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_long_keys,
            CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT)
                AS sum_len,
-           coalesce(array_to_string(list_sort(list_filter(ts, t -> length(t) >= 6)), ','), '')
-               AS long_keys_sorted
+           -- NULL text -> NULL key list (Spark propagation), but a
+           -- non-null doc with NO long keys is '' — DuckDB's
+           -- array_to_string([]) is NULL (unlike Spark's array_join),
+           -- hence coalesce INSIDE the CASE only
+           CASE WHEN ts IS NULL THEN NULL
+                ELSE coalesce(array_to_string(
+                         list_sort(list_filter(ts, t -> length(t) >= 6)), ','), '')
+           END AS long_keys_sorted
     FROM toks ORDER BY doc_id
     """,
 )

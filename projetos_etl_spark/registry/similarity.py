@@ -112,7 +112,9 @@ def _ann_contract_oracle() -> str:
            TRUE AS planted_recall_ok
     FROM embeddings
     WHERE vec_id < {N_QUERIES}
-      AND (SELECT count(*) FROM embeddings) >= {2 * N_PROBES}
+      AND embedding IS NOT NULL
+      AND (SELECT count(*) FROM embeddings
+           WHERE embedding IS NOT NULL) >= {2 * N_PROBES}
     ORDER BY query_id
     """
 
@@ -123,7 +125,12 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
     from projetos_etl_spark.operators.cosine import as_double_array, cosine
 
     emb = _t(spark, sf_dir, "embeddings")
-    if emb.count() < 2 * N_PROBES:
+    # NULL embeddings can't be indexed, queried, or probed: every leg
+    # of the audit (queries, exact-cosine recompute, planted probes)
+    # works off the non-null corpus, mirroring the tiers' own filters
+    # and the oracle's IS NOT NULL gate.
+    valid = emb.filter(F.col("embedding").isNotNull())
+    if valid.count() < 2 * N_PROBES:
         # The planted-probe construction needs vec_ids [0, 2*N_PROBES);
         # below that the audit abstains (empty, mirrored by the oracle's
         # count() gate) instead of asserting clauses — e.g. a full TOP_K
@@ -135,12 +142,12 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
             "query_id int, k_returned int, ranks_contiguous boolean, "
             "scores_exact boolean, planted_recall_ok boolean",
         )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    queries = valid.filter(F.col("vec_id") < N_QUERIES)
     res = tier_fn(queries, emb, k=TOP_K)
 
     # Re-derive the exact cosine for every returned pair (broadcast the
     # tiny query/result sides; the corpus join is the only big side).
-    vecs = emb.select(
+    vecs = valid.select(
         F.col("vec_id"), as_double_array(F.col("embedding")).alias("v")
     )
     qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
@@ -191,14 +198,24 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
             "va", "vb", lambda x, y: x + F.lit(float(PROBE_EPS)) * y
         ).alias("embedding"),
     )
+    # Recall denominator = probes actually CONSTRUCTED (a NULL vector at
+    # either end of a pair drops that probe — vecs is the non-null
+    # corpus, so the join is the filter): on clean fixtures this is
+    # exactly N_PROBES; with NULL holes it stays an honest recall, not
+    # one deflated by probes that never existed. Bounded driver count
+    # (<= N_PROBES rows).
+    n_probes_built = probes.count()
     hits = tier_fn(probes, emb, k=TOP_K).agg(
         (
-            F.sum(
-                (
-                    F.col("neighbor_id") == F.col("query_id") - PROBE_ID_BASE
-                ).cast("int")
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("neighbor_id") == F.col("query_id") - PROBE_ID_BASE
+                    ).cast("int")
+                ),
+                F.lit(0),
             )
-            / F.lit(float(N_PROBES))
+            / F.lit(float(max(n_probes_built, 1)))
             >= RECALL_FLOOR
         ).alias("planted_recall_ok")
     )
@@ -432,15 +449,20 @@ def _pca_oracle() -> str:
     e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    -- moments come from NON-NULL vectors only (count(*) over e would
+    -- deflate mu/cov by counting NULL rows whose sums are skipped);
+    -- the final score SELECT stays over e, so a NULL vector scores
+    -- NULL, exactly like the Spark side's filtered moment pass.
+    env AS (SELECT * FROM e WHERE v IS NOT NULL),
     pos AS (SELECT i FROM generate_series(1, {EMB_DIM}) t(i)),
     mu AS (
         SELECT i, round(sum(v[i]) / count(*), 9) AS m
-        FROM e, pos GROUP BY i
+        FROM env, pos GROUP BY i
     ),
     cov AS (
         SELECT p.i, q.i AS j,
-               round(sum(e.v[p.i] * e.v[q.i]) / count(*) - mi.m * mj.m, 9) AS c
-        FROM e, pos p, pos q
+               round(sum(env.v[p.i] * env.v[q.i]) / count(*) - mi.m * mj.m, 9) AS c
+        FROM env, pos p, pos q
         JOIN mu mi ON mi.i = p.i
         JOIN mu mj ON mj.i = q.i
         GROUP BY p.i, q.i, mi.m, mj.m
@@ -664,6 +686,7 @@ KM_K = 4
     WITH RECURSIVE
     e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     km AS (
         SELECT 0 AS it, CAST(vec_id AS INTEGER) AS cid, x AS c

@@ -216,3 +216,114 @@ def test_compaction_counts_null_below_fragment_count(spark, queries, onerow_sf):
     row = queries["maintenance_compact_small_files"](spark, onerow_sf).collect()[0]
     assert row["n_rows"] == 1
     assert row["files_before"] is None and row["files_after"] is None
+
+
+# -- NULL-holed payload columns (the third audit axis) ------------------------
+
+
+@pytest.fixture(scope="module")
+def nulls_sf(tmp_path_factory) -> str:
+    """sf0.001 with every 10th value/text/embedding NULL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = tmp_path_factory.mktemp("sf_nulls")
+    nullify = {"events": ["value"], "documents": ["text"], "embeddings": ["embedding"]}
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(SRC_SF, f"{t}.parquet"))
+        for col in nullify.get(t, []):
+            idx = tab.schema.get_field_index(col)
+            mask = pa.array([i % 10 == 0 for i in range(tab.num_rows)])
+            tab = tab.set_column(
+                idx,
+                tab.schema.field(col),
+                pc.if_else(
+                    mask,
+                    pa.nulls(tab.num_rows, tab.schema.field(col).type),
+                    tab.column(col).combine_chunks(),
+                ),
+            )
+        pq.write_table(tab, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_python_kernels_propagate_null(spark, queries, nulls_sf):
+    # Row UDF, UDTF, and both mapInPandas media kernels receive SQL NULL
+    # as None and must answer NULL, not crash (None >= 300, None.split,
+    # len(None), bytes(None) all raised before).
+    tiers = {r["event_id"]: r["tier"] for r in queries["udf_scalar"](spark, nulls_sf).collect()}
+    assert None in set(tiers.values()) and "high" in set(tiers.values())
+
+    chunks = queries["udtf_chunk_lateral"](spark, nulls_sf).collect()
+    null_docs = [r for r in chunks if r["chunk"] is None]
+    assert null_docs and all(r["chunk_id"] == 0 for r in null_docs)
+
+    feats = {r["doc_id"]: r for r in queries["multimodal_decode_features"](spark, nulls_sf).collect()}
+    assert feats[0]["n_bytes"] is None and feats[1]["n_bytes"] is not None
+
+    out = {r["doc_id"]: r for r in queries["multimodal_transcode_roundtrip"](spark, nulls_sf).collect()}
+    assert out[0]["out_md5"] is None and out[1]["out_md5"] is not None
+
+
+def test_rank_metrics_exclude_unscored_rows(spark, queries, nulls_sf):
+    # Engines sort NULL to opposite ends of a rank window (Spark NULLS
+    # FIRST, DuckDB NULLS LAST): AUC/calibration exclude unscored rows
+    # entirely, so n_pos + n_neg < total row count here.
+    auc = queries["eval_auc_roc"](spark, nulls_sf).collect()[0]
+    assert auc["n_pos"] + auc["n_neg"] == 900  # 1000 events, 100 NULL values
+    assert auc["auc"] is not None
+
+    bins = queries["eval_calibration_bins"](spark, nulls_sf).collect()
+    assert sum(r["n"] for r in bins) == 900
+
+
+def test_mergeable_avg_counts_only_nonnull_values(spark, queries, tmp_path):
+    import datetime
+
+    import pyarrow as pa
+
+    ts0 = datetime.datetime(2024, 1, 1)
+
+    def at(sec):
+        return ts0 + datetime.timedelta(seconds=sec)
+
+    # the NULL tick is the EARLIEST, so naive min_by would open NULL
+    rows = [(1, at(0), 1, "view", None, "{}"), (2, at(1), 1, "view", 10.0, "{}"),
+            (3, at(2), 1, "view", 20.0, "{}")]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    row = queries["incremental_agg_merge"](spark, str(tmp_path)).collect()[0]
+    # avg over the two non-NULL values, not sum/count(*) = 10.
+    assert row["n_events"] == 3 and row["avg_value"] == pytest.approx(15.0)
+
+    bar = queries["ts_ohlc_bars"](spark, str(tmp_path)).collect()[0]
+    # the NULL tick is not a price: open anchors on the first NON-NULL.
+    assert bar["open"] == pytest.approx(10.0) and bar["close"] == pytest.approx(20.0)
+    assert bar["n_ticks"] == 3
+
+
+def test_null_vectors_excluded_from_training_and_index(spark, queries, nulls_sf):
+    # vec 0 is NULL: it can be neither a query nor a neighbor in the
+    # trained tiers; the audit runs over the 9 valid queries.
+    for entry in ("sim_search_ivf", "sim_search_pq_adc", "sim_search_ivf_pq"):
+        rows = queries[entry](spark, nulls_sf).collect()
+        assert len(rows) == 9, entry
+        assert all(r["scores_exact"] for r in rows), entry
+
+    # PCA: NULL vectors carry no moments but still appear with NULL score.
+    scores = {r["vec_id"]: r["pc1_score"] for r in queries["emb_pca_top_component"](spark, nulls_sf).collect()}
+    assert scores[0] is None and scores[1] is not None
+
+    # k-means trains on the non-null corpus without crashing.
+    assert queries["ml_kmeans_lloyd"](spark, nulls_sf).count() == 4 * 64
