@@ -633,3 +633,18 @@ def test_kcore_one_edge_join_checkpointed_leaves_no_window(spark, queries):
     assert has_operator(df, "HashAggregate")  # the degree count
     # Exactly one aggregate pair: the within-subgraph degree sum.
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_unscored_row_filters_reach_the_scan(spark, queries):
+    """The r8 NULL-hardening filters (unscored rows excluded from
+    AUC/calibration) must be PushedFilters on the parquet scan — an
+    exclusion applied post-scan would still read every NULL-holed row
+    group at 100 TB."""
+    from projetos_etl_spark.plans import pushed_filters
+
+    assert "IsNotNull(value)" in pushed_filters(
+        queries["eval_auc_roc"](spark, SF)
+    )
+    assert "IsNotNull(value)" in pushed_filters(
+        queries["eval_calibration_bins"](spark, SF)
+    )
