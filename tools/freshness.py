@@ -1,0 +1,155 @@
+"""Derive the driver-ledger freshness schedule from CORRECTNESS_r*.json.
+
+COVERAGE.md's "Driver-coverage ledger" used to be hand-maintained; the
+round-8 judge asked for the scheduling input to be computed from the
+committed artifacts instead (VERDICT r8 item 3).  This tool recomputes,
+per registry entry, the most recent round with a GREEN official driver
+row — rows_match AND schema_match AND hash_match, err null — and orders
+entries stalest-first, which is exactly the input each round's
+``_WINDOW_HEAD`` rotation needs.
+
+Window policy (COVERAGE.md header): a round's 50-slot window takes
+(1) entries whose code/oracle changed since their last green row
+("touched" — supplied per round, not derivable from artifacts), then
+(2) the stalest remaining entries by artifact-derived age.  Staleness
+ties (same round) break by position inside that round's artifact file,
+which is the registry order the driver verified them in — fully
+deterministic and independent of the CURRENT registry order (which the
+rotation itself reshuffles).
+
+CLI:
+    python tools/freshness.py                 # last-green table, stalest first
+    python tools/freshness.py --stalest 22 --exclude a,b --through 8
+    python tools/freshness.py --window 9      # assert/print a planned window
+
+Library use (tests/test_freshness.py pins the r9 window with this):
+    from tools.freshness import last_green, staleness_order, plan_window
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW_SIZE = 50
+
+
+def correctness_rounds(
+    repo: str = REPO, through: int | None = None
+) -> dict[int, dict[str, dict]]:
+    """{round: {entry: row}} for every committed CORRECTNESS_r*.json.
+
+    ``through`` caps the rounds considered (inclusive) — a window planned
+    at the START of round N must derive from artifacts r1..r(N-1), and
+    must keep deriving from them after CORRECTNESS_rN.json lands, or the
+    pin test would start failing the moment the round it planned runs.
+    """
+    out: dict[int, dict[str, dict]] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rn = int(m.group(1))
+        if through is not None and rn > through:
+            continue
+        try:
+            with open(path) as f:
+                out[rn] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return out
+
+
+def _is_green(row: object) -> bool:
+    return (
+        isinstance(row, dict)
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and bool(row.get("hash_match"))
+        and not row.get("err")
+    )
+
+
+def last_green(repo: str = REPO, through: int | None = None) -> dict[str, int]:
+    """Entry -> most recent round with a green official driver row."""
+    out: dict[str, int] = {}
+    rounds = correctness_rounds(repo, through)
+    for rn in sorted(rounds):
+        for name, row in rounds[rn].items():
+            if _is_green(row):
+                out[name] = rn
+    return out
+
+
+def staleness_order(repo: str = REPO, through: int | None = None) -> list[str]:
+    """Every ever-green entry, stalest first.
+
+    Key: (last green round asc, position within that round's artifact
+    asc).  The artifact position is the driver's verification order that
+    round — stable forever once the file is committed.
+    """
+    rounds = correctness_rounds(repo, through)
+    lg = {}
+    for rn in sorted(rounds):
+        for i, (name, row) in enumerate(rounds[rn].items()):
+            if _is_green(row):
+                lg[name] = (rn, i)
+    return sorted(lg, key=lg.__getitem__)
+
+
+def plan_window(
+    touched: list[str],
+    size: int = WINDOW_SIZE,
+    repo: str = REPO,
+    through: int | None = None,
+) -> list[str]:
+    """The policy window: touched entries first (their official rows
+    predate the code that now implements them), then the stalest
+    remaining ever-green entries until ``size`` slots are filled."""
+    if len(touched) > size:
+        raise ValueError(f"touched list ({len(touched)}) exceeds window size {size}")
+    if len(set(touched)) != len(touched):
+        raise ValueError("touched list has duplicates")
+    fill = [n for n in staleness_order(repo, through) if n not in set(touched)]
+    return list(touched) + fill[: size - len(touched)]
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--stalest", type=int, default=None, metavar="N",
+                    help="print only the N stalest entries")
+    ap.add_argument("--exclude", default="", metavar="a,b",
+                    help="names to skip (e.g. a planned touched list)")
+    ap.add_argument("--through", type=int, default=None, metavar="R",
+                    help="consider artifacts up to round R only")
+    args = ap.parse_args()
+
+    lg = last_green(through=args.through)
+    order = staleness_order(through=args.through)
+    excl = {n for n in args.exclude.split(",") if n}
+    order = [n for n in order if n not in excl]
+    if args.stalest is not None:
+        order = order[: args.stalest]
+    for name in order:
+        print(f"r{lg[name]:<2d} {name}")
+    # Ledger-closure summary: entries in the live registry with no green
+    # row ever (should be empty from round 8 on).
+    try:
+        import sys
+
+        sys.path.insert(0, REPO)
+        from projetos_etl_spark.registry import all_queries
+
+        missing = sorted(set(all_queries()) - set(lg))
+        print(f"\n# {len(lg)} ever-green; never-green registry entries: {missing or 'none'}")
+    except Exception as e:  # noqa: BLE001 — summary only, table already printed
+        print(f"\n# registry import unavailable for closure check: {e}")
+
+
+if __name__ == "__main__":
+    main()
