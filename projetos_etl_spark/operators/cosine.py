@@ -480,9 +480,21 @@ def _l2_normalize(v: Column) -> Column:
     similarity downstream) instead of an ANSI DIVIDE_BY_ZERO crash —
     a single zero embedding anywhere in 100 TB would otherwise kill
     every IVF/LSH/PQ retrieval job that normalizes the corpus side.
-    SQL oracle twins mirror this as x / nullif(norm, 0) -> coalesce 0."""
+    SQL oracle twins mirror this as x / nullif(norm, 0) -> coalesce 0.
+
+    A PARTIALLY-corrupt vector (non-null array with NULL elements — its
+    norm is NULL) propagates as a NULL vector rather than silently
+    collapsing to all-zeros: zero-vector means "no direction", NULL
+    means "corrupt upstream", and conflating them would let a corrupt
+    embedding masquerade as the legitimate zero convention (r8 ADVICE).
+    Downstream non-null filters then exclude it the same way they
+    exclude whole-NULL embeddings.  (Fixtures never produce intra-vector
+    NULLs; this guards real-corpus ingestion.)"""
     n = norm(v)
-    return F.transform(v, lambda x: F.coalesce(F.try_divide(x, n), F.lit(0.0)))
+    normalized = F.transform(
+        v, lambda x: F.coalesce(F.try_divide(x, n), F.lit(0.0))
+    )
+    return F.when(n.isNull(), F.lit(None)).otherwise(normalized)
 
 
 def train_pq_codebooks(

@@ -3676,7 +3676,19 @@ def quality_parquet_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         kmin = ks.min if kmin is None else min(kmin, ks.min)
         kmax = ks.max if kmax is None else max(kmax, ks.max)
-        nulls += g.column(flag_idx).statistics.null_count
+        fs = g.column(flag_idx).statistics
+        if fs is None or not fs.has_null_count:
+            # Same finding as the key column: a row group whose footer
+            # carries no l_returnflag stats (or stats without a null
+            # count) can't vouch for IS [NOT] NULL pruning — raise the
+            # diagnostic instead of dying on NoneType attribute access
+            # (r8 ADVICE: key stats were guarded, flag stats were not).
+            raise ValueError(
+                f"row group {rg} has rows but no l_returnflag null-count "
+                "statistics; footer-based null pruning over this file is "
+                "unsafe"
+            )
+        nulls += fs.null_count
     return spark.createDataFrame(
         [
             (

@@ -95,15 +95,24 @@ N_PROBES = 20
 PROBE_EPS = 0.15
 PROBE_ID_BASE = 1_000_000
 RECALL_FLOOR = 0.8
+# Abstain unless at least this many planted probes could actually be
+# BUILT (probe i needs BOTH vec_id=i and vec_id=i+N_PROBES non-null).
+# The global-count gate alone missed the case where the corpus is big
+# enough but the probe id range itself is NULL-holed: Spark would build
+# 0..few probes and measure a noisy/zero recall while the oracle pinned
+# TRUE — a spurious mismatch on exactly the inputs the NULL hardening
+# claims to cover (r8 ADVICE).
+PROBE_FLOOR = N_PROBES // 2
 
 
 def _ann_contract_oracle() -> str:
-    # The count() gate mirrors the Spark side's: the planted-probe
+    # The two count() gates mirror the Spark side's: the planted-probe
     # construction needs vec_ids [0, 2*N_PROBES) to exist, so on a
-    # corpus smaller than that the audit ABSTAINS (empty result) in
-    # both engines rather than pinning clauses the fixture can't
-    # support. Tiny corpora remain covered by the exact/LSH tiers,
-    # which are defined at any size.
+    # corpus smaller than that — or one whose probe id range is so
+    # NULL-holed that fewer than PROBE_FLOOR probe PAIRS survive — the
+    # audit ABSTAINS (empty result) in both engines rather than pinning
+    # clauses the fixture can't support. Tiny corpora remain covered by
+    # the exact/LSH tiers, which are defined at any size.
     return f"""
     SELECT CAST(vec_id AS INTEGER) AS query_id,
            {TOP_K} AS k_returned,
@@ -115,6 +124,11 @@ def _ann_contract_oracle() -> str:
       AND embedding IS NOT NULL
       AND (SELECT count(*) FROM embeddings
            WHERE embedding IS NOT NULL) >= {2 * N_PROBES}
+      AND (SELECT count(*) FROM embeddings a JOIN embeddings b
+           ON b.vec_id = a.vec_id + {N_PROBES}
+           WHERE a.vec_id < {N_PROBES}
+             AND a.embedding IS NOT NULL
+             AND b.embedding IS NOT NULL) >= {PROBE_FLOOR}
     ORDER BY query_id
     """
 
@@ -130,13 +144,38 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
     # works off the non-null corpus, mirroring the tiers' own filters
     # and the oracle's IS NOT NULL gate.
     valid = emb.filter(F.col("embedding").isNotNull())
-    if valid.count() < 2 * N_PROBES:
+    vecs = valid.select(
+        F.col("vec_id"), as_double_array(F.col("embedding")).alias("v")
+    )
+    # Planted probes: q_i = v_i + eps * v_(i+NP) — probe i exists only
+    # when BOTH pair ends are non-null (vecs is the non-null corpus, so
+    # the join is the filter).  Built BEFORE the abstention gate because
+    # the gate must see the constructible-probe count, not just the
+    # global corpus size (see PROBE_FLOOR).
+    a = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("v").alias("va")
+    )
+    b = vecs.filter(
+        (F.col("vec_id") >= N_PROBES) & (F.col("vec_id") < 2 * N_PROBES)
+    ).select((F.col("vec_id") - N_PROBES).alias("pid"), F.col("v").alias("vb"))
+    probes = a.join(b, "pid").select(
+        (F.col("pid") + PROBE_ID_BASE).alias("vec_id"),
+        F.zip_with(
+            "va", "vb", lambda x, y: x + F.lit(float(PROBE_EPS)) * y
+        ).alias("embedding"),
+    )
+    # Bounded driver counts (<= N_PROBES rows / parquet metadata job),
+    # negligible beside quantizer training.
+    n_probes_built = probes.count()
+    if valid.count() < 2 * N_PROBES or n_probes_built < PROBE_FLOOR:
         # The planted-probe construction needs vec_ids [0, 2*N_PROBES);
-        # below that the audit abstains (empty, mirrored by the oracle's
-        # count() gate) instead of asserting clauses — e.g. a full TOP_K
-        # shortlist — that a tiny corpus cannot satisfy. The count is a
-        # parquet metadata-only job, negligible beside quantizer
-        # training.
+        # below that — or when the probe id range is NULL-holed down to
+        # fewer than PROBE_FLOOR constructible pairs — the audit abstains
+        # (empty, mirrored by the oracle's two count() gates) instead of
+        # asserting clauses the fixture can't satisfy: a full TOP_K
+        # shortlist needs corpus mass, and a recall over ~0 probes is
+        # noise that would flip planted_recall_ok while the oracle pins
+        # TRUE.
         return spark.createDataFrame(
             [],
             "query_id int, k_returned int, ranks_contiguous boolean, "
@@ -144,12 +183,6 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
         )
     queries = valid.filter(F.col("vec_id") < N_QUERIES)
     res = tier_fn(queries, emb, k=TOP_K)
-
-    # Re-derive the exact cosine for every returned pair (broadcast the
-    # tiny query/result sides; the corpus join is the only big side).
-    vecs = valid.select(
-        F.col("vec_id"), as_double_array(F.col("embedding")).alias("v")
-    )
     qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     cv = vecs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
@@ -183,28 +216,12 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
         )
     )
 
-    # Planted probes: q_i = v_i + eps * v_(i+NP) — near-duplicates of
-    # known corpus vectors, so recall has a ground truth irrespective of
-    # the corpus geometry.  hit <=> the planted target is in the top-k.
-    a = vecs.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("pid"), F.col("v").alias("va")
-    )
-    b = vecs.filter(
-        (F.col("vec_id") >= N_PROBES) & (F.col("vec_id") < 2 * N_PROBES)
-    ).select((F.col("vec_id") - N_PROBES).alias("pid"), F.col("v").alias("vb"))
-    probes = a.join(b, "pid").select(
-        (F.col("pid") + PROBE_ID_BASE).alias("vec_id"),
-        F.zip_with(
-            "va", "vb", lambda x, y: x + F.lit(float(PROBE_EPS)) * y
-        ).alias("embedding"),
-    )
-    # Recall denominator = probes actually CONSTRUCTED (a NULL vector at
-    # either end of a pair drops that probe — vecs is the non-null
-    # corpus, so the join is the filter): on clean fixtures this is
-    # exactly N_PROBES; with NULL holes it stays an honest recall, not
-    # one deflated by probes that never existed. Bounded driver count
-    # (<= N_PROBES rows).
-    n_probes_built = probes.count()
+    # Probe the tier with the planted near-duplicates (built above):
+    # recall has a ground truth irrespective of corpus geometry — hit
+    # <=> the planted target is in the top-k.  Denominator = probes
+    # actually CONSTRUCTED: on clean fixtures exactly N_PROBES; with
+    # NULL holes it stays an honest recall over >= PROBE_FLOOR probes
+    # (the abstention gate above guarantees the sample size).
     hits = tier_fn(probes, emb, k=TOP_K).agg(
         (
             F.coalesce(

@@ -384,19 +384,20 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "maintenance_compact_small_files",
-    # Physical file counts are pinned only in the regimes the contract
-    # designs for: a table at least as large as the fragment count
-    # (64 -> 4) and the empty table (one empty part file before and
-    # after — AQE coalesces the empty repartition(64) to one task, and
-    # the writer emits a single schema-bearing file so the layer stays
-    # readable). In between (0 < n < 64) the counts are writer/AQE
-    # internals (measured n+1-ish, parallelism-dependent), not a
-    # contract — both engines report NULL there.
+    # Physical file counts are pinned cross-engine only in the regime
+    # the contract designs for: a table at least as large as the
+    # fragment count (64 -> 4, every fragment task non-empty). Below
+    # that — including the empty table — the counts are writer/AQE
+    # internals (empty-write single schema file, coalesced empty
+    # repartition, n+1-ish part counts at 0 < n < 64), which a Spark
+    # version bump or AQE conf change can legitimately flip; pinning
+    # them in the ORACLE would break parity with the entry's logic
+    # unchanged (r8 ADVICE). Both engines report NULL there; the
+    # empty-table single-readable-file behavior stays asserted locally
+    # in tests/test_empty_inputs.py against THIS Spark version.
     oracle="""
-    SELECT CAST(CASE WHEN count(*) = 0 THEN 1
-                     WHEN count(*) >= 64 THEN 64 END AS BIGINT) AS files_before,
-           CAST(CASE WHEN count(*) = 0 THEN 1
-                     WHEN count(*) >= 64 THEN 4 END AS BIGINT) AS files_after,
+    SELECT CAST(CASE WHEN count(*) >= 64 THEN 64 END AS BIGINT) AS files_before,
+           CAST(CASE WHEN count(*) >= 64 THEN 4 END AS BIGINT) AS files_after,
            count(*) AS n_rows
     FROM orders
     """,
@@ -426,9 +427,10 @@ def maintenance_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFra
     frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
     files_before, files_after = n_part_files(frag_dir), n_part_files(compact_dir)
     # File counts are contractual only at n >= 64 (every fragment task
-    # non-empty) and n = 0 (one empty schema file); between them the
-    # count is a writer/AQE internal -> NULL (see the oracle comment).
-    pinned = (F.count(F.lit(1)) >= 64) | (F.count(F.lit(1)) == 0)
+    # non-empty); below that — empty table included — the count is a
+    # writer/AQE internal -> NULL (see the oracle comment; the empty
+    # single-file behavior is a local pytest assertion instead).
+    pinned = F.count(F.lit(1)) >= 64
     return spark.read.parquet(compact_dir).agg(
         F.when(pinned, F.lit(files_before)).cast("long").alias("files_before"),
         F.when(pinned, F.lit(files_after)).cast("long").alias("files_after"),

@@ -316,3 +316,104 @@ def test_l2_normalize_zero_vector_is_zero_vector(spark):
     }
     assert got[1] == [0.0, 0.0, 0.0]
     assert got[2] == pytest.approx([0.6, 0.0, 0.8])
+
+
+def test_parquet_stats_audit_raises_diagnostic_on_missing_flag_stats(
+    spark, queries, tmp_path
+):
+    # A footer carrying l_orderkey stats but NO l_returnflag stats used
+    # to die with AttributeError on .null_count; the audit's convention
+    # is the explicit pruning-unsafe ValueError either way (r8 ADVICE).
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2], pa.int64()),
+                "l_returnflag": pa.array(["N", "R"], pa.string()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+        write_statistics=["l_orderkey"],
+    )
+    with pytest.raises(ValueError, match="l_returnflag"):
+        queries["quality_parquet_stats_audit"](spark, str(tmp_path))
+
+
+def test_l2_normalize_partially_null_vector_propagates_null(spark):
+    # A NULL *element* (norm undefined) means "corrupt upstream" — the
+    # whole vector propagates NULL so non-null filters exclude it; it
+    # must NOT collapse to all-zeros and masquerade as the legitimate
+    # zero-vector convention (r8 ADVICE).
+    from pyspark.sql import functions as F
+
+    from projetos_etl_spark.operators.cosine import _l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 2.0]), (2, None), (3, [3.0, 0.0, 4.0])],
+        "id long, v array<double>",
+    )
+    got = {
+        r["id"]: r["nv"]
+        for r in df.select("id", _l2_normalize(F.col("v")).alias("nv")).collect()
+    }
+    assert got[1] is None  # corrupt, not [0, 0, 0]
+    assert got[2] is None  # whole-NULL stays NULL
+    assert got[3] == pytest.approx([0.6, 0.0, 0.8])
+
+
+# -- NULL-holed planted-probe id range through the ANN contract audit --------
+#
+# The abstention gate used to check only the GLOBAL non-null count; a
+# corpus with plenty of vectors whose probe id range [0, 2*N_PROBES) was
+# NULL-holed built ~0 planted probes, measured a noise recall, and
+# flipped planted_recall_ok on the Spark side while the oracle pinned
+# TRUE — a spurious driver mismatch on exactly the inputs the NULL
+# hardening claims to cover (r8 ADVICE).  Both engines now also gate on
+# the count of CONSTRUCTIBLE probe pairs (>= PROBE_FLOOR).
+
+
+def _probe_holed_corpus(tmp_path, null_ids):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = [
+        None if i in null_ids else [float(x) for x in rng.normal(size=64)]
+        for i in range(100)
+    ]
+    _embeddings(tmp_path, vecs)
+
+
+def test_ann_contract_abstains_when_probe_range_null_holed(spark, queries, tmp_path):
+    # ids 10..39 NULL: global non-null count = 70 (old gate passes) but
+    # zero probe pairs are constructible (i needs BOTH i and i+20
+    # non-null) while queries vec_id < 10 still exist — the exact
+    # spurious-mismatch shape. Both engines must abstain.
+    _probe_holed_corpus(tmp_path, set(range(10, 40)))
+    import duckdb
+
+    from projetos_etl_spark.registry import all_oracle_sql
+
+    oracles = all_oracle_sql()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    for entry in ("sim_search_ivf", "sim_search_pq_adc", "sim_search_ivf_pq"):
+        assert queries[entry](spark, str(tmp_path)).count() == 0, entry
+        assert len(con.sql(oracles[entry]).df()) == 0, entry
+
+
+def test_ann_contract_runs_with_holes_above_probe_floor(spark, queries, tmp_path):
+    # Only 5 of 20 probe pairs holed (ids 25..29 NULL): 15 >= PROBE_FLOOR
+    # pairs survive, so the audit RUNS — over an honest denominator —
+    # and every clause still holds.
+    _probe_holed_corpus(tmp_path, set(range(25, 30)))
+    rows = queries["sim_search_ivf"](spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    assert all(
+        r["k_returned"] == 5
+        and r["ranks_contiguous"]
+        and r["scores_exact"]
+        and r["planted_recall_ok"]
+        for r in rows
+    )

@@ -89,9 +89,23 @@ def test_layer_readbacks_pin_schema_on_empty(spark, queries, empty_sf):
         assert queries[entry](spark, empty_sf).count() == 0, entry
 
 
-def test_compaction_of_empty_table_is_one_empty_file(spark, queries, empty_sf):
+def test_compaction_of_empty_table_is_one_empty_file(spark, queries, empty_sf, tmp_path):
+    # Cross-engine the file counts are NULL below the 64-fragment regime
+    # (writer/AQE internals — a Spark version bump may flip them, so the
+    # ORACLE no longer pins the empty table; r8 ADVICE).
     row = queries["maintenance_compact_small_files"](spark, empty_sf).collect()[0]
-    assert (row["files_before"], row["files_after"], row["n_rows"]) == (1, 1, 0)
+    assert (row["files_before"], row["files_after"], row["n_rows"]) == (None, None, 0)
+    # The empty-table physical behavior this Spark version exhibits —
+    # one schema-bearing part file on both the fragmented write and the
+    # compacted rewrite, so the layer stays readable — is pinned HERE,
+    # local to the version under test.
+    empty = spark.read.parquet(f"{empty_sf}/orders.parquet")
+    for tag, n_part in (("frag", 64), ("compact", 4)):
+        out = str(tmp_path / tag)
+        empty.repartition(n_part).write.mode("overwrite").parquet(out)
+        parts = [f for f in os.listdir(out) if f.startswith("part-")]
+        assert len(parts) == 1, (tag, parts)
+        assert spark.read.parquet(out).count() == 0, tag
 
 
 def test_empty_corpus_digest_is_null(spark, queries, empty_sf):
@@ -210,9 +224,9 @@ def test_single_parity_stream_commits_once(spark, queries, onerow_sf):
 
 
 def test_compaction_counts_null_below_fragment_count(spark, queries, onerow_sf):
-    # 0 < n < 64: physical file counts are writer/AQE internals, not a
-    # contract — both engines report NULL (pinned 64->4 at n >= 64 and
-    # 1->1 at n = 0).
+    # n < 64 (empty table included): physical file counts are writer/AQE
+    # internals, not a contract — both engines report NULL (pinned 64->4
+    # only at n >= 64).
     row = queries["maintenance_compact_small_files"](spark, onerow_sf).collect()[0]
     assert row["n_rows"] == 1
     assert row["files_before"] is None and row["files_after"] is None
