@@ -41,68 +41,72 @@ _FAMILIES = [
 # Rotate this list (plus the pin in tests/test_registry_window.py and
 # COVERAGE.md's ledger) in ONE commit at each round boundary.
 #
-# Round-8 window: the FINAL 45 never-driver-green backlog entries
-# (scan/sink/maintenance + win_*/fn_*/set_*/join/sql families, in
-# registry order — the exact list COVERAGE.md's "r8 remaining backlog"
-# row planned and the r7 judge independently re-derived), closing the
-# cumulative official driver ledger at 326/326.  The window holds 50;
-# the 5 spare slots re-verify guard-touched entries whose official
-# driver rows predate the r7 ANSI degenerate-input hardening
-# (feat_target_encode_loo — the entry that actually crashed —
-# feat_scale_normalize, emb_quantize_int8, anomaly_zscore_rolling, and
-# sim_search_topk for the zero-vector cosine convention).
+# Round-9 window — the ledger closed at 326/326 in r8, so from r9 on
+# every window is a RE-verification window under the policy codified in
+# COVERAGE.md's header and DERIVED (not hand-listed) by
+# tools/freshness.py::plan_window from the committed CORRECTNESS_r*.json
+# artifacts: (1) entries whose code or oracle changed since their last
+# green driver row, first — here the 27 entries touched by the r8
+# degenerate-input hardening whose official rows predate those fixes,
+# plus maintenance_compact_small_files (its oracle stopped pinning the
+# empty-table file count in r9, per the r8 ADVICE) — then (2) the
+# stalest remaining entries by artifact-derived age: the 2 r1-vintage
+# rows and the 20 oldest r2-vintage rows.  tests/test_freshness.py
+# asserts this list equals the derivation, so a drifted rotation fails
+# CI instead of relying on hand-maintained prose.
 _WINDOW_HEAD = [
-    "scan_xml",
-    "scan_parquet_merge_schema",
-    "sink_csv_roundtrip",
-    "sink_pyds_jsonl",
-    "maintenance_retention_sweep",
-    "gen_date_dim",
-    "obs_inline_metrics",
-    "sink_dynamic_partition_overwrite",
-    "scan_csv_multiline_quoted",
-    "scan_time_travel",
-    "table_log_merge_upsert",
-    "maintenance_tablelog_vacuum",
-    "win_gap_islands",
-    "win_rolling_median",
-    "win_time_range_frame",
-    "win_skyline_frontier",
-    "win_topk_with_ties",
-    "win_percent_rank_cume_dist",
-    "win_max_concurrency",
-    "fn_try_arith",
-    "fn_surrogate_key",
-    "fn_variant_extract",
-    "fn_regex_extract_all",
-    "fn_collation_groupby",
-    "fn_map_functions",
-    "set_intersect_all",
-    "set_except_all",
-    "join_asof_tolerance",
-    "join_null_safe",
-    "join_scd2_point_in_time",
-    "subquery_not_exists_vs_not_in",
-    "join_bloom_prune",
-    "sql_recursive_cte",
-    "sql_pipe_syntax",
-    "sql_declared_udf",
-    "join_lateral_topk",
-    "join_bucketed_no_shuffle",
-    "join_asof_forward",
-    "sql_star_except",
-    "sql_group_by_all",
-    "sql_lateral_column_alias",
-    "sql_unpivot_syntax",
-    "join_asof_nearest",
-    "eval_adversarial_validation",
+    # (1) touched since their last green row (28)
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_grouping_id",
+    "agg_corr_matrix",
+    "emb_pca_top_component",
+    "eval_auc_roc",
+    "eval_calibration_bins",
+    "incremental_agg_merge",
+    "ml_kmeans_lloyd",
+    "ml_logreg_gd",
+    "multimodal_decode_features",
+    "multimodal_transcode_roundtrip",
+    "quality_chisq_categorical_drift",
+    "quality_entropy_profile",
+    "quality_parquet_stats_audit",
+    "sample_poisson_bootstrap",
+    "scan_jdbc_roundtrip",
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "sim_search_lsh_bucketed",
+    "sim_search_pq_adc",
+    "sink_partitioned_prune",
+    "stream_upsert_tablelog",
+    "ts_ohlc_bars",
+    "udf_scalar",
+    "udtf_chunk_lateral",
     "maintenance_compact_small_files",
-    # 5 spare slots: guard-touched re-verifications (see comment above).
-    "feat_target_encode_loo",
-    "feat_scale_normalize",
-    "emb_quantize_int8",
-    "anomaly_zscore_rolling",
-    "sim_search_topk",
+    # (2) stalest by artifact-derived age (22: r1 vintage then r2)
+    "catalog_ddl_roundtrip",
+    "scan_csv_badrecords",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "filter_pred",
+    "project_rename",
+    "join_inner_hash",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "join_theta_range",
+    "join_asof_events",
+    "q10_returned_items",
+    "q18_large_orders",
+    "subquery_scalar",
+    "subquery_correlated",
+    "join_salted_skew",
+    "gold_sales_mart",
+    "sql_gateway_report",
+    "join_full_outer",
 ]
 
 def build() -> Registry:
