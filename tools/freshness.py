@@ -20,7 +20,6 @@ rotation itself reshuffles).
 CLI:
     python tools/freshness.py                 # last-green table, stalest first
     python tools/freshness.py --stalest 22 --exclude a,b --through 8
-    python tools/freshness.py --window 9      # assert/print a planned window
 
 Library use (tests/test_freshness.py pins the r9 window with this):
     from tools.freshness import last_green, staleness_order, plan_window
