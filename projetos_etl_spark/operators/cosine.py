@@ -193,6 +193,23 @@ def train_ivf_centroids(
     return _lloyd(x, x[:n_cells], iters)
 
 
+def well_formed(vec_col: str, dim: int) -> Column:
+    """Vectors a trained d-space tier can actually hold: non-NULL AND of
+    the declared dimension. A NULL vector has no position in space; a
+    WRONG-DIMENSION vector (truncated/empty array from a failed upstream
+    parse — the ragged cousin of the NULL-holed state) additionally
+    breaks every fixed-d kernel: ``np.array``/``np.stack`` over a ragged
+    training sample or Arrow batch raises ValueError, which means one
+    malformed vector anywhere in 100 TB would kill quantizer training,
+    cell assignment, and PQ encoding outright. Both classes are excluded
+    from index, query, and probe legs identically (the exact/LSH tiers
+    need no exclusion: their folds NULL out on mismatched lengths and
+    ``cosine`` pins that to 0.0 similarity). Oracles mirror the rule as
+    ``embedding IS NOT NULL AND len(embedding) = d``."""
+    c = F.col(vec_col)
+    return c.isNotNull() & (F.size(c) == dim)
+
+
 def _empty_topk(spark) -> DataFrame:
     """The trained tiers' result shape with zero rows — what an EMPTY
     corpus retrieves (the exact/LSH tiers produce this naturally; the
@@ -209,6 +226,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int = 64,
     n_cells: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
@@ -219,12 +237,14 @@ def ivf_topk(
     recall/cost dial (n_probe=n_cells is exact search)."""
     from pyspark.sql import Window
 
-    # NULL vectors have no position in space: they cannot be quantized
-    # into a cell nor probe one — excluded from index and query sides
-    # (same rule in the PQ tiers; the exact/LSH tiers exclude them
-    # naturally via NULL buckets / 0.0 similarity).
-    candidates = candidates.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    # NULL or wrong-dimension vectors have no position in d-space: they
+    # cannot be quantized into a cell nor probe one, and a ragged row
+    # would crash the numpy training/assignment kernels — excluded from
+    # index and query sides (see well_formed; same rule in the PQ tiers;
+    # the exact/LSH tiers exclude them naturally via NULL folds / 0.0
+    # similarity).
+    candidates = candidates.filter(well_formed(vec_col, dim))
+    queries = queries.filter(well_formed(vec_col, dim))
     centroids = train_ivf_centroids(candidates, id_col, vec_col, n_cells)
     if centroids.shape[0] == 0:
         return _empty_topk(queries.sparkSession)
@@ -308,8 +328,8 @@ def ivf_pq_topk(
     # cluster means, ulp-level input jitter moves no assignment that
     # wasn't already a coin flip, and the exact rerank absorbs any
     # residual), but codebooks may differ at the ulp from a two-draw run.
-    candidates = candidates.filter(F.col(vec_col).isNotNull())  # see ivf_topk
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    candidates = candidates.filter(well_formed(vec_col, dim))  # see ivf_topk
+    queries = queries.filter(well_formed(vec_col, dim))
     x_raw = _train_sample(candidates, id_col, vec_col, TRAIN_SAMPLE, 997)
     if x_raw.shape[0] == 0:
         return _empty_topk(queries.sparkSession)  # empty corpus
@@ -622,8 +642,8 @@ def pq_adc_topk(
     (probe-then-ADC) for sublinear stage-1 scans."""
     from pyspark.sql import Window
 
-    candidates = candidates.filter(F.col(vec_col).isNotNull())  # see ivf_topk
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    candidates = candidates.filter(well_formed(vec_col, dim))  # see ivf_topk
+    queries = queries.filter(well_formed(vec_col, dim))
     codebooks = train_pq_codebooks(
         candidates, id_col, vec_col, dim, n_subspaces, n_codes
     )

@@ -61,12 +61,16 @@ def covariance_matrix(vecs: DataFrame, vec_col: str, dim: int) -> tuple[int, np.
     All rounding happens in Spark SQL (HALF_UP, = DuckDB ``round``), not
     numpy (ties-to-even), so the oracle twin folds identical decimals.
     """
-    # NULL vectors carry no moments (the SQL twin's sums skip them the
-    # same way); without the filter np.stack crashes on the first None
-    # in a batch. Scoring stays over ALL rows — a NULL vector's centered
-    # dot product is NULL, so its pc1_score is NULL in both engines.
+    # NULL and WRONG-DIMENSION vectors carry no d-space moments (the SQL
+    # twin gates the same way: v IS NOT NULL AND len(v) = d); without
+    # the filter np.stack crashes on the first None OR ragged row in a
+    # batch — one truncated embedding anywhere in 100 TB would kill the
+    # whole covariance pass. Scoring stays over ALL rows — a NULL or
+    # ragged vector's centered fold is NULL, so its pc1_score is NULL in
+    # both engines (the oracle CASE-guards its per-dimension sum, which
+    # would otherwise SKIP the missing positions instead of propagating).
     partials = (
-        vecs.filter(F.col(vec_col).isNotNull())
+        vecs.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .mapInPandas(_gram_partials, schema="n long, s array<double>, g array<double>")
     )

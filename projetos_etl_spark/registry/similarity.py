@@ -12,6 +12,7 @@ from projetos_etl_spark.operators.cosine import (
     ivf_topk,
     pq_adc_topk,
     srp_lsh_topk,
+    well_formed,
 )
 from projetos_etl_spark.registry._core import Registry
 from projetos_etl_spark.sources.io import load_table
@@ -95,6 +96,10 @@ N_PROBES = 20
 PROBE_EPS = 0.15
 PROBE_ID_BASE = 1_000_000
 RECALL_FLOOR = 0.8
+#: Declared corpus dimension — the trained tiers and PCA hold only
+#: vectors of exactly this length (operators/cosine.well_formed);
+#: oracles mirror the rule as len(embedding) = EMB_DIM.
+EMB_DIM = 64
 # Abstain unless at least this many planted probes could actually be
 # BUILT (probe i needs BOTH vec_id=i and vec_id=i+N_PROBES non-null).
 # The global-count gate alone missed the case where the corpus is big
@@ -113,6 +118,11 @@ def _ann_contract_oracle() -> str:
     # audit ABSTAINS (empty result) in both engines rather than pinning
     # clauses the fixture can't support. Tiny corpora remain covered by
     # the exact/LSH tiers, which are defined at any size.
+    # "Holdable" mirrors operators/cosine.well_formed: non-NULL AND of
+    # the declared dimension — a truncated/empty vector can no more be
+    # indexed, queried, or planted than a NULL one (and would crash the
+    # ragged numpy kernels the Spark side guards against).
+    ok = f"IS NOT NULL AND len(embedding) = {EMB_DIM}"
     return f"""
     SELECT CAST(vec_id AS INTEGER) AS query_id,
            {TOP_K} AS k_returned,
@@ -121,14 +131,14 @@ def _ann_contract_oracle() -> str:
            TRUE AS planted_recall_ok
     FROM embeddings
     WHERE vec_id < {N_QUERIES}
-      AND embedding IS NOT NULL
+      AND embedding {ok}
       AND (SELECT count(*) FROM embeddings
-           WHERE embedding IS NOT NULL) >= {2 * N_PROBES}
+           WHERE embedding {ok}) >= {2 * N_PROBES}
       AND (SELECT count(*) FROM embeddings a JOIN embeddings b
            ON b.vec_id = a.vec_id + {N_PROBES}
            WHERE a.vec_id < {N_PROBES}
-             AND a.embedding IS NOT NULL
-             AND b.embedding IS NOT NULL) >= {PROBE_FLOOR}
+             AND a.embedding {ok.replace('embedding', 'a.embedding')}
+             AND b.embedding {ok.replace('embedding', 'b.embedding')}) >= {PROBE_FLOOR}
     ORDER BY query_id
     """
 
@@ -139,11 +149,12 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
     from projetos_etl_spark.operators.cosine import as_double_array, cosine
 
     emb = _t(spark, sf_dir, "embeddings")
-    # NULL embeddings can't be indexed, queried, or probed: every leg
-    # of the audit (queries, exact-cosine recompute, planted probes)
-    # works off the non-null corpus, mirroring the tiers' own filters
-    # and the oracle's IS NOT NULL gate.
-    valid = emb.filter(F.col("embedding").isNotNull())
+    # NULL or wrong-dimension embeddings can't be indexed, queried, or
+    # probed: every leg of the audit (queries, exact-cosine recompute,
+    # planted probes) works off the well-formed corpus, mirroring the
+    # tiers' own filters (operators/cosine.well_formed) and the oracle's
+    # IS NOT NULL AND len() = EMB_DIM gate.
+    valid = emb.filter(well_formed("embedding", EMB_DIM))
     vecs = valid.select(
         F.col("vec_id"), as_double_array(F.col("embedding")).alias("v")
     )
@@ -449,7 +460,6 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_DIM = 64
 _PCA_ITERS = 300
 
 
@@ -466,11 +476,15 @@ def _pca_oracle() -> str:
     e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    -- moments come from NON-NULL vectors only (count(*) over e would
-    -- deflate mu/cov by counting NULL rows whose sums are skipped);
-    -- the final score SELECT stays over e, so a NULL vector scores
-    -- NULL, exactly like the Spark side's filtered moment pass.
-    env AS (SELECT * FROM e WHERE v IS NOT NULL),
+    -- moments come from WELL-FORMED vectors only — non-NULL AND of the
+    -- declared dimension (count(*) over e would deflate mu/cov by
+    -- counting NULL rows whose sums are skipped, and a truncated vector
+    -- would contribute partial sums the Spark side's ragged-safe filter
+    -- excludes); the final score SELECT stays over e, so a NULL or
+    -- wrong-dimension vector scores NULL in both engines (CASE below —
+    -- SQL sum() would otherwise SKIP a short vector's missing positions
+    -- where Spark's fold propagates NULL).
+    env AS (SELECT * FROM e WHERE v IS NOT NULL AND len(v) = {EMB_DIM}),
     pos AS (SELECT i FROM generate_series(1, {EMB_DIM}) t(i)),
     mu AS (
         SELECT i, round(sum(v[i]) / count(*), 9) AS m
@@ -497,9 +511,10 @@ def _pca_oracle() -> str:
     ),
     v1 AS (SELECT i, val FROM pw WHERE it = {_PCA_ITERS})
     SELECT e.vec_id,
-           round(sum((e.v[v1.i] - mu.m) * v1.val), 6) AS pc1_score
+           CASE WHEN e.v IS NULL OR len(e.v) <> {EMB_DIM} THEN NULL
+                ELSE round(sum((e.v[v1.i] - mu.m) * v1.val), 6) END AS pc1_score
     FROM e, v1 JOIN mu ON mu.i = v1.i
-    GROUP BY e.vec_id
+    GROUP BY e.vec_id, e.v
     ORDER BY e.vec_id
     """
 

@@ -403,6 +403,117 @@ def test_ann_contract_abstains_when_probe_range_null_holed(spark, queries, tmp_p
         assert len(con.sql(oracles[entry]).df()) == 0, entry
 
 
+# -- wrong-dimension (ragged) embedding vectors ------------------------------
+#
+# The ragged cousin of the NULL-holed state: a truncated or empty array
+# from a failed upstream parse. Before the well_formed guard, ONE such
+# vector crashed quantizer training / cell assignment / PQ encoding
+# (np.array / np.stack over a ragged sample raises ValueError) and the
+# PCA Gram pass — the literal "one malformed vector in 100 TB kills the
+# retrieval job" failure. The rule now mirrors NULL handling: excluded
+# from index/query/probe legs in BOTH engines (oracle: len(embedding) =
+# EMB_DIM); the exact/LSH tiers need no exclusion (their folds NULL out
+# on mismatched lengths and cosine pins that to 0.0).
+
+
+def _ragged_corpus(tmp_path, ragged_ids, ragged_dim=32):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    vecs = [
+        [float(x) for x in rng.normal(size=ragged_dim)] if i in ragged_ids
+        else [float(x) for x in rng.normal(size=64)]
+        for i in range(60)
+    ]
+    for i in ragged_ids:
+        if i % 2:  # mix truncated and EMPTY arrays
+            vecs[i] = []
+    _embeddings(tmp_path, vecs)
+
+
+def _oracle_frame(con, sql):
+    p = con.sql(sql).df()
+    p = p.reindex(sorted(p.columns), axis=1)
+    if len(p):
+        p = p.sort_values(by=list(p.columns), na_position="first", kind="mergesort")
+    return p.reset_index(drop=True)
+
+
+def test_trained_tiers_survive_ragged_vectors(spark, queries, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    from projetos_etl_spark.registry import all_oracle_sql
+
+    # Ragged vectors OUTSIDE the probe/query ranges: the tiers must run
+    # (not ValueError in numpy), exclude the malformed rows, and still
+    # hash-match their oracles.
+    _ragged_corpus(tmp_path, ragged_ids={45, 46, 52})
+    oracles = all_oracle_sql()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    for entry in ("sim_search_ivf", "sim_search_pq_adc", "sim_search_ivf_pq"):
+        sp = queries[entry](spark, str(tmp_path)).toPandas()
+        sp = sp.reindex(sorted(sp.columns), axis=1)
+        sp = sp.sort_values(by=list(sp.columns), na_position="first",
+                            kind="mergesort").reset_index(drop=True)
+        du = _oracle_frame(con, oracles[entry])
+        pd.testing.assert_frame_equal(sp, du, check_dtype=False, check_exact=True)
+        assert len(sp) == 10 and sp["planted_recall_ok"].all(), entry
+
+
+def test_trained_tiers_ragged_probe_pair_is_dropped(spark, queries, tmp_path):
+    # A ragged vector INSIDE the probe range behaves like a NULL hole:
+    # that pair is dropped from the recall denominator, the audit still
+    # runs (19 >= PROBE_FLOOR pairs) and stays green.
+    _ragged_corpus(tmp_path, ragged_ids={25})
+    rows = queries["sim_search_ivf"](spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    assert all(r["planted_recall_ok"] for r in rows)
+
+
+def test_pca_survives_ragged_vectors_and_scores_them_null(spark, queries, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    from projetos_etl_spark.registry import all_oracle_sql
+
+    _ragged_corpus(tmp_path, ragged_ids={7, 20})
+    sp = (
+        queries["emb_pca_top_component"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    by_id = dict(zip(sp["vec_id"], sp["pc1_score"]))
+    assert pd.isna(by_id[7]) and pd.isna(by_id[20])  # no d-space position
+    assert pd.notna(by_id[0]) and pd.notna(by_id[59])
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    du = con.sql(all_oracle_sql()["emb_pca_top_component"]).df()
+    du = du.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False, check_exact=True)
+
+
+def test_exact_tier_pins_ragged_similarity_to_zero(spark, queries, tmp_path):
+    # brute-force cosine needs no exclusion: zip_with NULL-pads the
+    # mismatched fold and cosine() pins the NULL to 0.0 similarity, so
+    # a ragged neighbor ranks below every real match instead of
+    # crashing the scan.
+    _ragged_corpus(tmp_path, ragged_ids={45})
+    rows = queries["sim_search_topk"](spark, str(tmp_path)).collect()
+    assert len(rows) == 50
+    for r in rows:
+        if r["neighbor_id"] == 45:
+            assert r["cosine_sim"] == 0.0
+
+
 def test_ann_contract_runs_with_holes_above_probe_floor(spark, queries, tmp_path):
     # Only 5 of 20 probe pairs holed (ids 25..29 NULL): 15 >= PROBE_FLOOR
     # pairs survive, so the audit RUNS — over an honest denominator —
