@@ -303,6 +303,24 @@ def main() -> None:
             }
             compact["queries_truncated_to_slowest"] = keep
             line = json.dumps(compact)
+    if len(line) > 1800:
+        # Final fallback: a line dominated by long regressions/errors
+        # lists can still overflow after the query-dropping loop bottoms
+        # out at keep=10 (the r4 `parsed: null` failure mode). Collapse
+        # the unbounded list fields to counts — the full detail is
+        # always in BENCH_LOCAL.json — and, if a pathological sf/path
+        # string STILL overflows, drop the per-query dicts entirely:
+        # a parseable headline beats a truncated rich one.
+        for field in ("regressions", "errors"):
+            v = compact.get(field)
+            if isinstance(v, (list, dict)) and v:
+                compact[field] = f"<{len(v)} entries: see BENCH_LOCAL.json>"
+        line = json.dumps(compact)
+        if len(line) > 1800:
+            compact.pop("queries", None)
+            compact.pop("queries_min", None)
+            compact["queries_truncated_to_slowest"] = 0
+            line = json.dumps(compact)
     print(line)
 
 

@@ -194,20 +194,31 @@ def train_ivf_centroids(
 
 
 def well_formed(vec_col: str, dim: int) -> Column:
-    """Vectors a trained d-space tier can actually hold: non-NULL AND of
-    the declared dimension. A NULL vector has no position in space; a
-    WRONG-DIMENSION vector (truncated/empty array from a failed upstream
-    parse — the ragged cousin of the NULL-holed state) additionally
-    breaks every fixed-d kernel: ``np.array``/``np.stack`` over a ragged
-    training sample or Arrow batch raises ValueError, which means one
-    malformed vector anywhere in 100 TB would kill quantizer training,
-    cell assignment, and PQ encoding outright. Both classes are excluded
-    from index, query, and probe legs identically (the exact/LSH tiers
-    need no exclusion: their folds NULL out on mismatched lengths and
-    ``cosine`` pins that to 0.0 similarity). Oracles mirror the rule as
-    ``embedding IS NOT NULL AND len(embedding) = d``."""
+    """Vectors a trained d-space tier can actually hold: non-NULL, of
+    the declared dimension, AND with no NULL elements. A NULL vector has
+    no position in space; a WRONG-DIMENSION vector (truncated/empty
+    array from a failed upstream parse — the ragged cousin of the
+    NULL-holed state) additionally breaks every fixed-d kernel:
+    ``np.array``/``np.stack`` over a ragged training sample or Arrow
+    batch raises ValueError, which means one malformed vector anywhere
+    in 100 TB would kill quantizer training, cell assignment, and PQ
+    encoding outright. A correct-length vector with a NULL ELEMENT is
+    the third class: its norm is NULL, so ``_l2_normalize`` propagates
+    it as a whole-NULL vector (the r8 corrupt-vs-zero distinction), and
+    that None row would reach the same numpy kernels through Arrow as
+    ``None`` — the same crash by a different door (r9 ADVICE). All three
+    classes are excluded from index, query, and probe legs identically
+    (the exact/LSH tiers need no exclusion: their folds NULL out on
+    mismatched lengths / NULL elements and ``cosine`` pins that to 0.0
+    similarity). Oracles mirror the rule as ``embedding IS NOT NULL AND
+    len(embedding) = d AND len(list_filter(embedding, x -> x IS NULL))
+    = 0``."""
     c = F.col(vec_col)
-    return c.isNotNull() & (F.size(c) == dim)
+    return (
+        c.isNotNull()
+        & (F.size(c) == dim)
+        & ~F.exists(c, lambda x: x.isNull())
+    )
 
 
 def _empty_topk(spark) -> DataFrame:
@@ -507,9 +518,12 @@ def _l2_normalize(v: Column) -> Column:
     collapsing to all-zeros: zero-vector means "no direction", NULL
     means "corrupt upstream", and conflating them would let a corrupt
     embedding masquerade as the legitimate zero convention (r8 ADVICE).
-    Downstream non-null filters then exclude it the same way they
-    exclude whole-NULL embeddings.  (Fixtures never produce intra-vector
-    NULLs; this guards real-corpus ingestion.)"""
+    The trained tiers never see one: ``well_formed`` excludes
+    NULL-element vectors on the RAW column before normalization (r9
+    ADVICE — the filters run pre-normalize, so propagation alone would
+    not protect the numpy kernels). In the unfiltered exact/LSH paths
+    the propagated NULL folds to NULL and ``cosine`` pins it to 0.0,
+    same as a whole-NULL embedding."""
     n = norm(v)
     normalized = F.transform(
         v, lambda x: F.coalesce(F.try_divide(x, n), F.lit(0.0))

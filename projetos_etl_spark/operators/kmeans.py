@@ -50,6 +50,7 @@ def kmeans_lloyd(
     vec_col: str,
     k: int,
     iters: int = KM_ITERS,
+    dim: int | None = None,
 ) -> dict[int, list[float]]:
     """Returns {cluster_id: centroid} after ``iters`` Lloyd steps,
     seeded from the first ``k`` vectors by id (ids need not be
@@ -71,6 +72,16 @@ def kmeans_lloyd(
     # NULL vectors have no position in space: excluded from seeding and
     # assignment (the oracle twin filters identically). A crash here —
     # list(None) at seed collect — would kill the job for one bad row.
+    # With a declared ``dim``, ragged/NULL-holed vectors are excluded
+    # too (cosine.well_formed): a wrong-dimension seed would yield a
+    # centroid other vectors can't fold distances against (NULL dists
+    # order NULLS FIRST in Spark vs NULLS LAST in DuckDB — an engine
+    # divergence on exactly the malformed rows), and a holed vector
+    # poisons the mean of its cluster.
+    if dim is not None:
+        from projetos_etl_spark.operators.cosine import well_formed
+
+        vecs = vecs.filter(well_formed(vec_col, dim))
     data = (
         vecs.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("__id"), x.alias("__x"))

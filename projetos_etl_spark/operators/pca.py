@@ -61,16 +61,22 @@ def covariance_matrix(vecs: DataFrame, vec_col: str, dim: int) -> tuple[int, np.
     All rounding happens in Spark SQL (HALF_UP, = DuckDB ``round``), not
     numpy (ties-to-even), so the oracle twin folds identical decimals.
     """
-    # NULL and WRONG-DIMENSION vectors carry no d-space moments (the SQL
-    # twin gates the same way: v IS NOT NULL AND len(v) = d); without
-    # the filter np.stack crashes on the first None OR ragged row in a
-    # batch — one truncated embedding anywhere in 100 TB would kill the
-    # whole covariance pass. Scoring stays over ALL rows — a NULL or
-    # ragged vector's centered fold is NULL, so its pc1_score is NULL in
-    # both engines (the oracle CASE-guards its per-dimension sum, which
-    # would otherwise SKIP the missing positions instead of propagating).
+    # NULL, WRONG-DIMENSION, and NULL-ELEMENT vectors carry no d-space
+    # moments (the SQL twin gates the same way: v IS NOT NULL AND
+    # len(v) = d AND no NULL elements); without the filter np.stack
+    # crashes on the first None OR ragged row in a batch, and a
+    # right-length vector with one NULL element converts to NaN
+    # (np.asarray maps None -> nan for float64) which SILENTLY poisons
+    # the whole Gram — every score in the corpus becomes NaN from one
+    # corrupt row (r9 ADVICE class). Scoring stays over ALL rows — a
+    # NULL, ragged, or NULL-holed vector's centered fold is NULL, so its
+    # pc1_score is NULL in both engines (the oracle CASE-guards its
+    # per-dimension sum, which would otherwise SKIP the missing/NULL
+    # positions instead of propagating).
+    from projetos_etl_spark.operators.cosine import well_formed
+
     partials = (
-        vecs.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        vecs.filter(well_formed(vec_col, dim))
         .select(F.col(vec_col).cast("array<double>").alias("v"))
         .mapInPandas(_gram_partials, schema="n long, s array<double>, g array<double>")
     )

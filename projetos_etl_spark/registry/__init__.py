@@ -41,72 +41,69 @@ _FAMILIES = [
 # Rotate this list (plus the pin in tests/test_registry_window.py and
 # COVERAGE.md's ledger) in ONE commit at each round boundary.
 #
-# Round-9 window — the ledger closed at 326/326 in r8, so from r9 on
-# every window is a RE-verification window under the policy codified in
-# COVERAGE.md's header and DERIVED (not hand-listed) by
-# tools/freshness.py::plan_window from the committed CORRECTNESS_r*.json
-# artifacts: (1) entries whose code or oracle changed since their last
-# green driver row, first — here the 27 entries touched by the r8
-# degenerate-input hardening whose official rows predate those fixes,
-# plus maintenance_compact_small_files (its oracle stopped pinning the
-# empty-table file count in r9, per the r8 ADVICE) — then (2) the
-# stalest remaining entries by artifact-derived age: the 2 r1-vintage
-# rows and the 20 oldest r2-vintage rows.  tests/test_freshness.py
-# asserts this list equals the derivation, so a drifted rotation fails
-# CI instead of relying on hand-maintained prose.
+# Round-10 window — derived by tools/freshness.py::plan_window(
+# TOUCHED_R10, through=9) per the COVERAGE.md freshness policy and
+# asserted by tests/test_freshness.py: (1) the 15 entries the r10
+# ragged-family closure touched — every exact-tier embedding consumer
+# gained the fold-NULL-mirroring sql_cosine oracle (registry/_sqlvec.py)
+# or a well_formed exclusion gate, emb_norm_outlier_audit additionally
+# grew an n_malformed column, and the trained tiers/PCA got the
+# NULL-element class added to well_formed (r9 ADVICE) — then (2) the
+# stalest entries by artifact-derived age: all 28 remaining r2-vintage
+# rows and the 7 oldest r3-vintage rows.
 _WINDOW_HEAD = [
-    # (1) touched since their last green row (28)
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_grouping_id",
-    "agg_corr_matrix",
-    "emb_pca_top_component",
-    "eval_auc_roc",
-    "eval_calibration_bins",
-    "incremental_agg_merge",
-    "ml_kmeans_lloyd",
-    "ml_logreg_gd",
-    "multimodal_decode_features",
-    "multimodal_transcode_roundtrip",
-    "quality_chisq_categorical_drift",
-    "quality_entropy_profile",
-    "quality_parquet_stats_audit",
-    "sample_poisson_bootstrap",
-    "scan_jdbc_roundtrip",
+    # (1) touched by the r10 ragged-embedding hardening (15)
     "sim_search_ivf",
-    "sim_search_ivf_pq",
-    "sim_search_lsh_bucketed",
     "sim_search_pq_adc",
-    "sink_partitioned_prune",
-    "stream_upsert_tablelog",
-    "ts_ohlc_bars",
-    "udf_scalar",
-    "udtf_chunk_lateral",
-    "maintenance_compact_small_files",
-    # (2) stalest by artifact-derived age (22: r1 vintage then r2)
-    "catalog_ddl_roundtrip",
-    "scan_csv_badrecords",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "filter_pred",
-    "project_rename",
-    "join_inner_hash",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "join_theta_range",
-    "join_asof_events",
-    "q10_returned_items",
-    "q18_large_orders",
-    "subquery_scalar",
-    "subquery_correlated",
-    "join_salted_skew",
-    "gold_sales_mart",
-    "sql_gateway_report",
-    "join_full_outer",
+    "sim_search_ivf_pq",
+    "emb_pca_top_component",
+    "sim_search_topk",
+    "sim_search_lsh_bucketed",
+    "eval_ndcg_at_k",
+    "ml_knn_classify",
+    "sim_hard_negative_mining",
+    "emb_norm_outlier_audit",
+    "emb_quantize_int8",
+    "ml_kmeans_lloyd",
+    "dedup_embedding_cosine",
+    "sim_range_search",
+    "emb_matryoshka_overlap",
+    # (2) stalest by artifact-derived age (35: 28 r2-vintage + 7 r3)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_pivot",
+    "q14_promo_revenue",
+    "q16_supplier_count",
+    "q19_disjunctive_join",
+    "q22_idle_balance",
+    "q2_min_price_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_sole_supplier",
+    "q17_small_quantity_revenue",
+    "q20_concentrated_suppliers",
+    "medallion_silver_conform",
+    "medallion_gold_profit_mart",
+    "scd2_dimension_upsert",
+    "cdc_apply_changes",
+    "scan_parquet",
+    "scan_csv_schema",
+    "source_http",
+    "source_http_datasource",
+    "scan_excel",
+    "scan_json_lines",
+    "scan_orc_roundtrip",
+    "agg_distinct",
+    "agg_stats",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_argmax",
 ]
 
 def build() -> Registry:

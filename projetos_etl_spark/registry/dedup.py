@@ -178,11 +178,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_pairs_oracle() -> str:
-    def _dot(x: str, y: str) -> str:
-        return f"list_sum(list_transform(generate_series(1, len({x})), i -> {x}[i] * {y}[i]))"
-
-    def _norm(x: str) -> str:
-        return f"sqrt(list_sum(list_transform({x}, t -> t * t)))"
+    # sql_cosine (registry/_sqlvec.py) mirrors Spark's zip_with+fold
+    # NULL semantics: a ragged/NULL-holed vector pins to 0.0 similarity
+    # against everything (< threshold, so it never pairs) in BOTH
+    # engines — while two IDENTICALLY-truncated near-dups still get
+    # their real cosine in both (equal lengths fold cleanly), which is
+    # the right dedup answer for vectors malformed the same way.
+    from projetos_etl_spark.registry._sqlvec import sql_cosine
 
     return f"""
     WITH e AS (
@@ -190,9 +192,7 @@ def _cosine_pairs_oracle() -> str:
     )
     SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(coalesce({_dot("a.v", "b.v")}
-                     / nullif({_norm("a.v")} * {_norm("b.v")}, 0), 0), 6)
-                   AS cosine_sim
+               {sql_cosine("a.v", "b.v")} AS cosine_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
     ) WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}
     """

@@ -1418,23 +1418,17 @@ RANGE_COS_THRESHOLD = 0.2
 
 
 def _range_search_oracle() -> str:
-    def _dot(x: str, y: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, len({x})),"
-            f" i -> {x}[i] * {y}[i]))"
-        )
-
-    def _norm(x: str) -> str:
-        return f"sqrt(list_sum(list_transform({x}, t -> t * t)))"
+    # sql_cosine (registry/_sqlvec.py) mirrors Spark's zip_with+fold
+    # NULL semantics — ragged/holed vectors pin to 0.0 (< threshold)
+    # in BOTH engines instead of DuckDB list_sum's partial dot.
+    from projetos_etl_spark.registry._sqlvec import sql_cosine
 
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round(coalesce({_dot("q.v", "c.v")}
-                     / nullif({_norm("q.v")} * {_norm("c.v")}, 0), 0), 6)
-                   AS cosine_sim
+               {sql_cosine("q.v", "c.v")} AS cosine_sim
         FROM e q JOIN e c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {RANGE_N_QUERIES}
     )
@@ -2821,11 +2815,12 @@ _MRL_K = 5
 
 
 def _mrl_oracle() -> str:
-    def _dot(x: str, y: str) -> str:
-        return f"list_sum(list_transform(generate_series(1, len({x})), i -> {x}[i] * {y}[i]))"
-
-    def _norm(x: str) -> str:
-        return f"sqrt(list_sum(list_transform({x}, t -> t * t)))"
+    # sql_cosine (registry/_sqlvec.py) mirrors Spark's zip_with+fold
+    # NULL semantics on BOTH rankings — a ragged/holed vector pins to
+    # 0.0 in full- and truncated-dim space alike (its 16-dim slice of a
+    # 32-dim vector is a REAL 16-vector and scores normally, same as
+    # Spark's F.slice + fold).
+    from projetos_etl_spark.registry._sqlvec import sql_cosine
 
     def _ranked(vec: str, name: str) -> str:
         return f"""{name} AS (
@@ -2833,9 +2828,7 @@ def _mrl_oracle() -> str:
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    row_number() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY round(coalesce({_dot(f"q.{vec}", f"c.{vec}")}
-                                 / nullif({_norm(f"q.{vec}")} * {_norm(f"c.{vec}")},
-                                          0), 0), 6) DESC,
+                       ORDER BY {sql_cosine(f"q.{vec}", f"c.{vec}")} DESC,
                                 c.vec_id) AS rank
             FROM e q JOIN e c ON c.vec_id != q.vec_id
             WHERE q.vec_id < {_MRL_QUERIES}

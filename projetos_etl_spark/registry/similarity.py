@@ -15,6 +15,11 @@ from projetos_etl_spark.operators.cosine import (
     well_formed,
 )
 from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.registry._sqlvec import (
+    sql_cosine,
+    sql_norm,
+    sql_well_formed,
+)
 from projetos_etl_spark.sources.io import load_table
 
 REG = Registry()
@@ -28,20 +33,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _topk_oracle() -> str:
-    def _dot(x: str, y: str) -> str:
-        return f"list_sum(list_transform(generate_series(1, len({x})), i -> {x}[i] * {y}[i]))"
-
-    def _norm(x: str) -> str:
-        return f"sqrt(list_sum(list_transform({x}, t -> t * t)))"
-
+    # sql_cosine (registry/_sqlvec.py) mirrors Spark's zip_with+fold
+    # NULL semantics exactly — ragged/holed vectors pin to 0.0 in BOTH
+    # engines instead of DuckDB's list_sum computing a partial dot.
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               round(coalesce({_dot("q.v", "c.v")}
-                     / nullif({_norm("q.v")} * {_norm("c.v")}, 0), 0), 6)
-                   AS cosine_sim
+               {sql_cosine("q.v", "c.v")} AS cosine_sim
         FROM e q JOIN e c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ), ranked AS (
@@ -118,11 +118,20 @@ def _ann_contract_oracle() -> str:
     # audit ABSTAINS (empty result) in both engines rather than pinning
     # clauses the fixture can't support. Tiny corpora remain covered by
     # the exact/LSH tiers, which are defined at any size.
-    # "Holdable" mirrors operators/cosine.well_formed: non-NULL AND of
-    # the declared dimension — a truncated/empty vector can no more be
-    # indexed, queried, or planted than a NULL one (and would crash the
-    # ragged numpy kernels the Spark side guards against).
-    ok = f"IS NOT NULL AND len(embedding) = {EMB_DIM}"
+    # "Holdable" mirrors operators/cosine.well_formed: non-NULL, of the
+    # declared dimension, AND with no NULL elements — a truncated/empty
+    # vector can no more be indexed, queried, or planted than a NULL
+    # one, and a right-length vector with a NULL element normalizes to
+    # whole-NULL on the Spark side (both would crash the ragged numpy
+    # kernels the Spark side guards against; r9 ADVICE).
+    # Suffix form (used as `embedding {ok}` / `a.embedding {ok-with-
+    # qualified-column}`) of sql_well_formed, kept in sync by the
+    # assertion.
+    ok = (
+        f"IS NOT NULL AND len(embedding) = {EMB_DIM}"
+        " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    )
+    assert f"embedding {ok}" == sql_well_formed("embedding", EMB_DIM)
     return f"""
     SELECT CAST(vec_id AS INTEGER) AS query_id,
            {TOP_K} AS k_returned,
@@ -193,7 +202,13 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
             "scores_exact boolean, planted_recall_ok boolean",
         )
     queries = valid.filter(F.col("vec_id") < N_QUERIES)
-    res = tier_fn(queries, emb, k=TOP_K)
+    # dim is passed explicitly so the declared corpus dimension has ONE
+    # source of truth (EMB_DIM): relying on the tiers' independently-
+    # duplicated dim=64 default would, if EMB_DIM ever changed, silently
+    # filter out the whole corpus inside the tier while the oracle pins
+    # rows at the new length — a guaranteed spurious mismatch (r9
+    # ADVICE).
+    res = tier_fn(queries, emb, k=TOP_K, dim=EMB_DIM)
     qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     cv = vecs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
@@ -233,7 +248,7 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
     # actually CONSTRUCTED: on clean fixtures exactly N_PROBES; with
     # NULL holes it stays an honest recall over >= PROBE_FLOOR probes
     # (the abstention gate above guarantees the sample size).
-    hits = tier_fn(probes, emb, k=TOP_K).agg(
+    hits = tier_fn(probes, emb, k=TOP_K, dim=EMB_DIM).agg(
         (
             F.coalesce(
                 F.sum(
@@ -290,11 +305,8 @@ def _lsh_oracle() -> str:
         for t in range(3)
         for b in range(4)
     )
-    dot = (
-        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),"
-        " i -> {x}[i] * {y}[i])), (acc, t) -> acc + t)"
-    )
-    norm = "sqrt(list_sum(list_transform({x}, t -> t * t)))"
+    from projetos_etl_spark.registry._sqlvec import sql_dot
+
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -302,7 +314,7 @@ def _lsh_oracle() -> str:
       {rows}
     ), bits AS (
         SELECT e.vec_id, pl.tbl, pl.bit,
-               CASE WHEN {dot.format(x="e.v", y="pl.p")} >= 0
+               CASE WHEN {sql_dot("e.v", "pl.p")} >= 0
                     THEN '1' ELSE '0' END AS b
         FROM e CROSS JOIN planes pl
     ), buckets AS (
@@ -315,10 +327,7 @@ def _lsh_oracle() -> str:
         WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
     ), scored AS (
         SELECT cand.query_id, cand.neighbor_id,
-               round(coalesce({dot.format(x="q.v", y="c.v")}
-                     / nullif({norm.format(x="q.v")} * {norm.format(x="c.v")}, 0),
-                     0), 6)
-                   AS cosine_sim
+               {sql_cosine("q.v", "c.v")} AS cosine_sim
         FROM cand
         JOIN e q ON q.vec_id = cand.query_id
         JOIN e c ON c.vec_id = cand.neighbor_id
@@ -404,12 +413,23 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "emb_quantize_int8",
-    oracle="""
-    WITH stats AS (
+    # Quantization feeds the trained ANN index builders, so it adopts
+    # their corpus contract: well-formed vectors only (sql_well_formed
+    # = cosine.well_formed). A 32-dim code array is useless in a 64-d
+    # ADC index, an empty vector has no min/max range, and a NULL-holed
+    # one would hit the engines' diverging NULL-element string-join
+    # semantics (Spark array_join SKIPS NULL codes; DuckDB
+    # array_to_string of an empty list is NULL, not '') — excluded like
+    # NULLs, and counted by emb_norm_outlier_audit.
+    oracle=f"""
+    WITH wf AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {sql_well_formed("embedding", EMB_DIM)}
+    ), stats AS (
         SELECT vec_id,
                CAST(list_min(embedding) AS DOUBLE) AS vmin,
                CAST(list_max(embedding) AS DOUBLE) AS vmax
-        FROM embeddings
+        FROM wf
     )
     SELECT e.vec_id,
            round(s.vmin, 6) AS scale_min,
@@ -421,7 +441,7 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              / (s.vmax - s.vmin) * 255) AS BIGINT)
                              ELSE 0 END),
                ',')) AS q_md5
-    FROM embeddings e JOIN stats s USING (vec_id)
+    FROM wf e JOIN stats s USING (vec_id)
     """,
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,8 +451,12 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequantization). floor() arithmetic — not round() — so both engines
     land on identical codes; the code array is md5-digested for the
     value compare. Pure higher-order array expressions: zero shuffle,
-    O(dim) per row."""
-    emb = _t(spark, sf_dir, "embeddings")
+    O(dim) per row. Operates on the well-formed corpus only (the
+    contract of the ANN indexes these codes feed — see the oracle
+    comment for the engine-divergence a ragged row would hit)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        well_formed("embedding", EMB_DIM)
+    )
     v = F.col("embedding")
     vmin = F.array_min(v).cast("double")
     vmax = F.array_max(v).cast("double")
@@ -476,15 +500,18 @@ def _pca_oracle() -> str:
     e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    -- moments come from WELL-FORMED vectors only — non-NULL AND of the
-    -- declared dimension (count(*) over e would deflate mu/cov by
-    -- counting NULL rows whose sums are skipped, and a truncated vector
-    -- would contribute partial sums the Spark side's ragged-safe filter
-    -- excludes); the final score SELECT stays over e, so a NULL or
-    -- wrong-dimension vector scores NULL in both engines (CASE below —
-    -- SQL sum() would otherwise SKIP a short vector's missing positions
-    -- where Spark's fold propagates NULL).
-    env AS (SELECT * FROM e WHERE v IS NOT NULL AND len(v) = {EMB_DIM}),
+    -- moments come from WELL-FORMED vectors only — non-NULL, of the
+    -- declared dimension, AND with no NULL elements (count(*) over e
+    -- would deflate mu/cov by counting NULL rows whose sums are
+    -- skipped; a truncated vector would contribute partial sums; and a
+    -- NULL-holed vector NaN-poisons the Spark side's numpy Gram — all
+    -- three match cosine.well_formed); the final score SELECT stays
+    -- over e, so a NULL, wrong-dimension, or NULL-holed vector scores
+    -- NULL in both engines (CASE below — SQL sum() would otherwise SKIP
+    -- a short/holed vector's missing positions where Spark's fold
+    -- propagates NULL).
+    env AS (SELECT * FROM e WHERE v IS NOT NULL AND len(v) = {EMB_DIM}
+            AND len(list_filter(v, x -> x IS NULL)) = 0),
     pos AS (SELECT i FROM generate_series(1, {EMB_DIM}) t(i)),
     mu AS (
         SELECT i, round(sum(v[i]) / count(*), 9) AS m
@@ -511,7 +538,8 @@ def _pca_oracle() -> str:
     ),
     v1 AS (SELECT i, val FROM pw WHERE it = {_PCA_ITERS})
     SELECT e.vec_id,
-           CASE WHEN e.v IS NULL OR len(e.v) <> {EMB_DIM} THEN NULL
+           CASE WHEN e.v IS NULL OR len(e.v) <> {EMB_DIM}
+                     OR len(list_filter(e.v, x -> x IS NULL)) > 0 THEN NULL
                 ELSE round(sum((e.v[v1.i] - mu.m) * v1.val), 6) END AS pc1_score
     FROM e, v1 JOIN mu ON mu.i = v1.i
     GROUP BY e.vec_id, e.v
@@ -544,20 +572,18 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-rank gains 1/log2(rank+1) are identical double literals in
     # both engines; the 5-term sums differ only at fold-order ulp, far
     # below the 6dp rounding. idcg=0 (no relevant neighbor) yields
-    # ndcg=0 via an explicit guard — not NULL, not a div-zero.
+    # ndcg=0 via an explicit guard — not NULL, not a div-zero. Cosine
+    # via sql_cosine (registry/_sqlvec.py): ragged/holed vectors pin to
+    # 0.0 in both engines (Spark fold-NULL mirror), so a malformed
+    # query still gets a deterministic — if meaningless — ranking
+    # instead of a partial-dot divergence.
     oracle=f"""
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), scored AS (
         SELECT q.vec_id AS query_id, q.label AS q_label,
                c.vec_id AS neighbor_id, c.label AS c_label,
-               round(coalesce(
-                 list_sum(list_transform(generate_series(1, len(q.v)),
-                                         i -> q.v[i] * c.v[i]))
-                 / nullif(sqrt(list_sum(list_transform(q.v, t -> t * t)))
-                          * sqrt(list_sum(list_transform(c.v, t -> t * t))), 0),
-                 0), 6)
-                   AS cosine_sim
+               {sql_cosine("q.v", "c.v")} AS cosine_sim
         FROM e q JOIN e c ON c.vec_id != q.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ), ranked AS (
@@ -640,13 +666,7 @@ def _hard_negative_oracle() -> str:
     ), scored AS (
         SELECT q.vec_id AS query_id, q.label AS q_label,
                c.vec_id AS negative_id, c.label AS neg_label,
-               round(coalesce(
-                 list_sum(list_transform(generate_series(1, len(q.v)),
-                                         i -> q.v[i] * c.v[i]))
-                 / nullif(sqrt(list_sum(list_transform(q.v, t -> t * t)))
-                          * sqrt(list_sum(list_transform(c.v, t -> t * t))), 0),
-                 0), 6)
-                   AS cosine_sim
+               {sql_cosine("q.v", "c.v")} AS cosine_sim
         FROM e q JOIN e c ON c.vec_id != q.vec_id AND c.label != q.label
         WHERE q.vec_id < {N_QUERIES}
     )
@@ -718,7 +738,7 @@ KM_K = 4
     WITH RECURSIVE
     e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE {sql_well_formed("embedding", EMB_DIM)}
     ),
     km AS (
         SELECT 0 AS it, CAST(vec_id AS INTEGER) AS cid, x AS c
@@ -762,7 +782,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from projetos_etl_spark.operators.kmeans import kmeans_lloyd
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_lloyd(emb, "vec_id", "embedding", KM_K, iters=10)
+    cents = kmeans_lloyd(emb, "vec_id", "embedding", KM_K, iters=10, dim=EMB_DIM)
     rows = [
         (cid, pos + 1, round(v, 6))
         for cid, c in sorted(cents.items())
@@ -775,15 +795,20 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "emb_norm_outlier_audit",
-    # Norms are sequential folds (identical doubles); fences are the
-    # DISCRETE quartiles of the norm distribution (actual data values,
-    # engine-identical) so the outlier SET is exact in both engines.
-    oracle="""
+    # Norms are sequential folds (identical doubles) via sql_norm —
+    # 0.0-SEEDED, because DuckDB's unseeded list_reduce ERRORS on an
+    # empty list where Spark's F.aggregate folds to 0.0 (an empty
+    # vector audits as a zero vector in both engines; a NULL-holed one
+    # has a NULL norm and is counted malformed, not min/max material).
+    # Fences are the DISCRETE quartiles of the norm distribution
+    # (actual data values, engine-identical) so the outlier SET is
+    # exact in both engines.
+    oracle=f"""
     WITH norms AS (
         SELECT vec_id,
-               sqrt(list_reduce(
-                   list_transform(CAST(embedding AS DOUBLE[]), v -> v * v),
-                   (a, b) -> a + b)) AS nrm
+               {sql_norm("CAST(embedding AS DOUBLE[])")} AS nrm,
+               CASE WHEN {sql_well_formed("embedding", EMB_DIM)}
+                    THEN 0 ELSE 1 END AS malformed
         FROM embeddings
     ),
     fences AS (
@@ -792,6 +817,7 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM norms
     )
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(malformed) AS BIGINT) AS n_malformed,
            CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_zero_vectors,
            round(min(nrm), 6) AS min_norm,
@@ -804,12 +830,19 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-norm hygiene audit: zero vectors (cosine against them
-    is NaN — they poison every similarity op downstream) and extreme
+    is NaN — they poison every similarity op downstream), MALFORMED
+    vectors (NULL / wrong-dimension / NULL-holed — the rows
+    ``well_formed`` will exclude from every trained index and trainer,
+    surfaced here so the exclusion is visible, not silent), and extreme
     norms (a broken encoder batch, a wrong normalization flag) flagged
     with 3x-IQR fences on the norm distribution. One fold per row for
     the norm, one discrete-quantile reduce for the fences, one rollup —
     the pre-flight every embedding table should pass before entering
-    the ANN index builders."""
+    the ANN index builders. Norm semantics on malformed rows: an empty
+    vector's 0.0-seeded fold is 0 (it IS a zero vector); a truncated
+    vector gets the real norm of the elements it has; a NULL-holed or
+    NULL vector folds to NULL and is skipped by min/max and the
+    quantile fences in both engines."""
     emb = _t(spark, sf_dir, "embeddings")
     nrm = F.sqrt(
         F.aggregate(
@@ -820,7 +853,10 @@ def emb_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a + b,
         )
     )
-    norms = emb.select(nrm.alias("nrm"))
+    norms = emb.select(
+        nrm.alias("nrm"),
+        (~well_formed("embedding", EMB_DIM)).cast("int").alias("malformed"),
+    )
     fences = norms.agg(
         F.expr("percentile_approx(nrm, 0.25, 2147483647)").alias("q1"),
         F.expr("percentile_approx(nrm, 0.75, 2147483647)").alias("q3"),
@@ -828,6 +864,7 @@ def emb_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     iqr = F.col("q3") - F.col("q1")
     return norms.crossJoin(F.broadcast(fences)).agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("malformed").cast("long").alias("n_malformed"),
         F.sum((F.col("nrm") == 0).cast("int")).cast("long").alias("n_zero_vectors"),
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
@@ -857,13 +894,7 @@ KNN_K = 5
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), scored AS (
         SELECT q.vec_id, q.label AS true_label, c.label AS cand_label,
-               round(coalesce(
-                   list_sum(list_transform(generate_series(1, len(q.v)),
-                                           i -> q.v[i] * c.v[i]))
-                   / nullif(sqrt(list_sum(list_transform(q.v, t -> t * t)))
-                            * sqrt(list_sum(list_transform(c.v, t -> t * t))), 0),
-                   0), 6)
-                   AS sim,
+               {sql_cosine("q.v", "c.v")} AS sim,
                c.vec_id AS cand_id
         FROM e q JOIN e c ON c.vec_id >= {KNN_HOLDOUT}
         WHERE q.vec_id < {KNN_HOLDOUT}

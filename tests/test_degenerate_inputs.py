@@ -200,14 +200,19 @@ def test_zipf_single_type_vocab_is_null(spark, queries, tmp_path):
 
 
 def test_quantize_constant_vector_codes_are_zero(spark, queries, tmp_path):
-    _embeddings(tmp_path, [[1.0, 2.0, 3.0, 4.0], [0.5, 0.5, 0.5, 0.5]])
+    # 64-dim (declared-dimension) vectors: quantize operates on the
+    # well-formed corpus only since r10 — the constant-vector pin is
+    # about the zero RANGE, not about ragged shapes.
+    _embeddings(
+        tmp_path, [[float(i) for i in range(64)], [0.5] * 64]
+    )
     rows = {
         r["vec_id"]: r for r in queries["emb_quantize_int8"](spark, str(tmp_path)).collect()
     }
     assert rows[1]["scale_min"] == rows[1]["scale_max"] == 0.5
     import hashlib
 
-    assert rows[1]["q_md5"] == hashlib.md5(b"0,0,0,0").hexdigest()
+    assert rows[1]["q_md5"] == hashlib.md5(b",".join([b"0"] * 64)).hexdigest()
 
 
 def test_cosine_zero_vector_scores_zero_not_crash(spark, queries, tmp_path):
@@ -528,3 +533,182 @@ def test_ann_contract_runs_with_holes_above_probe_floor(spark, queries, tmp_path
         and r["planted_recall_ok"]
         for r in rows
     )
+
+
+# -- r10: the full malformed-vector family, across every consumer ------------
+#
+# r9 closed the ragged story for the trained tiers + PCA (exclusion);
+# r10 closes it for the EXACT-tier consumers and the third malformation
+# class (r9 ADVICE): a correct-LENGTH vector with a NULL ELEMENT. Three
+# classes, one convention (operators/cosine.well_formed +
+# registry/_sqlvec.sql_well_formed):
+#
+# - trained tiers / trainers / quantizer (IVF, PQ, IVF+PQ, k-means,
+#   PCA moments, int8 quantize): malformed vectors are EXCLUDED in
+#   both engines — any of the three classes crashes or NaN-poisons the
+#   numpy kernels otherwise;
+# - exact/LSH scorers (topk, range, LSH rerank, ndcg, kNN, hard
+#   negatives, dedup cosine, matryoshka): malformed vectors PIN to 0.0
+#   similarity via the fold-NULL convention, mirrored in DuckDB by
+#   registry/_sqlvec.sql_cosine (the old list_sum oracles computed a
+#   PARTIAL dot where Spark folds to NULL -> 0.0 — the r10 fix) —
+#   EXCEPT two vectors malformed the same way (equal short lengths),
+#   whose fold is clean in both engines and scores their real cosine;
+# - the norm audit REPORTS all three classes (n_malformed) instead of
+#   excluding them.
+#
+# The standing fixture axis for this family is sf_ragged
+# (tools/make_degenerate_fixtures.py); these tests pin the same shapes
+# hermetically.
+
+_EMPTY_IDS = {0, 29}
+_TRUNC_IDS = {13, 39}
+_HOLED_IDS = {17, 23}
+
+
+def _malformed_corpus(tmp_path, n=60):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    vecs = [[float(x) for x in rng.normal(size=64)] for _ in range(n)]
+    for i in _EMPTY_IDS:
+        vecs[i] = []
+    for i in _TRUNC_IDS:
+        vecs[i] = vecs[i][:32]
+    for i in _HOLED_IDS:
+        vecs[i][i % 64] = None
+    _embeddings(tmp_path, vecs)
+
+
+def test_well_formed_excludes_all_three_malformation_classes(spark, tmp_path):
+    from projetos_etl_spark.operators.cosine import well_formed
+
+    _malformed_corpus(tmp_path)
+    kept = (
+        spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+        .filter(well_formed("embedding", 64))
+        .select("vec_id")
+        .collect()
+    )
+    kept_ids = {r["vec_id"] for r in kept}
+    assert kept_ids == set(range(60)) - _EMPTY_IDS - _TRUNC_IDS - _HOLED_IDS
+
+
+_MALFORMED_CONSUMERS = [
+    # the r10 seven (exact-tier consumers)
+    "eval_ndcg_at_k",
+    "ml_knn_classify",
+    "emb_matryoshka_overlap",
+    "sim_hard_negative_mining",
+    "dedup_embedding_cosine",
+    "emb_norm_outlier_audit",
+    "emb_quantize_int8",
+    # the other exact/LSH scorers sharing the fold convention
+    "sim_search_topk",
+    "sim_range_search",
+    "sim_search_lsh_bucketed",
+    # trainers (exclusion side), incl. the r9 ADVICE holed-vector path
+    "ml_kmeans_lloyd",
+    "emb_pca_top_component",
+    "sim_search_ivf",
+    "sim_search_pq_adc",
+    "sim_search_ivf_pq",
+]
+
+
+@pytest.mark.parametrize("entry", _MALFORMED_CONSUMERS)
+def test_embedding_consumers_match_oracles_on_malformed_corpus(
+    spark, queries, tmp_path, entry
+):
+    # Every embedding consumer must RUN (no numpy ValueError, no DuckDB
+    # empty-list_reduce error, no NaN poison) and hash-match its oracle
+    # over a corpus holding all three malformation classes at once —
+    # including a malformed QUERY id (vec_id 0 is empty).
+    import duckdb
+    import pandas as pd
+
+    from projetos_etl_spark.registry import all_oracle_sql
+
+    _malformed_corpus(tmp_path)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    sp = queries[entry](spark, str(tmp_path)).toPandas()
+    sp = sp.reindex(sorted(sp.columns), axis=1)
+    if len(sp):
+        sp = sp.sort_values(
+            by=list(sp.columns), na_position="first", kind="mergesort"
+        )
+    sp = sp.reset_index(drop=True)
+    du = _oracle_frame(con, all_oracle_sql()[entry])
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False, check_exact=True)
+
+
+def test_norm_audit_reports_malformed_vectors(spark, queries, tmp_path):
+    _malformed_corpus(tmp_path)
+    row = queries["emb_norm_outlier_audit"](spark, str(tmp_path)).collect()[0]
+    assert row["n_vectors"] == 60
+    assert row["n_malformed"] == len(_EMPTY_IDS | _TRUNC_IDS | _HOLED_IDS)
+    # the two EMPTY vectors audit as zero vectors (0.0-seeded fold)
+    assert row["n_zero_vectors"] == len(_EMPTY_IDS)
+
+
+def test_quantize_excludes_malformed_vectors(spark, queries, tmp_path):
+    _malformed_corpus(tmp_path)
+    got = queries["emb_quantize_int8"](spark, str(tmp_path)).collect()
+    ids = {r["vec_id"] for r in got}
+    assert ids == set(range(60)) - _EMPTY_IDS - _TRUNC_IDS - _HOLED_IDS
+
+
+def test_kmeans_skips_malformed_seed(spark, tmp_path):
+    # vec_id 0 is EMPTY: with dim declared, seeding starts at the first
+    # WELL-FORMED ids in both engines (the oracle twin's well_formed
+    # gate precedes its ORDER BY vec_id LIMIT k) — without the gate the
+    # empty seed centroid would NULL every distance fold against it.
+    from projetos_etl_spark.operators.kmeans import kmeans_lloyd
+
+    _malformed_corpus(tmp_path)
+    emb = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    cents = kmeans_lloyd(emb, "vec_id", "embedding", 4, iters=1, dim=64)
+    assert set(cents) == {1, 2, 3, 4}  # 0 malformed -> skipped
+    assert all(len(c) == 64 for c in cents.values())
+
+
+def test_identically_truncated_duplicates_still_pair(spark, queries, tmp_path):
+    # Two vectors malformed the SAME way (equal 32-dim truncation of
+    # near-identical content) fold cleanly in both engines and keep
+    # their real cosine — dedup still catches dups among uniformly
+    # malformed shards, and the oracle (sql_cosine's greatest-len
+    # series) agrees because equal lengths leave no NULL-padded slot.
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from projetos_etl_spark.registry import all_oracle_sql
+
+    rng = np.random.default_rng(7)
+    vecs = [[float(x) for x in rng.normal(size=64)] for _ in range(20)]
+    vecs[11] = vecs[3][:32]
+    vecs[12] = list(vecs[11])  # identical truncated twin -> cosine 1.0
+    _embeddings(tmp_path, vecs)
+    sp = (
+        queries["dedup_embedding_cosine"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(sp["vec_a"], sp["vec_b"]))
+    assert (11, 12) in pairs
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    du = _oracle_frame(con, all_oracle_sql()["dedup_embedding_cosine"])
+    sp = sp.reindex(sorted(sp.columns), axis=1)
+    sp = sp.sort_values(by=list(sp.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False, check_exact=True)

@@ -26,47 +26,37 @@ from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 from tools.freshness import last_green, plan_window, staleness_order
 
 # Entries whose code or oracle changed since their last green official
-# driver row, at the time the r9 window was planned: the 27 touched by
-# the r8 degenerate-input hardening (their r8 rows predate the fixes —
-# COVERAGE.md r8 "r9 suggested window" row, re-derived by the r8 judge)
-# plus maintenance_compact_small_files (r9: its oracle stopped pinning
-# the empty-table physical file count, per the r8 ADVICE).  This list is
-# judgment (which diffs touched which entries), so it is pinned here —
-# everything else about the window is artifact-derived.
-TOUCHED_R9 = [
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_grouping_id",
-    "agg_corr_matrix",
-    "emb_pca_top_component",
-    "eval_auc_roc",
-    "eval_calibration_bins",
-    "incremental_agg_merge",
-    "ml_kmeans_lloyd",
-    "ml_logreg_gd",
-    "multimodal_decode_features",
-    "multimodal_transcode_roundtrip",
-    "quality_chisq_categorical_drift",
-    "quality_entropy_profile",
-    "quality_parquet_stats_audit",
-    "sample_poisson_bootstrap",
-    "scan_jdbc_roundtrip",
+# driver row, at the time the r10 window was planned: the 15 touched by
+# the r10 ragged-embedding hardening — the trained tiers/PCA/k-means
+# gained the NULL-element malformation class in well_formed (r9
+# ADVICE), every exact-tier embedding consumer's oracle moved from
+# NULL-skipping list_sum dots to the fold-NULL-mirroring sql_cosine
+# (registry/_sqlvec.py), emb_quantize_int8 adopted the well-formed
+# corpus contract on both sides, and emb_norm_outlier_audit grew an
+# n_malformed column.  This list is judgment (which diffs touched which
+# entries), so it is pinned here — everything else about the window is
+# artifact-derived.
+TOUCHED_R10 = [
     "sim_search_ivf",
-    "sim_search_ivf_pq",
-    "sim_search_lsh_bucketed",
     "sim_search_pq_adc",
-    "sink_partitioned_prune",
-    "stream_upsert_tablelog",
-    "ts_ohlc_bars",
-    "udf_scalar",
-    "udtf_chunk_lateral",
-    "maintenance_compact_small_files",
+    "sim_search_ivf_pq",
+    "emb_pca_top_component",
+    "sim_search_topk",
+    "sim_search_lsh_bucketed",
+    "eval_ndcg_at_k",
+    "ml_knn_classify",
+    "sim_hard_negative_mining",
+    "emb_norm_outlier_audit",
+    "emb_quantize_int8",
+    "ml_kmeans_lloyd",
+    "dedup_embedding_cosine",
+    "sim_range_search",
+    "emb_matryoshka_overlap",
 ]
 
-# The window was planned from artifacts r1..r8; CORRECTNESS_r09.json
+# The window was planned from artifacts r1..r9; CORRECTNESS_r10.json
 # landing must not change what the plan derives to.
-PLANNED_THROUGH = 8
+PLANNED_THROUGH = 9
 
 
 def test_ledger_is_closed():
@@ -76,7 +66,7 @@ def test_ledger_is_closed():
 
 
 def test_window_derives_from_artifacts():
-    derived = plan_window(TOUCHED_R9, through=PLANNED_THROUGH)
+    derived = plan_window(TOUCHED_R10, through=PLANNED_THROUGH)
     assert _WINDOW_HEAD == derived, (
         "_WINDOW_HEAD drifted from the artifact-derived policy window "
         "(touched-first, then stalest by last-green round / artifact "
@@ -89,26 +79,27 @@ def test_touched_entries_were_green_before():
     # have a green row (a never-green entry would be a ledger hole, not
     # a freshness item).
     lg = last_green(through=PLANNED_THROUGH)
-    assert all(n in lg for n in TOUCHED_R9)
+    assert all(n in lg for n in TOUCHED_R10)
 
 
 def test_staleness_facts_match_judged_ledger():
-    # Anchor the parser against facts the r8 judge verified by hand:
-    # exactly two r1-vintage rows remain, and the per-round last-green
-    # counts partition all 326 entries.
+    # Anchor the parser against facts the r9 judge verified by hand:
+    # zero r1-vintage rows remain (both were re-verified in the r9
+    # window), the stalest entries are now r2-vintage, and the
+    # per-round last-green counts partition all 326 entries.
     lg = last_green(through=PLANNED_THROUGH)
     assert len(lg) == 326
     by_round: dict[int, int] = {}
     for rn in lg.values():
         by_round[rn] = by_round.get(rn, 0) + 1
-    assert by_round == {1: 2, 2: 50, 3: 34, 4: 43, 5: 47, 6: 50, 7: 50, 8: 50}
+    assert by_round == {2: 28, 3: 30, 4: 41, 5: 45, 6: 41, 7: 42, 8: 49, 9: 50}
     order = staleness_order(through=PLANNED_THROUGH)
-    assert order[:2] == ["catalog_ddl_roundtrip", "scan_csv_badrecords"]
+    assert order[:2] == ["q4_order_priority", "q6_forecast_revenue"]
     assert len(order) == 326
 
 
 def test_window_names_all_in_coverage_ledger_row():
-    # COVERAGE.md documents the same 50 names in its r9 window row; the
+    # COVERAGE.md documents the same 50 names in its r10 window row; the
     # prose must not drift from the code (the r7 judge caught exactly
     # this class of drift once).
     import os
@@ -118,8 +109,8 @@ def test_window_names_all_in_coverage_ledger_row():
                      "COVERAGE.md")
     ).read()
     row = next(
-        (ln for ln in md.splitlines() if ln.startswith("| **r9 window**")), None
+        (ln for ln in md.splitlines() if ln.startswith("| **r10 window**")), None
     )
-    assert row is not None, "COVERAGE.md lacks the r9 window ledger row"
+    assert row is not None, "COVERAGE.md lacks the r10 window ledger row"
     for name in _WINDOW_HEAD:
-        assert f"`{name}`" in row, f"{name} missing from COVERAGE.md r9 row"
+        assert f"`{name}`" in row, f"{name} missing from COVERAGE.md r10 row"

@@ -22,68 +22,70 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r9 window: the ledger closed 326/326 in r8, so this is the first
-# pure RE-verification window — 28 entries whose code/oracle changed
-# since their last green driver row (the r8 degenerate-input hardening
-# set + maintenance_compact_small_files, whose oracle changed in r9),
-# then the 22 stalest entries by artifact-derived age (r1/r2 vintage).
-R9_WINDOW = [
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_grouping_id",
-    "agg_corr_matrix",
-    "emb_pca_top_component",
-    "eval_auc_roc",
-    "eval_calibration_bins",
-    "incremental_agg_merge",
-    "ml_kmeans_lloyd",
-    "ml_logreg_gd",
-    "multimodal_decode_features",
-    "multimodal_transcode_roundtrip",
-    "quality_chisq_categorical_drift",
-    "quality_entropy_profile",
-    "quality_parquet_stats_audit",
-    "sample_poisson_bootstrap",
-    "scan_jdbc_roundtrip",
+# The r10 window: 15 entries touched by the r10 ragged-embedding
+# hardening (well_formed gained the NULL-element class, the exact-tier
+# consumer oracles moved to the fold-NULL-mirroring sql_cosine,
+# emb_quantize_int8 adopted the well-formed corpus contract,
+# emb_norm_outlier_audit grew n_malformed), then the 35 stalest entries
+# by artifact-derived age (all 28 remaining r2-vintage rows + the 7
+# oldest r3-vintage rows).
+R10_WINDOW = [
     "sim_search_ivf",
-    "sim_search_ivf_pq",
-    "sim_search_lsh_bucketed",
     "sim_search_pq_adc",
-    "sink_partitioned_prune",
-    "stream_upsert_tablelog",
-    "ts_ohlc_bars",
-    "udf_scalar",
-    "udtf_chunk_lateral",
-    "maintenance_compact_small_files",
-    "catalog_ddl_roundtrip",
-    "scan_csv_badrecords",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "filter_pred",
-    "project_rename",
-    "join_inner_hash",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "join_theta_range",
-    "join_asof_events",
-    "q10_returned_items",
-    "q18_large_orders",
-    "subquery_scalar",
-    "subquery_correlated",
-    "join_salted_skew",
-    "gold_sales_mart",
-    "sql_gateway_report",
-    "join_full_outer",
+    "sim_search_ivf_pq",
+    "emb_pca_top_component",
+    "sim_search_topk",
+    "sim_search_lsh_bucketed",
+    "eval_ndcg_at_k",
+    "ml_knn_classify",
+    "sim_hard_negative_mining",
+    "emb_norm_outlier_audit",
+    "emb_quantize_int8",
+    "ml_kmeans_lloyd",
+    "dedup_embedding_cosine",
+    "sim_range_search",
+    "emb_matryoshka_overlap",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_pivot",
+    "q14_promo_revenue",
+    "q16_supplier_count",
+    "q19_disjunctive_join",
+    "q22_idle_balance",
+    "q2_min_price_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_sole_supplier",
+    "q17_small_quantity_revenue",
+    "q20_concentrated_suppliers",
+    "medallion_silver_conform",
+    "medallion_gold_profit_mart",
+    "scd2_dimension_upsert",
+    "cdc_apply_changes",
+    "scan_parquet",
+    "scan_csv_schema",
+    "source_http",
+    "source_http_datasource",
+    "scan_excel",
+    "scan_json_lines",
+    "scan_orc_roundtrip",
+    "agg_distinct",
+    "agg_stats",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_argmax",
 ]
 
 def test_driver_window_matches_coverage_plan():
-    assert len(R9_WINDOW) == 50
-    got = list(all_queries())[: len(R9_WINDOW)]
-    assert got == R9_WINDOW, (
+    assert len(R10_WINDOW) == 50
+    got = list(all_queries())[: len(R10_WINDOW)]
+    assert got == R10_WINDOW, (
         "The first-50 verification window shifted. The window is the "
         "explicit registry.__init__._WINDOW_HEAD list; if you changed it, "
         "update this pin AND COVERAGE.md's ledger deliberately."
@@ -93,7 +95,7 @@ def test_driver_window_matches_coverage_plan():
 def test_window_head_is_the_pin():
     # _WINDOW_HEAD and this pin must be the same list; divergence means a
     # half-finished rotation commit.
-    assert _WINDOW_HEAD == R9_WINDOW
+    assert _WINDOW_HEAD == R10_WINDOW
 
 
 def test_no_window_name_collisions():

@@ -3,7 +3,7 @@
     python tools/make_degenerate_fixtures.py [--src /root/testdata/sf0.001] \
         [--out-base /tmp]
 
-Writes four sibling fixture directories, each with all ten tables in the
+Writes five sibling fixture directories, each with all ten tables in the
 production schemas:
 
 - ``sf_empty``       every table zero rows (schema intact) — the
@@ -14,18 +14,32 @@ production schemas:
                      zero-variance / one-sided-split state;
 - ``sf_nulls``       every 10th events.value / documents.text /
                      embeddings.embedding NULL — the "failed upstream
-                     parse" state.
+                     parse" state;
+- ``sf_ragged``      malformed vectors planted in the 64-d embeddings
+                     corpus (the r9 hostile-probe shape, made a standing
+                     axis in r10): vec_id % 29 == 0 -> EMPTY vector,
+                     else vec_id % 13 == 0 -> TRUNCATED to 32 dims,
+                     else vec_id % 17 == 0 -> one NULL ELEMENT planted
+                     at position vec_id % 64 — the three ways a parsed
+                     embedding can be the wrong shape without being
+                     NULL. One such vector used to crash quantizer
+                     training / PCA (np ragged ValueError, None->NaN
+                     Gram poison); the well_formed convention
+                     (operators/cosine.py) excludes all three, and the
+                     exact-tier consumers pin their fold-NULL semantics
+                     against the DuckDB twins on exactly this axis.
 
 Then sweep each with the driver simulator:
 
     python tools/driver_sim.py --sf-dir /tmp/sf_nulls
 
-Expected: 326/326 MATCH on sf_onerow and sf_nulls; 325/326 on the two
-empty axes (the one failure is ``medallion_gold_profit_mart``'s
-deliberate reference-parity empty-input guard — SURVEY.md §2A op #14).
-The conventions each axis pins are tabulated in SCALE.md's round-8
-sections and asserted entry-by-entry in tests/test_empty_inputs.py.
-"""
+Expected: 326/326 MATCH on sf_onerow, sf_nulls, and sf_ragged; 325/326
+on the two empty axes (the one failure is
+``medallion_gold_profit_mart``'s deliberate reference-parity
+empty-input guard — SURVEY.md §2A op #14). The conventions each axis
+pins are tabulated in SCALE.md's round-8 sections and asserted
+entry-by-entry in tests/test_empty_inputs.py (empty/onerow/nulls) and
+tests/test_degenerate_inputs.py (ragged)."""
 
 from __future__ import annotations
 
@@ -46,6 +60,38 @@ NULLIFY = {
     "documents": ["text"],
     "embeddings": ["embedding"],
 }
+
+
+def _ragged_embeddings(tab: pa.Table) -> pa.Table:
+    """Plant the three non-NULL malformation classes keyed on vec_id
+    (not row position) so the pattern is stable under row reordering.
+    Precedence empty > truncated > null-element keeps each vector in
+    exactly one class. At the default sf0.001 source (vec_ids 0..499)
+    this leaves >= PROBE_FLOOR constructible planted-probe pairs, so the
+    ANN contract audits stay ACTIVE (non-abstained) over the holed
+    corpus — the point of the axis."""
+    idx = tab.schema.get_field_index("embedding")
+    vec_ids = tab.column("vec_id").to_pylist()
+    vecs = tab.column("embedding").to_pylist()
+    out = []
+    for vid, v in zip(vec_ids, vecs):
+        if v is None:
+            out.append(None)
+        elif vid % 29 == 0:
+            out.append([])
+        elif vid % 13 == 0:
+            out.append(v[:32])
+        elif vid % 17 == 0:
+            holed = list(v)
+            holed[vid % len(holed)] = None
+            out.append(holed)
+        else:
+            out.append(v)
+    return tab.set_column(
+        idx,
+        tab.schema.field("embedding"),
+        pa.array(out, type=tab.schema.field("embedding").type),
+    )
 
 
 def _null_holes(tab: pa.Table, cols: list[str]) -> pa.Table:
@@ -72,7 +118,9 @@ def main() -> None:
 
     dirs = {
         name: os.path.join(args.out_base, name)
-        for name in ("sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls")
+        for name in (
+            "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls", "sf_ragged"
+        )
     }
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
@@ -90,7 +138,11 @@ def main() -> None:
             _null_holes(tab, NULLIFY.get(t, [])),
             os.path.join(dirs["sf_nulls"], f"{t}.parquet"),
         )
-        print(f"{t}: empty/factsempty/onerow/nulls written")
+        pq.write_table(
+            _ragged_embeddings(tab) if t == "embeddings" else tab,
+            os.path.join(dirs["sf_ragged"], f"{t}.parquet"),
+        )
+        print(f"{t}: empty/factsempty/onerow/nulls/ragged written")
     print("fixture sets:", ", ".join(dirs.values()))
 
 
