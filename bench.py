@@ -283,18 +283,34 @@ def main() -> None:
         "load_avg": {"start": load_start, "end": detail["load_avg_end"]},
         "sf": sf,
     }
+    print(_compact_line(compact, timings, timings_min))
+
+
+#: Recording-harness tail-buffer budget for the stdout line; the
+#: cascade below guarantees the printed JSON never exceeds it.
+LINE_BUDGET = 1800
+
+
+def _compact_line(
+    compact: dict, timings: dict[str, float], timings_min: dict[str, float]
+) -> str:
+    """Serialize the driver-visible stdout line, shrinking in stages so
+    it NEVER overflows the recording harness's tail buffer (the r4
+    `parsed: null` artifact failure). Factored out of main() so the
+    cascade — especially the final fallback — is unit-testable
+    (tests/test_bench_artifact.py)."""
     line = json.dumps(compact)
-    if len(line) > 1800:  # shrink cascade: never overflow the tail buffer
+    if len(line) > LINE_BUDGET:  # stage 1: 2dp per-query seconds
         compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
         compact["queries_min"] = {n: round(t, 2) for n, t in timings_min.items()}
         line = json.dumps(compact)
-    if len(line) > 1800:
-        # Drop the fastest queries from BOTH dicts (kept names stay
-        # aligned so every reported query carries median AND min) until
-        # the line fits; full detail is always in BENCH_LOCAL.json.
+    if len(line) > LINE_BUDGET:
+        # Stage 2: drop the fastest queries from BOTH dicts (kept names
+        # stay aligned so every reported query carries median AND min)
+        # until the line fits; full detail is always in BENCH_LOCAL.json.
         order = sorted(timings, key=lambda n: -timings[n])
         keep = len(order)
-        while len(line) > 1800 and keep > 10:
+        while len(line) > LINE_BUDGET and keep > 10:
             keep -= 1
             kept = order[:keep]
             compact["queries"] = {n: round(timings[n], 2) for n in kept}
@@ -303,25 +319,25 @@ def main() -> None:
             }
             compact["queries_truncated_to_slowest"] = keep
             line = json.dumps(compact)
-    if len(line) > 1800:
+    if len(line) > LINE_BUDGET:
         # Final fallback: a line dominated by long regressions/errors
         # lists can still overflow after the query-dropping loop bottoms
-        # out at keep=10 (the r4 `parsed: null` failure mode). Collapse
-        # the unbounded list fields to counts — the full detail is
-        # always in BENCH_LOCAL.json — and, if a pathological sf/path
-        # string STILL overflows, drop the per-query dicts entirely:
-        # a parseable headline beats a truncated rich one.
+        # out at keep=10 (r9 ADVICE). Collapse the unbounded list fields
+        # to counts — the full detail is always in BENCH_LOCAL.json —
+        # and, if a pathological sf/path string STILL overflows, drop
+        # the per-query dicts entirely: a parseable headline beats a
+        # truncated rich one.
         for field in ("regressions", "errors"):
             v = compact.get(field)
             if isinstance(v, (list, dict)) and v:
                 compact[field] = f"<{len(v)} entries: see BENCH_LOCAL.json>"
         line = json.dumps(compact)
-        if len(line) > 1800:
+        if len(line) > LINE_BUDGET:
             compact.pop("queries", None)
             compact.pop("queries_min", None)
             compact["queries_truncated_to_slowest"] = 0
             line = json.dumps(compact)
-    print(line)
+    return line
 
 
 def _delta_vs_previous(

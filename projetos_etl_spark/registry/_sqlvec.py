@@ -48,10 +48,19 @@ def sql_dot(x: str, y: str) -> str:
 
 def sql_norm(x: str) -> str:
     """NULL-propagating 0.0-seeded L2 norm of a DOUBLE[] expr (empty
-    array -> 0.0, NULL element -> NULL, any length -> its own norm)."""
+    array -> 0.0, NULL element -> NULL, whole-NULL array -> NULL, any
+    length -> its own norm).
+
+    The whole-NULL CASE is load-bearing: DuckDB's ``list_prepend(0.0,
+    NULL)`` is ``[0.0]`` (it builds a list around the seed), so the
+    seeded fold alone would claim norm 0.0 for a NULL vector — turning
+    "corrupt upstream" into the legitimate zero-vector convention,
+    exactly the conflation the r8 ADVICE banned (caught by the sf_nulls
+    sweep against emb_norm_outlier_audit's min_norm)."""
     return (
+        f"CASE WHEN {x} IS NULL THEN NULL ELSE "
         f"sqrt(list_reduce(list_prepend(0.0, list_transform("
-        f"{x}, t -> t * t)), (acc, t) -> acc + t))"
+        f"{x}, t -> t * t)), (acc, t) -> acc + t)) END"
     )
 
 

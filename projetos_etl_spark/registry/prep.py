@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projetos_etl_spark.functions.finite import finite, sql_finite
 from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
 from projetos_etl_spark.sources.io import load_table
 
@@ -21,11 +22,16 @@ HOUR_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 @REG.add(
     "ts_resample_ffill",
+    # finite gate (functions/finite.py), same convention as its sibling
+    # ts_interpolate_linear: a NaN/Inf reading is a MISSING reading, so
+    # it maps to NULL and the fill carries the last USABLE value across
+    # it — a forward-fill that propagates a corrupt reading for hours
+    # is corruption amplification.
     oracle=f"""
     WITH hourly AS (
         SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h, value
         FROM (
-            SELECT user_id, ts, round(value, 6) AS value,
+            SELECT user_id, ts, round({sql_finite("value")}, 6) AS value,
                    row_number() OVER (
                        PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
                        ORDER BY ts DESC, event_id DESC) AS rn
@@ -62,9 +68,15 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     then all partition by user_id."""
     ev = load_table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
+    # finite(): a corrupt reading is a missing reading — see the oracle
+    # comment.
     hourly = (
         ev.select(
-            "user_id", "ts", "event_id", hour.alias("h"), F.round("value", 6).alias("value")
+            "user_id",
+            "ts",
+            "event_id",
+            hour.alias("h"),
+            F.round(finite("value"), 6).alias("value"),
         )
         .groupBy("user_id", "h")
         .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
@@ -165,9 +177,13 @@ def quality_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_interpolate_linear",
     oracle=f"""
     WITH hourly AS (
+        -- finite gate (functions/finite.py): a NaN/Inf reading IS a
+        -- missing reading — interpolation's whole purpose — so it maps
+        -- to NULL and gets interpolated over, instead of riding into
+        -- engine-divergent NaN/Inf arithmetic (r10 sf_nan probe).
         SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h, value
         FROM (
-            SELECT user_id, ts, round(value, 6) AS value,
+            SELECT user_id, ts, round({sql_finite("value")}, 6) AS value,
                    row_number() OVER (
                        PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
                        ORDER BY ts DESC, event_id DESC) AS rn
@@ -221,11 +237,13 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical shuffle profile to ffill — ONE exchange on user_id covers
     the per-hour pick, the spine join, and both windows."""
     ev = load_table(spark, sf_dir, "events")
+    # finite(): a corrupt reading is a missing reading here — see the
+    # oracle comment.
     hourly = (
         ev.select(
             "user_id",
             F.date_trunc("hour", "ts").alias("h"),
-            F.round("value", 6).alias("value"),
+            F.round(finite("value"), 6).alias("value"),
             F.struct(F.col("ts"), F.col("event_id")).alias("pick"),
         )
         .groupBy("user_id", "h")
@@ -1223,20 +1241,27 @@ def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "anomaly_zscore_rolling",
+    # finite gate (functions/finite.py): one Inf in the trailing window
+    # OVERFLOWED DuckDB's STDDEV_SAMP outright (Out of Range) and one
+    # NaN NaN-poisons mu/sd for the next 10 observations in Spark (r10
+    # sf_nan probe). Corrupt readings are excluded from the history
+    # moments (n_prev counts USABLE history), and can't themselves be
+    # scored — their z is NULL and never flags.
     oracle=f"""
     WITH w AS (
         SELECT user_id, ts, event_id, value,
-               avg(value)         OVER frame AS mu,
-               stddev_samp(value) OVER frame AS sd,
-               count(*)           OVER frame AS n_prev
+               {sql_finite("value")} AS v_ok,
+               avg({sql_finite("value")})         OVER frame AS mu,
+               stddev_samp({sql_finite("value")}) OVER frame AS sd,
+               count({sql_finite("value")})       OVER frame AS n_prev
         FROM events
         WINDOW frame AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
     )
     SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts, value,
-           round((value - mu) / sd, 4) AS z
+           round((v_ok - mu) / sd, 4) AS z
     FROM w
-    WHERE n_prev >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2
+    WHERE n_prev >= 5 AND sd > 0 AND abs((v_ok - mu) / sd) > 2
     ORDER BY user_id, ts, event_id
     """,
 )
@@ -1256,17 +1281,22 @@ def anomaly_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-10, -1)
     )
+    # finite(): see the oracle comment — Inf overflows DuckDB stddev,
+    # NaN poisons the trailing moments; corrupt readings are neither
+    # history nor scorable.
+    fv = finite("value")
     scored = ev.select(
         "user_id",
         "ts",
         "event_id",
         "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
-        F.count(F.lit(1)).over(w).alias("n_prev"),
+        fv.alias("v_ok"),
+        F.avg(fv).over(w).alias("mu"),
+        F.stddev_samp(fv).over(w).alias("sd"),
+        F.count(fv).over(w).alias("n_prev"),
     )
     z = F.when(
-        F.col("sd") > 0, (F.col("value") - F.col("mu")) / F.col("sd")
+        F.col("sd") > 0, (F.col("v_ok") - F.col("mu")) / F.col("sd")
     )
     return (
         scored.filter(
@@ -1660,23 +1690,31 @@ def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "incremental_var_merge",
-    oracle="""
+    # finite gate (functions/finite.py): the DECIMAL accumulation that
+    # makes the partials exact is exactly what a NaN KILLS — DuckDB's
+    # NaN -> INT128 cast is an error, and Inf has no decimal form in
+    # either engine (r10 sf_nan probe). Corrupt readings are excluded
+    # from the moments AND from n_events (a mean over n that counts
+    # values the sum skipped isn't a mean).
+    oracle=f"""
     WITH raw AS (
         SELECT event_type,
-               CAST(value AS DECIMAL(28,10))          AS v,
-               CAST(value * value AS DECIMAL(38,10))  AS v2
+               CAST({sql_finite("value")} AS DECIMAL(28,10))  AS v,
+               CAST({sql_finite("value")} * {sql_finite("value")}
+                    AS DECIMAL(38,10))                        AS v2
         FROM events
     ),
     daily AS (
-        SELECT event_type, count(*) AS p_n, sum(v) AS p_sum, sum(v2) AS p_sumsq
+        SELECT event_type, count(v) AS p_n, sum(v) AS p_sum, sum(v2) AS p_sumsq
         FROM raw GROUP BY event_type
     )
     SELECT event_type,
            CAST(p_n AS BIGINT) AS n_events,
-           round(CAST(p_sum AS DOUBLE) / p_n, 6) AS mean_value,
-           round((CAST(p_sumsq AS DOUBLE)
-                  - CAST(p_sum AS DOUBLE) * CAST(p_sum AS DOUBLE) / p_n)
-                 / (p_n - 1), 6) AS var_value
+           round(CAST(p_sum AS DOUBLE) / nullif(p_n, 0), 6) AS mean_value,
+           CASE WHEN p_n > 1 THEN
+               round((CAST(p_sumsq AS DOUBLE)
+                      - CAST(p_sum AS DOUBLE) * CAST(p_sum AS DOUBLE) / p_n)
+                     / (p_n - 1), 6) END AS var_value
     FROM daily ORDER BY event_type
     """,
 )
@@ -1698,11 +1736,11 @@ def incremental_var_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = ev.select(
         "event_type",
         F.date_trunc("day", "ts").alias("day"),
-        F.col("value").cast("decimal(28,10)").alias("v"),
-        (F.col("value") * F.col("value")).cast("decimal(38,10)").alias("v2"),
+        finite("value").cast("decimal(28,10)").alias("v"),
+        (finite("value") * finite("value")).cast("decimal(38,10)").alias("v2"),
     )
     daily = raw.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("p_n"),
+        F.count("v").alias("p_n"),
         F.sum("v").alias("p_sum"),
         F.sum("v2").alias("p_sumsq"),
     )
@@ -1719,7 +1757,7 @@ def incremental_var_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_type",
         n.cast("long").alias("n_events"),
-        F.round(s / n, 6).alias("mean_value"),
+        F.round(F.try_divide(s, n), 6).alias("mean_value"),
         F.when(n > 1, F.round((s2 - s * s / n) / (n - 1), 6)).alias("var_value"),
     ).orderBy("event_type")
 
@@ -1884,12 +1922,22 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "ts_autocorr_lag",
+    # finite gate (functions/finite.py): one Inf reading OVERFLOWS
+    # DuckDB's corr internals (STDDEV_POP out of range) and one NaN
+    # NaN-poisons Spark's corr state for the whole series (r10 sf_nan
+    # probe). The autocorrelation is computed over the USABLE series:
+    # corrupt/NULL readings are dropped before the lag, so pairs span
+    # the gap — the standard missing-data treatment for lag-k stats.
     oracle="""
-    WITH lagged AS (
+    WITH finite_series AS (
+        SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value
+        FROM events WHERE isfinite(value)
+    ),
+    lagged AS (
         SELECT user_id, value,
                lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_value
-        FROM events
+        FROM finite_series
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1911,9 +1959,12 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation order differs across engines at the ulp)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lagged = ev.select(
-        "user_id", "value", F.lag("value").over(w).alias("prev_value")
-    ).filter(F.col("prev_value").isNotNull())
+    # finite(): see the oracle comment — the usable series only.
+    lagged = (
+        ev.filter(finite("value").isNotNull())
+        .select("user_id", "value", F.lag("value").over(w).alias("prev_value"))
+        .filter(F.col("prev_value").isNotNull())
+    )
     return (
         lagged.groupBy("user_id")
         .agg(
@@ -2144,6 +2195,12 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "pipeline_quality_gate_fused",
+    # digit_ratio divides via nullif/try_divide: an EMPTY document made
+    # the plain ANSI division abort the entire gate job (r10
+    # sf_hostiletext probe) — one zero-length doc in 100 TB killed the
+    # curation pass. A NULL ratio folds keep to FALSE through the
+    # n_tokens clause and contributes no reason string, identically in
+    # both engines.
     oracle="""
     WITH sig AS (
         SELECT doc_id,
@@ -2152,7 +2209,7 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_max(list_transform(string_split(text, ' '),
                                        t -> len(t)))                  AS max_word_len,
                len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                   / len(text)                                        AS digit_ratio
+                   / nullif(len(text), 0)                             AS digit_ratio
         FROM documents
     )
     SELECT doc_id,
@@ -2185,10 +2242,13 @@ def pipeline_quality_gate_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     n_alpha = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    mean_wl = n_alpha / n_tokens
+    mean_wl = n_alpha / n_tokens  # n_tokens >= 1 for any non-NULL text
     max_wl = F.array_max(F.transform(toks, F.length))
-    digit_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) / F.length("text")
+    # try_divide: an empty doc has no digit_ratio — NULL, not a
+    # DIVIDE_BY_ZERO job abort (see oracle comment).
+    digit_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")),
+        F.length("text"),
     )
     keep = (
         (n_tokens >= 10)
@@ -3349,11 +3409,17 @@ _IMP_KNUTH, _IMP_MOD = 2654435761, 4294967296
 
 @REG.add(
     "feat_impute_missing",
+    # The non-hole branch rides the finite gate (functions/finite.py):
+    # a NaN/Inf reading IS a missing value — imputation's entire
+    # purpose — so it joins the NULL bucket and gets the group median
+    # (also the only cross-engine-stable choice: Spark's percentile
+    # sorts NaN greatest while DuckDB's quantile_cont rejects it; r10
+    # sf_nan probe caught the divergence on imputed_median).
     oracle=f"""
     WITH holed AS (
         SELECT event_type,
                CASE WHEN (event_id * {_IMP_KNUTH}) % {_IMP_MOD} % 10 = 0
-                    THEN NULL ELSE value END AS value
+                    THEN NULL ELSE {sql_finite("value")} END AS value
         FROM events
     ),
     med AS (
@@ -3383,12 +3449,14 @@ def feat_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx``). mean_before (null-skipping) vs mean_after
     (imputed) quantifies the imputation's pull toward the median."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # finite(): a corrupt reading is a missing value here — see the
+    # oracle comment.
     holed = ev.select(
         "event_type",
         F.when(
             (F.col("event_id") * _IMP_KNUTH) % _IMP_MOD % 10 == 0, F.lit(None)
         )
-        .otherwise(F.col("value"))
+        .otherwise(finite("value"))
         .alias("value"),
     )
     med = (
@@ -4714,8 +4782,13 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every emitted double is a fixed expression over exact integers.
     oracle=f"""
     WITH hourly AS (
+        -- finite gate (functions/finite.py): one NaN reading made
+        -- avg(value) NaN and the ANSI e6-integer cast ABORTED the whole
+        -- decomposition job (r10 sf_nan probe); corrupt readings are
+        -- excluded from the hourly mean like NULLs.
         SELECT date_trunc('hour', ts) AS h,
-               CAST(round(round(avg(value), 6) * 1000000, 0) AS BIGINT) AS m_e6
+               CAST(round(round(avg({sql_finite("value")}), 6) * 1000000, 0)
+                    AS BIGINT) AS m_e6
         FROM events GROUP BY date_trunc('hour', ts)
     ),
     win AS (
@@ -4760,8 +4833,10 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows here; grid-bounded, not row-bounded, at 100 TB), one
     24-group seasonal aggregate broadcast back."""
     ev = load_table(spark, sf_dir, "events")
+    # finite(): see the oracle comment — a NaN mean would ANSI-abort
+    # the e6-integer cast.
     hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.round(F.round(F.avg("value"), 6) * 1000000, 0)
+        F.round(F.round(F.avg(finite("value")), 6) * 1000000, 0)
         .cast("bigint")
         .alias("m_e6")
     )

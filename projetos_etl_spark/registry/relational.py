@@ -1235,41 +1235,63 @@ def join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, not just the plan shape). The write amortizes across
     every downstream join — the classic layout investment for a fact
     table joined daily."""
+    import os
+    import re
+
+    from projetos_etl_spark.scratch import _pid_alive
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    # A fresh session's metastore doesn't know tables a PREVIOUS process
-    # wrote, but their warehouse directories persist — saveAsTable then
-    # fails with LOCATION_ALREADY_EXISTS. Drop both ways: catalog entry
-    # if registered, orphaned location through the Hadoop FS API.
+    # Table names carry the owner PID (the scratch.py ownership
+    # convention, applied to the shared spark-warehouse/): a FIXED name
+    # let two concurrent engine processes on one host clobber each
+    # other — process A's overwrite deleted bucket files process B's
+    # join was mid-scan on (FAILED_READ_FILE, caught by r10's parallel
+    # hostile sweeps). Each process writes its own tables; dead owners'
+    # leftover warehouse dirs are pruned here (catalog entries die with
+    # their in-memory metastore; the DIRECTORIES persist and would
+    # otherwise leak a table copy per crashed session).
+    pid = os.getpid()
+    t_orders, t_li = f"pes_bkt_orders_{pid}", f"pes_bkt_lineitem_{pid}"
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    for tbl in ("pes_bkt_orders", "pes_bkt_lineitem"):
+    wpath = jvm.org.apache.hadoop.fs.Path(warehouse)
+    fs = wpath.getFileSystem(hconf)
+    if fs.exists(wpath):
+        for status in fs.listStatus(wpath):
+            name = status.getPath().getName()
+            m = re.fullmatch(r"pes_bkt_\w+_(\d+)", name)
+            if not m:
+                continue
+            owner = int(m.group(1))
+            if owner != pid and not _pid_alive(owner):
+                fs.delete(status.getPath(), True)
+    for tbl in (t_orders, t_li):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         p = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{tbl}")
-        fs = p.getFileSystem(hconf)
         if fs.exists(p):
             fs.delete(p, True)
     (
         orders.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
-        .saveAsTable("pes_bkt_orders")
+        .saveAsTable(t_orders)
     )
     (
         li.write.mode("overwrite")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
-        .saveAsTable("pes_bkt_lineitem")
+        .saveAsTable(t_li)
     )
     return (
-        spark.table("pes_bkt_lineitem")
+        spark.table(t_li)
         .join(
-            spark.table("pes_bkt_orders"),
+            spark.table(t_orders),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderpriority")

@@ -258,10 +258,14 @@ def udf_pandas_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_scalar",
     # NULL value -> NULL tier, stated explicitly: SQL CASE would
     # otherwise fall through NULL comparisons to 'low', silently
-    # conflating "unknown" with the lowest tier.
+    # conflating "unknown" with the lowest tier. NaN -> NULL too: in
+    # Python `nan >= 300` is False (falls to 'low') while DuckDB's
+    # comparison sorts NaN above everything ('high') — the r10 sf_nan
+    # probe caught exactly that silent divergence; a corrupt reading
+    # has no tier. +/-Inf stays orderable (both engines agree).
     oracle="""
     SELECT event_id,
-           CASE WHEN value IS NULL THEN NULL
+           CASE WHEN value IS NULL OR isnan(value) THEN NULL
                 WHEN value >= 300 THEN 'high'
                 WHEN value >= 100 THEN 'mid'
                 ELSE 'low' END AS tier
@@ -274,11 +278,15 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower than the pandas UDF above at scale). NULL in -> NULL out: a
     Python UDF receives SQL NULL as ``None``, and ``None >= 300`` is a
     TypeError — every row-level UDF must handle the NULL case itself
-    (built-in expressions get this propagation for free)."""
+    (built-in expressions get this propagation for free). NaN in ->
+    NULL out for the same reason at one remove: Python's ``nan >= x``
+    is always False, which is NOT what SQL comparisons do with NaN —
+    every row-level UDF must handle NaN explicitly too (see oracle
+    comment)."""
 
     @F.udf("string")
     def tier(v: float) -> str:
-        if v is None:
+        if v is None or v != v:  # None or NaN: no tier
             return None
         return "high" if v >= 300 else ("mid" if v >= 100 else "low")
 
@@ -289,24 +297,33 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "udaf_grouped",
+    # The positivity filter rides the finite gate (functions/finite.py):
+    # Spark's `NaN > 0` is TRUE (NaN sorts greatest), so one NaN reading
+    # slipped through and NaN-poisoned the whole group's geomean, and
+    # one +Inf pinned it to Inf (r10 sf_nan probe). Geomean over the
+    # FINITE positive values; n_events counts those.
     oracle="""
     SELECT event_type,
            round(exp(avg(ln(value))), 6) AS geomean_value,
            count(*)                      AS n_events
     FROM events
-    WHERE value > 0
+    WHERE isfinite(value) AND value > 0
     GROUP BY event_type
     ORDER BY event_type
     """,
 )
 def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map UDAF via ``applyInPandas``: per-group geometric mean
-    (over the positive values — the geomean is undefined at zero, and the
-    fixture contains value=0 rows at sf0.1). Each group arrives as one
-    pandas DataFrame (group must fit in executor memory — fine for
-    bounded group counts; for unbounded keys prefer a two-level algebraic
-    decomposition like the oracle's exp(avg(ln)))."""
+    (over the FINITE positive values — the geomean is undefined at zero,
+    the fixture contains value=0 rows at sf0.1, and one NaN/Inf reading
+    would poison the whole group's mean through the log; see oracle
+    comment). Each group arrives as one pandas DataFrame (group must
+    fit in executor memory — fine for bounded group counts; for
+    unbounded keys prefer a two-level algebraic decomposition like the
+    oracle's exp(avg(ln)))."""
     import numpy as np
+
+    from projetos_etl_spark.functions.finite import finite
 
     def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -319,7 +336,7 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         _t(spark, sf_dir, "events")
-        .filter(F.col("value") > 0)
+        .filter(finite("value") > 0)
         .groupBy("event_type")
         .applyInPandas(geomean, "event_type string, geomean_value double, n_events bigint")
         .select(

@@ -859,13 +859,29 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original table exactly."""
     out = scratch_path("mlcsv_scratch")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs.select(
-        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
-    ).write.mode("overwrite").option("header", True).option("quoteAll", True).csv(out)
+    # The writer/reader option pairing below is what makes the trip
+    # EXACT for degenerate strings (r10 sf_hostiletext probe): with the
+    # defaults, an empty-string doc reads back as NULL (read nullValue
+    # is ''), and the WRITER trims whitespace-only docs to '' before
+    # they even land (write ignoreLeading/TrailingWhiteSpace default
+    # true) — silent corpus corruption, not even an error. An explicit
+    # NULL sentinel distinct from '' plus trim-off preserves all three
+    # states: NULL, '', and whitespace-only.
+    (
+        docs.select("doc_id", F.regexp_replace("text", " ", "\n").alias("text"))
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(out)
+    )
     back = (
         spark.read.schema("doc_id long, text string")
         .option("header", True)
         .option("multiLine", True)
+        .option("nullValue", "\\N")
         .csv(out)
         .select("doc_id", F.regexp_replace("text", "\n", " ").alias("text"))
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projetos_etl_spark.functions.finite import finite, sql_finite
 from projetos_etl_spark.scratch import scratch_dir, scratch_path
 from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
 from projetos_etl_spark.streaming.jobs import (
@@ -232,11 +233,16 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @REG.add(
     "stream_custom_stateful_profile",
-    oracle="""
+    # sum/max ride the finite gate (functions/finite.py): the pandas
+    # state fn receives NULLs as NaN through Arrow, so it cannot help
+    # treating NULL and NaN alike — the operator makes that explicit
+    # (finite readings only; see streaming/stateful.py) and the oracle
+    # mirrors it. n_events still counts every event.
+    oracle=f"""
     SELECT user_id,
-           count(*)              AS n_events,
-           round(sum(value), 6)  AS total_value,
-           round(max(value), 6)  AS max_value
+           count(*) AS n_events,
+           round(sum({sql_finite("value")}), 6)  AS total_value,
+           round(max({sql_finite("value")}), 6)  AS max_value
     FROM events
     GROUP BY user_id
     """,
@@ -704,11 +710,18 @@ def stream_session_close_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     # whose events are all one parity legitimately commits once —
     # degenerate-but-valid input, same convention as the empty-stream
     # empty result.
+    # value rides through the finite gate (functions/finite.py): a NaN
+    # or Inf reading has no cents representation — the ANSI
+    # bigint cast of round(NaN*100) ABORTED the foreachBatch sink (one
+    # corrupt event killed the streaming job; r10 sf_nan probe) and
+    # DuckDB's INT128 sum cast dies the same way. Non-finite values are
+    # excluded from sum_value like NULLs; the event still counts in
+    # n_events / last_ts.
     oracle=f"""
     SELECT user_id,
            count(*) AS n_events,
-           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
-               AS sum_value,
+           CAST(sum(CAST(round({sql_finite("value")} * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100 AS sum_value,
            strftime(max(ts), '{TS_FMT_DUCK}') AS last_ts,
            (SELECT count(DISTINCT event_id % 2) FROM events) = 2
                AS multi_commit
@@ -742,7 +755,9 @@ def stream_upsert_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_all = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    # finite(): see the oracle comment — NaN cents would ANSI-abort the
+    # sink; corrupt readings are excluded from the sum like NULLs.
+    cents = F.round(finite("value") * 100, 0).cast("bigint")
     # Per-process scratch (see ``scratch.py``): concurrent sessions on
     # one host can't clobber each other's table log, and dead sessions'
     # dirs are pruned by the next run. Same-process re-runs reuse and

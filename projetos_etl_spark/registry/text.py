@@ -58,14 +58,21 @@ def text_tokens_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "text_quality_score",
+    # Every ratio divides via try_divide / nullif: an EMPTY document
+    # (length 0 — real corpora are full of them) has no defined
+    # space_ratio, and under ANSI mode the plain division DIDN'T return
+    # garbage, it KILLED THE JOB — one zero-length doc in 100 TB aborted
+    # the whole quality pass (found by the r10 sf_hostiletext probe).
+    # NULL ratios + passes_quality=0 is the convention: undefined
+    # metrics never pass the gate.
     oracle=f"""
     SELECT doc_id,
            round(CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS DOUBLE)
-                 / length(text), 6) AS space_ratio,
+                 / nullif(length(text), 0), 6) AS space_ratio,
            round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ({STOPWORDS_SQL})))
-                 AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+                 AS DOUBLE) / nullif(len(string_split(text, ' ')), 0), 6) AS stopword_ratio,
            round(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
-                 AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
+                 AS DOUBLE) / nullif(len(string_split(text, ' ')), 0), 6) AS avg_word_len,
            CASE WHEN length(text) >= 100
                  AND len(list_filter(string_split(text, ' '), t -> t IN ({STOPWORDS_SQL}))) > 0
                 THEN 1 ELSE 0 END AS passes_quality
@@ -75,7 +82,9 @@ def text_tokens_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality features (length / whitespace / stopword
     density) + a boolean gate — the standard cheap pre-filter stage of an
-    LLM training-data pipeline."""
+    LLM training-data pipeline. Degenerate docs (empty text) get NULL
+    ratios via try_divide, never a DIVIDE_BY_ZERO job abort (see the
+    oracle comment), and never pass the gate."""
     tokens = _tokens()
     stop_hits = F.size(
         F.filter(
@@ -90,14 +99,20 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.round(
-            (F.length("text") - F.length(F.regexp_replace("text", "[ ]", ""))).cast(
-                "double"
-            )
-            / F.length("text"),
+            F.try_divide(
+                (
+                    F.length("text") - F.length(F.regexp_replace("text", "[ ]", ""))
+                ).cast("double"),
+                F.length("text"),
+            ),
             6,
         ).alias("space_ratio"),
-        F.round(stop_hits.cast("double") / n_tok, 6).alias("stopword_ratio"),
-        F.round(sum_len.cast("double") / n_tok, 6).alias("avg_word_len"),
+        F.round(F.try_divide(stop_hits.cast("double"), n_tok), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.try_divide(sum_len.cast("double"), n_tok), 6).alias(
+            "avg_word_len"
+        ),
         F.when((F.length("text") >= 100) & (stop_hits > 0), 1)
         .otherwise(0)
         .alias("passes_quality"),
@@ -159,12 +174,18 @@ BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 @REG.add(
     "text_tokens_bpe_regex",
+    # chars_per_token divides via try_divide / nullif: an empty or
+    # whitespace-only document yields ZERO BPE tokens (every alternative
+    # in the pattern needs non-space content), and under ANSI mode the
+    # plain division aborted the whole corpus pass on one such doc
+    # (r10 sf_hostiletext probe). Undefined budget -> NULL.
     oracle=f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
            CAST(len(string_split(text, ' ')) AS INTEGER)           AS n_ws_tokens,
            round(CAST(length(text) AS DOUBLE)
-                 / len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')), 6) AS chars_per_token
+                 / nullif(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')), 0), 6)
+               AS chars_per_token
     FROM documents
     """,
 )
@@ -172,15 +193,17 @@ def text_tokens_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: a GPT-2-shaped pre-tokenizer regex (word /
     number / punct runs with leading-space absorption) beside the plain
     whitespace count — chars-per-token is the standard budget estimator
-    for LLM training corpora. Pure regexp built-ins, zero shuffle."""
+    for LLM training corpora. Pure regexp built-ins, zero shuffle.
+    Zero-token docs (empty/whitespace-only) get NULL chars_per_token via
+    try_divide, never a DIVIDE_BY_ZERO job abort."""
     bpe = F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(bpe).alias("n_bpe_tokens"),
         F.size(_tokens()).alias("n_ws_tokens"),
-        F.round(F.length("text").cast("double") / F.size(bpe), 6).alias(
-            "chars_per_token"
-        ),
+        F.round(
+            F.try_divide(F.length("text").cast("double"), F.size(bpe)), 6
+        ).alias("chars_per_token"),
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from projetos_etl_spark.functions.finite import finite, sql_finite
 from projetos_etl_spark.operators.sessionize import sessionize
 from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
 from projetos_etl_spark.sources.io import load_table
@@ -672,11 +673,16 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "win_rolling_median",
+    # The median's history rides the finite gate (functions/finite.py):
+    # one NaN in the trailing frame crashes DuckDB's quantile_cont
+    # (std::exception) and lands Spark's percentile on the
+    # engine-divergent NaN-sorts-greatest rank (r10 sf_nan probe).
+    # Corrupt readings are not history; n_prev counts USABLE history.
     oracle=f"""
     WITH w AS (
         SELECT user_id, ts, event_id, value,
-               quantile_cont(value, 0.5) OVER frame AS med,
-               count(*)                  OVER frame AS n_prev
+               quantile_cont({sql_finite("value")}, 0.5) OVER frame AS med,
+               count({sql_finite("value")})              OVER frame AS n_prev
         FROM events
         WINDOW frame AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
@@ -702,13 +708,16 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-10, -1)
     )
+    # finite(): see the oracle comment — corrupt readings are not
+    # history.
+    fv = finite("value")
     scored = ev.select(
         "user_id",
         "ts",
         "event_id",
         "value",
-        F.expr("percentile(value, 0.5D)").over(w).alias("med"),
-        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.percentile(fv, F.lit(0.5)).over(w).alias("med"),
+        F.count(fv).over(w).alias("n_prev"),
     )
     return (
         scored.filter(F.col("n_prev") >= 5)

@@ -36,6 +36,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
+        T.StructField("nv", T.LongType()),  # finite readings seen
         T.StructField("total", T.DoubleType()),
         T.StructField("vmax", T.DoubleType()),
     ]
@@ -54,18 +55,34 @@ OUTPUT_SCHEMA = T.StructType(
 def _update_user_profile(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total, vmax = state.get if state.exists else (0, 0.0, float("-inf"))
+    # The finite gate (functions/finite.py convention), EXPLICIT rather
+    # than an accident of pandas skipna: Arrow hands NULL values to the
+    # state fn as NaN in a float64 column, so NULL and NaN readings are
+    # already indistinguishable here — and pandas' default sum/max
+    # silently skips NaN but PROPAGATES +/-Inf, which is neither SQL's
+    # semantics nor anyone's intent for a corrupt reading (r10 sf_nan
+    # probe caught the divergence). Sum/max run over the finite
+    # readings only; n_events still counts every event; a user with no
+    # finite reading yet profiles NULL (not 0.0 / -inf), exactly what
+    # the SQL oracle's null-skipping aggregates produce.
+    import numpy as np
+
+    n, nv, total, vmax = state.get if state.exists else (0, 0, 0.0, float("-inf"))
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-        vmax = max(vmax, float(pdf["value"].max()))
-    state.update((n, total, vmax))
+        v = pdf["value"].to_numpy(dtype=np.float64, na_value=np.nan)
+        fin = v[np.isfinite(v)]
+        if len(fin):
+            nv += len(fin)
+            total += float(fin.sum())
+            vmax = max(vmax, float(fin.max()))
+    state.update((n, nv, total, vmax))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [total],
-            "max_value": [vmax],
+            "total_value": [total if nv else None],
+            "max_value": [vmax if nv else None],
         }
     )
 

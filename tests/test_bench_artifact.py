@@ -71,3 +71,58 @@ def test_delta_block_carries_min_basis_when_present(spool):
         "the regressions list must be min-basis (r9: contended runs "
         "manufacture phantom median regressions)"
     )
+
+
+def _cascade_inputs(n_queries=56, regression_chars=0):
+    timings = {f"entry_{i:02d}_with_a_long_name": 1.0 + i / 100 for i in range(n_queries)}
+    tmins = {n: t - 0.05 for n, t in timings.items()}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "value_min": round(sum(tmins.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": tmins,
+        "errors": {},
+        "delta_vs": "BENCH_LOCAL.json",
+        "regressions": (
+            {f"reg_{i}": "x" * 40 for i in range(regression_chars // 40)}
+            if regression_chars else None
+        ),
+        "regressions_basis": "min",
+        "load_avg": {"start": [0.1, 0.1, 0.1], "end": [0.2, 0.2, 0.2]},
+        "sf": 0.1,
+    }
+    return compact, timings, tmins
+
+
+def test_compact_line_always_fits_the_tail_buffer():
+    # The r9 ADVICE case: the query-dropping loop bottoms out at keep=10
+    # but a huge regressions dict keeps the line over budget — the final
+    # fallback must collapse it to a count and still emit parseable JSON.
+    import json
+
+    from bench import LINE_BUDGET, _compact_line
+
+    for reg_chars in (0, 500, 3000, 20000):
+        compact, t, tm = _cascade_inputs(regression_chars=reg_chars)
+        line = _compact_line(dict(compact), t, tm)
+        assert len(line) <= LINE_BUDGET, reg_chars
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_queries_total"
+        assert parsed["value"] == compact["value"]
+
+
+def test_compact_line_truncation_keeps_medians_and_mins_aligned():
+    import json
+
+    from bench import LINE_BUDGET, _compact_line
+
+    compact, t, tm = _cascade_inputs(n_queries=200)
+    line = _compact_line(dict(compact), t, tm)
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    if "queries" in parsed and parsed.get("queries_truncated_to_slowest"):
+        assert set(parsed["queries_min"]) <= set(parsed["queries"])
+        slowest = max(t, key=t.__getitem__)
+        assert slowest in parsed["queries"]

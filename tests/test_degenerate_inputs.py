@@ -712,3 +712,235 @@ def test_identically_truncated_duplicates_still_pair(spark, queries, tmp_path):
         drop=True
     )
     pd.testing.assert_frame_equal(sp, du, check_dtype=False, check_exact=True)
+
+
+# -- r10: non-finite readings (events.value) + hostile text ------------------
+#
+# Second and third hostile families of r10 (standing axes sf_nan /
+# sf_hostiletext in tools/make_degenerate_fixtures.py). Convention for
+# numerics (functions/finite.py): a NaN/Inf reading is a CORRUPT
+# reading — excluded like NULL from moments, medians, tiers, cents
+# casts, and fills; engines otherwise crash (ANSI bigint/decimal casts,
+# DuckDB stddev overflow) or silently diverge (NaN ordering). For text:
+# degenerate documents produce NULL ratio metrics via try_divide (one
+# empty doc used to DIVIDE_BY_ZERO-abort the corpus pass), and the CSV
+# round-trip preserves NULL vs '' vs whitespace exactly.
+
+_NAN, _INF, _NINF = float("nan"), float("inf"), float("-inf")
+
+
+def _nan_events(tmp_path):
+    import datetime
+
+    rows = []
+    eid = 0
+    for hour in range(60):
+        for user in range(3):
+            v = float(100 + (eid * 37) % 313)
+            if eid % 17 == 0:
+                v = _NAN
+            elif eid % 23 == 0:
+                v = _INF
+            elif eid % 29 == 0:
+                v = _NINF
+            elif eid % 31 == 0:
+                v = None
+            rows.append(
+                (
+                    eid,
+                    _TS0 + datetime.timedelta(hours=hour, minutes=user),
+                    user,
+                    ["purchase", "signup", "error"][eid % 3],
+                    v,
+                )
+            )
+            eid += 1
+    _events(tmp_path, rows)
+
+
+def test_finite_gate_maps_nonfinite_to_null(spark):
+    from projetos_etl_spark.functions.finite import finite
+
+    df = spark.createDataFrame(
+        [(_NAN,), (_INF,), (_NINF,), (1.5,), (None,)], "v double"
+    )
+    got = [r["f"] for r in df.select(finite("v").alias("f")).collect()]
+    assert got == [None, None, None, 1.5, None]
+
+
+_NAN_CONSUMERS = [
+    "anomaly_zscore_rolling",
+    "feat_impute_missing",
+    "incremental_var_merge",
+    "ts_autocorr_lag",
+    "ts_interpolate_linear",
+    "ts_resample_ffill",
+    "ts_stl_decompose",
+    "ts_ohlc_bars",
+    "udaf_grouped",
+    "udf_scalar",
+    "win_rolling_median",
+]
+
+
+def _assert_entry_matches_oracle(spark, queries, tmp_path, entry, view_sql):
+    import duckdb
+    import pandas as pd
+
+    from projetos_etl_spark.registry import all_oracle_sql
+
+    con = duckdb.connect()
+    con.sql(view_sql)
+    sp = queries[entry](spark, str(tmp_path)).toPandas()
+    sp = sp.reindex(sorted(sp.columns), axis=1)
+    if len(sp):
+        sp = sp.sort_values(
+            by=list(sp.columns), na_position="first", kind="mergesort"
+        )
+    sp = sp.reset_index(drop=True)
+    du = _oracle_frame(con, all_oracle_sql()[entry])
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False, check_exact=True)
+    return sp
+
+
+@pytest.mark.parametrize("entry", _NAN_CONSUMERS)
+def test_value_consumers_match_oracles_with_nonfinite_readings(
+    spark, queries, tmp_path, entry
+):
+    _nan_events(tmp_path)
+    sp = _assert_entry_matches_oracle(
+        spark,
+        queries,
+        tmp_path,
+        entry,
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')",
+    )
+    assert len(sp) > 0, "hermetic corpus must actually exercise the entry"
+
+
+def test_streaming_sinks_survive_nonfinite_readings(spark, queries, tmp_path):
+    # The headline crash of the family: one NaN reading ANSI-aborted
+    # the foreachBatch upsert sink (round(NaN*100)::bigint). Both
+    # streaming entries must RUN over the hostile corpus and still
+    # hash-match their batch oracles.
+    _nan_events(tmp_path)
+    for entry in ("stream_upsert_tablelog", "stream_custom_stateful_profile"):
+        sp = _assert_entry_matches_oracle(
+            spark,
+            queries,
+            tmp_path,
+            entry,
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')",
+        )
+        assert len(sp) == 3, entry  # one profile row per user
+
+
+def test_udf_scalar_nan_has_no_tier(spark, queries, tmp_path):
+    _nan_events(tmp_path)
+    rows = {r["event_id"]: r["tier"] for r in queries["udf_scalar"](
+        spark, str(tmp_path)).collect()}
+    assert rows[0] is None          # NaN: no tier (not 'low', not 'high')
+    assert rows[23] == "high"       # +Inf outranks every threshold
+    assert rows[29] == "low"        # -Inf under every threshold
+    assert rows[31] is None         # NULL propagates
+
+
+def _hostile_documents(tmp_path):
+    texts = {
+        0: "",
+        1: "   ",
+        2: "the of and a short doc",
+        3: "héllo wörld ß 你好 mixed unicode tokens here",
+        4: "double  spaced  tokens  here and the rest of it",
+        5: None,
+        6: "a perfectly ordinary document with the usual words in it "
+           "and enough length to be counted as real content for gates",
+    }
+    pa_texts = [texts[i] for i in range(7)]
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(range(7), pa.int64()),
+                "text": pa.array(pa_texts, pa.string()),
+                "lang": pa.array(["en"] * 7, pa.string()),
+                "source": pa.array(["src0"] * 7, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t is not None else 0 for t in pa_texts],
+                    pa.int64(),
+                ),
+            }
+        ),
+    )
+
+
+_TEXT_CONSUMERS = [
+    "text_quality_score",
+    "text_tokens_bpe_regex",
+    "pipeline_quality_gate_fused",
+    "scan_csv_multiline_quoted",
+    "text_fingerprint",
+]
+
+
+@pytest.mark.parametrize("entry", _TEXT_CONSUMERS)
+def test_text_consumers_match_oracles_on_hostile_documents(
+    spark, queries, tmp_path, entry
+):
+    _hostile_documents(tmp_path)
+    _assert_entry_matches_oracle(
+        spark,
+        queries,
+        tmp_path,
+        entry,
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')",
+    )
+
+
+def test_empty_doc_quality_metrics_are_null_not_a_crash(
+    spark, queries, tmp_path
+):
+    _hostile_documents(tmp_path)
+    rows = {
+        r["doc_id"]: r
+        for r in queries["text_quality_score"](spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["space_ratio"] is None  # empty doc: undefined ratio
+    assert rows[0]["passes_quality"] == 0  # undefined never passes
+    assert rows[6]["space_ratio"] is not None
+    bpe = {
+        r["doc_id"]: r
+        for r in queries["text_tokens_bpe_regex"](spark, str(tmp_path)).collect()
+    }
+    assert bpe[0]["chars_per_token"] is None  # zero tokens: no budget
+    assert bpe[1]["chars_per_token"] is None  # whitespace-only too
+
+
+def test_csv_roundtrip_preserves_empty_and_whitespace_text(
+    spark, queries, tmp_path
+):
+    # The silent-corruption case: default CSV options read '' back as
+    # NULL and the WRITER trims whitespace-only fields. The entry's
+    # digest already pins exactness vs the original table through the
+    # oracle; this asserts the two hostile states specifically by
+    # total_chars (0-len and 3-len rows contribute 0 + 3).
+    _hostile_documents(tmp_path)
+    row = queries["scan_csv_multiline_quoted"](spark, str(tmp_path)).collect()[0]
+    assert row["n_docs"] == 7  # count(*) counts the NULL-text row too
+    expected_chars = sum(
+        len(t)
+        for t in [
+            "",
+            "   ",
+            "the of and a short doc",
+            "héllo wörld ß 你好 mixed unicode tokens here",
+            "double  spaced  tokens  here and the rest of it",
+            "a perfectly ordinary document with the usual words in it "
+            "and enough length to be counted as real content for gates",
+        ]
+    )
+    assert row["total_chars"] == expected_chars

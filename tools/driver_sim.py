@@ -70,7 +70,15 @@ def main() -> int:
         if name not in oracles:
             print(f"  {name}: rows-only ({len(sp)} rows)")
             continue
-        du = norm(con.sql(oracles[name]).df())
+        try:
+            du = norm(con.sql(oracles[name]).df())
+        except Exception as ex:  # noqa: BLE001 — a sweep reports, never aborts
+            # An oracle that ERRORS where the Spark side ran is itself a
+            # parity failure (hostile-fixture sweeps hit these — e.g. a
+            # DuckDB stddev overflow on planted Inf): report and go on.
+            fails.append(name)
+            print(f"  {name}: ORACLE-ERROR -> {str(ex)[:200]}")
+            continue
         try:
             pd.testing.assert_frame_equal(sp, du, check_dtype=False, check_exact=True)
             print(f"  {name}: MATCH ({len(sp)} rows)", flush=True)

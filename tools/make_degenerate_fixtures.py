@@ -27,19 +27,33 @@ production schemas:
                      Gram poison); the well_formed convention
                      (operators/cosine.py) excludes all three, and the
                      exact-tier consumers pin their fold-NULL semantics
-                     against the DuckDB twins on exactly this axis.
+                     against the DuckDB twins on exactly this axis;
+- ``sf_nan``         non-finite readings planted in events.value
+                     (event_id % 37 -> NaN, % 41 -> +Inf, % 53 -> -Inf)
+                     — the "0/0 or overflow upstream" state. One NaN
+                     used to ABORT the streaming-upsert sink and the
+                     STL job (ANSI integer casts), overflow DuckDB's
+                     stddev on Inf, and silently diverge medians /
+                     maxima / tier CASEs across engines; the finite
+                     gate (functions/finite.py) pins the convention;
+- ``sf_hostiletext`` degenerate documents.text planted by doc_id
+                     (% 23 -> EMPTY string, % 31 -> whitespace-only,
+                     % 19 -> doubled inner spaces, % 43 -> non-ASCII
+                     prefix). One empty doc used to DIVIDE_BY_ZERO-abort
+                     the quality/token-budget passes, and the CSV
+                     round-trip silently corrupted ''/whitespace rows.
 
 Then sweep each with the driver simulator:
 
     python tools/driver_sim.py --sf-dir /tmp/sf_nulls
 
-Expected: 326/326 MATCH on sf_onerow, sf_nulls, and sf_ragged; 325/326
-on the two empty axes (the one failure is
+Expected: 326/326 MATCH on sf_onerow, sf_nulls, sf_ragged, sf_nan, and
+sf_hostiletext; 325/326 on the two empty axes (the one failure is
 ``medallion_gold_profit_mart``'s deliberate reference-parity
 empty-input guard — SURVEY.md §2A op #14). The conventions each axis
-pins are tabulated in SCALE.md's round-8 sections and asserted
+pins are tabulated in SCALE.md's round-8/round-10 sections and asserted
 entry-by-entry in tests/test_empty_inputs.py (empty/onerow/nulls) and
-tests/test_degenerate_inputs.py (ragged)."""
+tests/test_degenerate_inputs.py (ragged/nan/hostile-text)."""
 
 from __future__ import annotations
 
@@ -94,6 +108,55 @@ def _ragged_embeddings(tab: pa.Table) -> pa.Table:
     )
 
 
+def _nonfinite_events(tab: pa.Table) -> pa.Table:
+    """Plant NaN/+Inf/-Inf readings in events.value keyed on event_id
+    (stable under row reordering); existing NULLs stay NULL."""
+    idx = tab.schema.get_field_index("value")
+    ids = tab.column("event_id").to_pylist()
+    vals = tab.column("value").to_pylist()
+    out = []
+    for i, v in zip(ids, vals):
+        if v is None:
+            out.append(None)
+        elif i % 37 == 0:
+            out.append(float("nan"))
+        elif i % 41 == 0:
+            out.append(float("inf"))
+        elif i % 53 == 0:
+            out.append(float("-inf"))
+        else:
+            out.append(v)
+    return tab.set_column(
+        idx, tab.schema.field("value"), pa.array(out, tab.schema.field("value").type)
+    )
+
+
+def _hostile_documents(tab: pa.Table) -> pa.Table:
+    """Plant degenerate text in documents.text keyed on doc_id; NULLs
+    stay NULL (precedence empty > whitespace > doubled-space >
+    non-ASCII keeps each doc in one class)."""
+    idx = tab.schema.get_field_index("text")
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        if t is None:
+            out.append(None)
+        elif i % 23 == 0:
+            out.append("")
+        elif i % 31 == 0:
+            out.append("   ")
+        elif i % 19 == 0:
+            out.append(t.replace(" ", "  ", 3))
+        elif i % 43 == 0:
+            out.append("héllo wörld ß 你好 " + t[:40])
+        else:
+            out.append(t)
+    return tab.set_column(
+        idx, tab.schema.field("text"), pa.array(out, pa.string())
+    )
+
+
 def _null_holes(tab: pa.Table, cols: list[str]) -> pa.Table:
     for col in cols:
         idx = tab.schema.get_field_index(col)
@@ -119,7 +182,8 @@ def main() -> None:
     dirs = {
         name: os.path.join(args.out_base, name)
         for name in (
-            "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls", "sf_ragged"
+            "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls",
+            "sf_ragged", "sf_nan", "sf_hostiletext",
         )
     }
     for d in dirs.values():
@@ -142,7 +206,15 @@ def main() -> None:
             _ragged_embeddings(tab) if t == "embeddings" else tab,
             os.path.join(dirs["sf_ragged"], f"{t}.parquet"),
         )
-        print(f"{t}: empty/factsempty/onerow/nulls/ragged written")
+        pq.write_table(
+            _nonfinite_events(tab) if t == "events" else tab,
+            os.path.join(dirs["sf_nan"], f"{t}.parquet"),
+        )
+        pq.write_table(
+            _hostile_documents(tab) if t == "documents" else tab,
+            os.path.join(dirs["sf_hostiletext"], f"{t}.parquet"),
+        )
+        print(f"{t}: empty/factsempty/onerow/nulls/ragged/nan/hostiletext written")
     print("fixture sets:", ", ".join(dirs.values()))
 
 
