@@ -14,6 +14,43 @@ from projetos_etl_spark.functions.finite import finite, sql_finite
 from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
 from projetos_etl_spark.sources.io import load_table
 
+#: Hard cap on the hourly spine a single series may densify to (ten
+#: years). The spine operators generate min(h)..max(h) PER USER, so ONE
+#: corrupt timestamp — an epoch-zero clock reset, a year-2250 overflow —
+#: silently turns a 720-hour series into a multi-million-row synthetic
+#: spine and grinds the whole job (measured: a single planted 2250
+#: stamp held a probe sweep >15 min on one task). Refusing loudly with
+#: the offending series named is the honest behavior; the fix belongs
+#: upstream (drop or clamp implausible timestamps before resampling).
+SPINE_SPAN_CAP_HOURS = 24 * 366 * 10
+
+
+def _check_spine_span(spans, op_name: str) -> None:
+    """Fail fast (naming the series) when any user's observed min..max
+    hour span exceeds SPINE_SPAN_CAP_HOURS — see the constant's doc.
+    One tiny aggregate job over the per-user spans frame."""
+    bad = (
+        spans.select(
+            "user_id",
+            (
+                (F.unix_timestamp("h_hi") - F.unix_timestamp("h_lo")) / 3600
+            ).cast("long").alias("span_hours"),
+        )
+        .filter(F.col("span_hours") > SPINE_SPAN_CAP_HOURS)
+        .orderBy(F.col("span_hours").desc())
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        worst = ", ".join(f"user {r.user_id}: {r.span_hours}h" for r in bad)
+        raise ValueError(
+            f"{op_name}: hourly spine would exceed {SPINE_SPAN_CAP_HOURS} "
+            f"hours for at least {len(bad)} series ({worst}) — almost "
+            "certainly a corrupt timestamp (epoch-zero reset / far-future "
+            "overflow); drop or clamp implausible timestamps upstream "
+            "instead of densifying across the gap"
+        )
+
 REG = Registry()
 
 HOUR_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -81,15 +118,15 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "h")
         .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
     )
-    spine = (
-        hourly.groupBy("user_id")
-        .agg(F.min("h").alias("h_lo"), F.max("h").alias("h_hi"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    _check_spine_span(spans, "ts_resample_ffill")
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
     )
     w_fill = (
         Window.partitionBy("user_id")
@@ -252,6 +289,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = hourly.groupBy("user_id").agg(
         F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
     )
+    _check_spine_span(spans, "ts_interpolate_linear")
     spine = spans.select(
         "user_id",
         F.explode(F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
@@ -1978,50 +2016,67 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "ts_ohlc_bars",
+    # open/close anchor on (ts, event_id) — REAL tick streams carry
+    # duplicate timestamps, where a ts-only anchor let each engine pick
+    # a different tick (r10 probe_ts sweep caught `close` diverging).
+    # DuckDB's arg_min/arg_max can't take a struct key, so the oracle
+    # picks via null-value-last row_number windows; the NULL-last CASE
+    # mirrors min_by/max_by skipping NULL-keyed rows (a NULL tick is
+    # not a price), and an all-NULL bar opens/closes NULL in both.
     oracle=f"""
+    WITH t AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h, value,
+               row_number() OVER (
+                   PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+                   ORDER BY CASE WHEN value IS NULL THEN 1 ELSE 0 END,
+                            ts, event_id) AS rn_open,
+               row_number() OVER (
+                   PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+                   ORDER BY CASE WHEN value IS NULL THEN 1 ELSE 0 END,
+                            ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
     SELECT user_id,
-           strftime(time_bucket(INTERVAL '1 hour', ts), '{HOUR_FMT_DUCK}') AS hour,
-           round(arg_min(value, ts), 6)  AS open,
-           round(max(value), 6)          AS high,
-           round(min(value), 6)          AS low,
-           round(arg_max(value, ts), 6)  AS close,
-           CAST(count(*) AS BIGINT)      AS n_ticks
-    FROM events
+           strftime(h, '{HOUR_FMT_DUCK}') AS hour,
+           round(max(CASE WHEN rn_open = 1 THEN value END), 6)  AS open,
+           round(max(value), 6)                                 AS high,
+           round(min(value), 6)                                 AS low,
+           round(max(CASE WHEN rn_close = 1 THEN value END), 6) AS close,
+           CAST(count(*) AS BIGINT)                             AS n_ticks
+    FROM t
     GROUP BY 1, 2 ORDER BY user_id, hour
     """,
 )
 def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling (open/high/low/close bars per hour per series)
     — the canonical irregular→regular compression for tick-shaped data,
-    and a pure MERGEABLE aggregate: open/close are min_by/max_by on the
-    timestamp (partials merge by keeping the earlier/later anchor),
-    high/low/count are trivial — so the whole bar computation is ONE
-    map-combinable shuffle with no window and no sort, unlike the
-    row_number-per-bucket formulation. At 100 TB that difference is a
-    full per-partition sort per bucket avoided. Tie-break: the fixture
-    has at most one event per (user, ts) — with real duplicate
-    timestamps, anchor on a (ts, event_id) struct exactly as
-    ``ts_resample_ffill`` does."""
+    and a pure MERGEABLE aggregate: open/close are min_by/max_by on a
+    (ts, event_id) anchor struct (partials merge by keeping the
+    earlier/later anchor), high/low/count are trivial — so the whole
+    bar computation is ONE map-combinable shuffle with no window and no
+    sort, unlike the row_number-per-bucket formulation. At 100 TB that
+    difference is a full per-partition sort per bucket avoided. The
+    event_id in the anchor is the duplicate-timestamp tie-break (real
+    tick streams HAVE simultaneous ticks; ts alone let each engine pick
+    a different one — r10 probe_ts)."""
     ev = load_table(spark, sf_dir, "events")
+    # Anchor only where the value is non-NULL: a NULL tick is not a
+    # price. min_by/max_by skip NULL ordering keys, mirroring the
+    # oracle's NULL-last pick; an all-NULL bar opens/closes NULL in
+    # both engines. n_ticks stays count(*).
+    anchor = F.when(
+        F.col("value").isNotNull(), F.struct(F.col("ts"), F.col("event_id"))
+    )
     return (
         ev.groupBy(
             "user_id",
             F.date_format(F.date_trunc("hour", "ts"), HOUR_FMT_SPARK).alias("hour"),
         )
         .agg(
-            # Anchor on the ts only where the value is non-NULL: a NULL
-            # tick is not a price. min_by/max_by skip NULL ordering
-            # keys, so this reproduces DuckDB arg_min/arg_max's
-            # ignore-NULL-arg semantics; an all-NULL bar opens/closes
-            # NULL in both engines. n_ticks stays count(*).
-            F.round(
-                F.min_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))), 6
-            ).alias("open"),
+            F.round(F.min_by("value", anchor), 6).alias("open"),
             F.round(F.max("value"), 6).alias("high"),
             F.round(F.min("value"), 6).alias("low"),
-            F.round(
-                F.max_by("value", F.when(F.col("value").isNotNull(), F.col("ts"))), 6
-            ).alias("close"),
+            F.round(F.max_by("value", anchor), 6).alias("close"),
             F.count(F.lit(1)).cast("long").alias("n_ticks"),
         )
         .orderBy("user_id", "hour")

@@ -140,11 +140,19 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "fn_json_extract",
+    # json_valid gate: DuckDB's json_extract_string ERRORS on malformed
+    # JSON where Spark's get_json_object returns NULL (r10 probe_json
+    # sweep — '{bad json' killed the oracle, not the engine). The CASE
+    # mirrors Spark's NULL-and-continue.
     oracle="""
     SELECT event_id, event_type,
-           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END
+                    AS INTEGER) AS k_val
     FROM events
-    WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    WHERE TRY_CAST(CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END
+                   AS INTEGER) >= 50
     """,
 )
 def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,14 +604,23 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "fn_variant_extract",
+    # json_valid + TRY_CAST: DuckDB's json_extract_string ERRORS on a
+    # malformed payload and plain CAST errors on a non-numeric $.k,
+    # where Spark's try_parse_json / try_variant_get yield NULL (r10
+    # probe_json sweep) — the oracle mirrors NULL-and-continue.
     oracle="""
+    WITH k AS (
+        SELECT event_type,
+               TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                        AS INTEGER) AS k
+        FROM events
+    )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
-               AS k_total,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
-               AS k_max
-    FROM events
+           CAST(sum(k) AS BIGINT) AS k_total,
+           CAST(max(k) AS BIGINT) AS k_max
+    FROM k
     GROUP BY event_type ORDER BY event_type
     """,
 )

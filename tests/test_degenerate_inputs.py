@@ -944,3 +944,106 @@ def test_csv_roundtrip_preserves_empty_and_whitespace_text(
         ]
     )
     assert row["total_chars"] == expected_chars
+
+
+def test_spine_operators_refuse_corrupt_timestamp_spans(
+    spark, queries, tmp_path
+):
+    # One epoch-zero (or far-future) stamp would densify a 3-day series
+    # into a ~470k-hour synthetic spine PER USER — measured grinding a
+    # whole sweep on one task. The spine operators fail FAST and name
+    # the corrupt series instead (SPINE_SPAN_CAP_HOURS).
+    rows = [
+        (i, _TS0 + datetime.timedelta(hours=i), 1, "view", float(i))
+        for i in range(24)
+    ]
+    rows.append((99, datetime.datetime(1970, 1, 1), 1, "view", 1.0))
+    _events(tmp_path, rows)
+    for entry in ("ts_resample_ffill", "ts_interpolate_linear"):
+        with pytest.raises(ValueError, match="corrupt timestamp"):
+            queries[entry](spark, str(tmp_path)).collect()
+
+
+def test_spine_operators_allow_sane_spans(spark, queries, tmp_path):
+    _events(
+        tmp_path,
+        [
+            (i, _TS0 + datetime.timedelta(hours=3 * i), 1, "view", float(i))
+            for i in range(10)
+        ],
+    )
+    assert queries["ts_resample_ffill"](spark, str(tmp_path)).count() == 28
+    assert queries["ts_interpolate_linear"](spark, str(tmp_path)).count() == 28
+
+
+# -- r10: hostile events (timestamps + props JSON) ---------------------------
+
+
+def _hostile_events_fixture(tmp_path):
+    import json as _json
+
+    rows = []
+    for i in range(80):
+        ts = _TS0 + datetime.timedelta(minutes=i)
+        if i % 11 == 0:
+            ts = _TS0  # mass-duplicate timestamp
+        elif i % 13 == 0:
+            ts = ts.replace(microsecond=123456)
+        rows.append((i, ts, i % 3, "view", float(i)))
+    _events(tmp_path, rows)
+    # overwrite props with hostile payloads
+    tab = pq.read_table(str(tmp_path / "events.parquet"))
+    props = []
+    for i in range(80):
+        if i % 7 == 0:
+            props.append("{bad json")
+        elif i % 11 == 0:
+            props.append("[]")
+        elif i % 13 == 0:
+            props.append('{"k": "not_a_number"}')
+        elif i % 17 == 0:
+            props.append("")
+        else:
+            props.append(_json.dumps({"k": i}))
+    idx = tab.schema.get_field_index("props")
+    tab = tab.set_column(idx, tab.schema.field("props"),
+                         pa.array(props, pa.string()))
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+
+
+@pytest.mark.parametrize(
+    "entry", ["fn_json_extract", "fn_variant_extract", "ts_ohlc_bars"]
+)
+def test_hostile_events_match_oracles(spark, queries, tmp_path, entry):
+    # Malformed JSON must NULL-and-continue in BOTH engines (DuckDB's
+    # json_extract errors without the json_valid gate), and duplicate
+    # timestamps must resolve OHLC open/close identically (the
+    # (ts, event_id) anchor — ts alone let each engine pick a different
+    # simultaneous tick).
+    _hostile_events_fixture(tmp_path)
+    _assert_entry_matches_oracle(
+        spark,
+        queries,
+        tmp_path,
+        entry,
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')",
+    )
+
+
+def test_ohlc_duplicate_timestamp_tiebreak_is_event_id(
+    spark, queries, tmp_path
+):
+    # Three ticks at the SAME instant: open = lowest event_id's value,
+    # close = highest event_id's value, deterministically.
+    _events(
+        tmp_path,
+        [
+            (5, _TS0, 1, "tick", 50.0),
+            (2, _TS0, 1, "tick", 20.0),
+            (9, _TS0, 1, "tick", 90.0),
+        ],
+    )
+    row = queries["ts_ohlc_bars"](spark, str(tmp_path)).collect()[0]
+    assert row["open"] == 20.0 and row["close"] == 90.0
+    assert row["high"] == 90.0 and row["low"] == 20.0 and row["n_ticks"] == 3

@@ -41,14 +41,27 @@ production schemas:
                      % 19 -> doubled inner spaces, % 43 -> non-ASCII
                      prefix). One empty doc used to DIVIDE_BY_ZERO-abort
                      the quality/token-budget passes, and the CSV
-                     round-trip silently corrupted ''/whitespace rows.
+                     round-trip silently corrupted ''/whitespace rows;
+- ``sf_hostileevents`` hostile events.ts + events.props planted by
+                     event_id: ts % 37 -> sub-second micros, % 41 ->
+                     mass-DUPLICATE timestamp, % 53 -> .999999 micros
+                     on a shared second; props % 37 -> malformed JSON,
+                     % 41 -> '[]', % 43 -> 'null', % 47 -> non-numeric
+                     $.k, % 53 -> ''. Duplicate ts caught the OHLC
+                     tie-break divergence; malformed JSON crashed the
+                     DuckDB oracles where Spark NULLs-and-continues.
+                     (Epoch-zero / far-future stamps are deliberately
+                     NOT planted: the spine operators now REFUSE spans
+                     over SPINE_SPAN_CAP_HOURS with a named diagnostic
+                     — registry/prep.py — pinned hermetically instead.)
 
 Then sweep each with the driver simulator:
 
     python tools/driver_sim.py --sf-dir /tmp/sf_nulls
 
-Expected: 326/326 MATCH on sf_onerow, sf_nulls, sf_ragged, sf_nan, and
-sf_hostiletext; 325/326 on the two empty axes (the one failure is
+Expected: 326/326 MATCH on sf_onerow, sf_nulls, sf_ragged, sf_nan,
+sf_hostiletext, and sf_hostileevents; 325/326 on the two empty axes
+(the one failure is
 ``medallion_gold_profit_mart``'s deliberate reference-parity
 empty-input guard — SURVEY.md §2A op #14). The conventions each axis
 pins are tabulated in SCALE.md's round-8/round-10 sections and asserted
@@ -157,6 +170,53 @@ def _hostile_documents(tab: pa.Table) -> pa.Table:
     )
 
 
+def _hostile_events(tab: pa.Table) -> pa.Table:
+    """Plant hostile timestamps AND malformed props, keyed on event_id
+    (independent columns of one table -> one combined axis)."""
+    import datetime
+
+    ids = tab.column("event_id").to_pylist()
+    ts = tab.column("ts").to_pylist()
+    first_real = next(t for t in ts if t is not None)
+    out_ts = []
+    for i, t in zip(ids, ts):
+        if t is None:
+            out_ts.append(None)
+        elif i % 37 == 0:
+            out_ts.append(t.replace(microsecond=123456))
+        elif i % 41 == 0:
+            out_ts.append(first_real)  # mass duplicate
+        elif i % 53 == 0:
+            out_ts.append(first_real + datetime.timedelta(microseconds=999999))
+        else:
+            out_ts.append(t)
+    idx = tab.schema.get_field_index("ts")
+    tab = tab.set_column(
+        idx, tab.schema.field("ts"), pa.array(out_ts, tab.schema.field("ts").type)
+    )
+    props = tab.column("props").to_pylist()
+    out_p = []
+    for i, p in zip(ids, props):
+        if p is None:
+            out_p.append(None)
+        elif i % 37 == 0:
+            out_p.append("{bad json")
+        elif i % 41 == 0:
+            out_p.append("[]")
+        elif i % 43 == 0:
+            out_p.append("null")
+        elif i % 47 == 0:
+            out_p.append('{"k": "not_a_number"}')
+        elif i % 53 == 0:
+            out_p.append("")
+        else:
+            out_p.append(p)
+    idx = tab.schema.get_field_index("props")
+    return tab.set_column(
+        idx, tab.schema.field("props"), pa.array(out_p, pa.string())
+    )
+
+
 def _null_holes(tab: pa.Table, cols: list[str]) -> pa.Table:
     for col in cols:
         idx = tab.schema.get_field_index(col)
@@ -183,7 +243,7 @@ def main() -> None:
         name: os.path.join(args.out_base, name)
         for name in (
             "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls",
-            "sf_ragged", "sf_nan", "sf_hostiletext",
+            "sf_ragged", "sf_nan", "sf_hostiletext", "sf_hostileevents",
         )
     }
     for d in dirs.values():
@@ -214,7 +274,11 @@ def main() -> None:
             _hostile_documents(tab) if t == "documents" else tab,
             os.path.join(dirs["sf_hostiletext"], f"{t}.parquet"),
         )
-        print(f"{t}: empty/factsempty/onerow/nulls/ragged/nan/hostiletext written")
+        pq.write_table(
+            _hostile_events(tab) if t == "events" else tab,
+            os.path.join(dirs["sf_hostileevents"], f"{t}.parquet"),
+        )
+        print(f"{t}: all degenerate axes written")
     print("fixture sets:", ", ".join(dirs.values()))
 
 
