@@ -43,32 +43,60 @@ _FAMILIES = [
 #
 # Round-10 window — derived by tools/freshness.py::plan_window(
 # TOUCHED_R10, through=9) per the COVERAGE.md freshness policy and
-# asserted by tests/test_freshness.py: (1) the 15 entries the r10
-# ragged-family closure touched — every exact-tier embedding consumer
-# gained the fold-NULL-mirroring sql_cosine oracle (registry/_sqlvec.py)
-# or a well_formed exclusion gate, emb_norm_outlier_audit additionally
-# grew an n_malformed column, and the trained tiers/PCA got the
-# NULL-element class added to well_formed (r9 ADVICE) — then (2) the
-# stalest entries by artifact-derived age: all 28 remaining r2-vintage
-# rows and the 7 oldest r3-vintage rows.
+# asserted by tests/test_freshness.py: (1) the 37 entries the r10
+# hostile-family closures touched — the ragged-embedding family
+# (well_formed gained the NULL-element class, exact-tier oracles moved
+# to the fold-mirroring sql_cosine), the non-finite-numerics family
+# (functions/finite.py gates on 13 value consumers), the hostile-text
+# family (try_divide ratio metrics, exact CSV round-trip), and the
+# hostile-events family (json_valid oracle gates, the (ts, event_id)
+# OHLC anchor, spine span guards) — then (2) the stalest entries by
+# artifact-derived age: the 13 oldest r2-vintage rows. Rotated TWICE
+# this round: the mid-round hardening kept touching entries after the
+# first rotation, and freshness beats window stability (the suggester
+# in tools/freshness.py --suggest-touched derived this list; two
+# entries ride along from module-level import attribution, which
+# over-verifies, never under-).
 _WINDOW_HEAD = [
-    # (1) touched by the r10 ragged-embedding hardening (15)
-    "sim_search_ivf",
-    "sim_search_pq_adc",
-    "sim_search_ivf_pq",
-    "emb_pca_top_component",
-    "sim_search_topk",
-    "sim_search_lsh_bucketed",
-    "eval_ndcg_at_k",
-    "ml_knn_classify",
-    "sim_hard_negative_mining",
-    "emb_norm_outlier_audit",
-    "emb_quantize_int8",
-    "ml_kmeans_lloyd",
+    # (1) touched by the r10 hostile-family closures (37)
+    "anomaly_zscore_rolling",
     "dedup_embedding_cosine",
-    "sim_range_search",
     "emb_matryoshka_overlap",
-    # (2) stalest by artifact-derived age (35: 28 r2-vintage + 7 r3)
+    "emb_norm_outlier_audit",
+    "emb_pca_top_component",
+    "emb_quantize_int8",
+    "eval_ndcg_at_k",
+    "feat_impute_missing",
+    "fn_json_extract",
+    "fn_variant_extract",
+    "incremental_var_merge",
+    "join_bucketed_no_shuffle",
+    "ml_kmeans_lloyd",
+    "ml_knn_classify",
+    "pipeline_quality_gate_fused",
+    "scan_csv_multiline_quoted",
+    "sim_hard_negative_mining",
+    "sim_range_search",
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "sim_search_lsh_bucketed",
+    "sim_search_pq_adc",
+    "sim_search_topk",
+    "stream_custom_stateful_profile",
+    "stream_tumbling_count",
+    "stream_upsert_tablelog",
+    "text_quality_score",
+    "text_tokens_bpe_regex",
+    "ts_autocorr_lag",
+    "ts_interpolate_linear",
+    "ts_ohlc_bars",
+    "ts_resample_ffill",
+    "ts_stl_decompose",
+    "udaf_grouped",
+    "udf_scalar",
+    "win_rank_topk_per_group",
+    "win_rolling_median",
+    # (2) stalest by artifact-derived age (13 r2-vintage rows)
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -82,28 +110,6 @@ _WINDOW_HEAD = [
     "q2_min_price_supplier",
     "q11_important_stock",
     "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_sole_supplier",
-    "q17_small_quantity_revenue",
-    "q20_concentrated_suppliers",
-    "medallion_silver_conform",
-    "medallion_gold_profit_mart",
-    "scd2_dimension_upsert",
-    "cdc_apply_changes",
-    "scan_parquet",
-    "scan_csv_schema",
-    "source_http",
-    "source_http_datasource",
-    "scan_excel",
-    "scan_json_lines",
-    "scan_orc_roundtrip",
-    "agg_distinct",
-    "agg_stats",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_histogram",
-    "agg_mode_deterministic",
-    "agg_argmax",
 ]
 
 def build() -> Registry:

@@ -26,32 +26,59 @@ from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 from tools.freshness import last_green, plan_window, staleness_order
 
 # Entries whose code or oracle changed since their last green official
-# driver row, at the time the r10 window was planned: the 15 touched by
-# the r10 ragged-embedding hardening — the trained tiers/PCA/k-means
-# gained the NULL-element malformation class in well_formed (r9
-# ADVICE), every exact-tier embedding consumer's oracle moved from
-# NULL-skipping list_sum dots to the fold-NULL-mirroring sql_cosine
-# (registry/_sqlvec.py), emb_quantize_int8 adopted the well-formed
-# corpus contract on both sides, and emb_norm_outlier_audit grew an
-# n_malformed column.  This list is judgment (which diffs touched which
-# entries), so it is pinned here — everything else about the window is
-# artifact-derived.
+# driver row: the 37 touched by the r10 hostile-family closures —
+# ragged embeddings (well_formed gained the NULL-element class, the
+# exact-tier oracles moved from NULL-skipping list_sum dots to the
+# fold-mirroring sql_cosine in registry/_sqlvec.py), non-finite
+# numerics (functions/finite.py gates), hostile text (try_divide ratio
+# metrics, exact CSV round-trip), and hostile events (json_valid oracle
+# gates, the (ts, event_id) OHLC anchor, spine span guards) — derived
+# by `tools/freshness.py --suggest-touched` over the round's diff plus
+# the two entries touched only through shared helpers
+# (sim_search_pq_adc / sim_search_ivf_pq via _ann_contract and
+# _pq_lut_udf). stream_tumbling_count and win_rank_topk_per_group ride
+# along from module-level import attribution — conservative
+# over-verification, never under-. This list is judgment (which diffs
+# touched which entries), so it is pinned here — everything else about
+# the window is artifact-derived.
 TOUCHED_R10 = [
-    "sim_search_ivf",
-    "sim_search_pq_adc",
-    "sim_search_ivf_pq",
-    "emb_pca_top_component",
-    "sim_search_topk",
-    "sim_search_lsh_bucketed",
-    "eval_ndcg_at_k",
-    "ml_knn_classify",
-    "sim_hard_negative_mining",
-    "emb_norm_outlier_audit",
-    "emb_quantize_int8",
-    "ml_kmeans_lloyd",
+    "anomaly_zscore_rolling",
     "dedup_embedding_cosine",
-    "sim_range_search",
     "emb_matryoshka_overlap",
+    "emb_norm_outlier_audit",
+    "emb_pca_top_component",
+    "emb_quantize_int8",
+    "eval_ndcg_at_k",
+    "feat_impute_missing",
+    "fn_json_extract",
+    "fn_variant_extract",
+    "incremental_var_merge",
+    "join_bucketed_no_shuffle",
+    "ml_kmeans_lloyd",
+    "ml_knn_classify",
+    "pipeline_quality_gate_fused",
+    "scan_csv_multiline_quoted",
+    "sim_hard_negative_mining",
+    "sim_range_search",
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "sim_search_lsh_bucketed",
+    "sim_search_pq_adc",
+    "sim_search_topk",
+    "stream_custom_stateful_profile",
+    "stream_tumbling_count",
+    "stream_upsert_tablelog",
+    "text_quality_score",
+    "text_tokens_bpe_regex",
+    "ts_autocorr_lag",
+    "ts_interpolate_linear",
+    "ts_ohlc_bars",
+    "ts_resample_ffill",
+    "ts_stl_decompose",
+    "udaf_grouped",
+    "udf_scalar",
+    "win_rank_topk_per_group",
+    "win_rolling_median",
 ]
 
 # The window was planned from artifacts r1..r9; CORRECTNESS_r10.json

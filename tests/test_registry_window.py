@@ -30,21 +30,43 @@ from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 # by artifact-derived age (all 28 remaining r2-vintage rows + the 7
 # oldest r3-vintage rows).
 R10_WINDOW = [
-    "sim_search_ivf",
-    "sim_search_pq_adc",
-    "sim_search_ivf_pq",
-    "emb_pca_top_component",
-    "sim_search_topk",
-    "sim_search_lsh_bucketed",
-    "eval_ndcg_at_k",
-    "ml_knn_classify",
-    "sim_hard_negative_mining",
-    "emb_norm_outlier_audit",
-    "emb_quantize_int8",
-    "ml_kmeans_lloyd",
+    "anomaly_zscore_rolling",
     "dedup_embedding_cosine",
-    "sim_range_search",
     "emb_matryoshka_overlap",
+    "emb_norm_outlier_audit",
+    "emb_pca_top_component",
+    "emb_quantize_int8",
+    "eval_ndcg_at_k",
+    "feat_impute_missing",
+    "fn_json_extract",
+    "fn_variant_extract",
+    "incremental_var_merge",
+    "join_bucketed_no_shuffle",
+    "ml_kmeans_lloyd",
+    "ml_knn_classify",
+    "pipeline_quality_gate_fused",
+    "scan_csv_multiline_quoted",
+    "sim_hard_negative_mining",
+    "sim_range_search",
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "sim_search_lsh_bucketed",
+    "sim_search_pq_adc",
+    "sim_search_topk",
+    "stream_custom_stateful_profile",
+    "stream_tumbling_count",
+    "stream_upsert_tablelog",
+    "text_quality_score",
+    "text_tokens_bpe_regex",
+    "ts_autocorr_lag",
+    "ts_interpolate_linear",
+    "ts_ohlc_bars",
+    "ts_resample_ffill",
+    "ts_stl_decompose",
+    "udaf_grouped",
+    "udf_scalar",
+    "win_rank_topk_per_group",
+    "win_rolling_median",
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -58,28 +80,6 @@ R10_WINDOW = [
     "q2_min_price_supplier",
     "q11_important_stock",
     "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_sole_supplier",
-    "q17_small_quantity_revenue",
-    "q20_concentrated_suppliers",
-    "medallion_silver_conform",
-    "medallion_gold_profit_mart",
-    "scd2_dimension_upsert",
-    "cdc_apply_changes",
-    "scan_parquet",
-    "scan_csv_schema",
-    "source_http",
-    "source_http_datasource",
-    "scan_excel",
-    "scan_json_lines",
-    "scan_orc_roundtrip",
-    "agg_distinct",
-    "agg_stats",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_histogram",
-    "agg_mode_deterministic",
-    "agg_argmax",
 ]
 
 def test_driver_window_matches_coverage_plan():
