@@ -38,13 +38,24 @@ REG = Registry()
 def _brl(cents: Column) -> Column:
     """Render integer cents as the reference's currency-string shape,
     'R$<thousands>,<units>.<cents>' (e.g. 123456789 -> 'R$1234,567.89'),
-    exercising both literal scrubs ('R$' and ',') of ``silver:77-82``."""
-    dollars = F.floor(cents / 100)
-    rem = cents - dollars * 100
+    exercising both literal scrubs ('R$' and ',') of ``silver:77-82``.
+
+    Negative cents render as 'R$-<magnitude>': the digit ladder runs on
+    ``abs(cents)`` with an explicit sign prefix. The floor-based ladder
+    on a raw negative value mangles the string (floor rounds toward
+    -inf, so -123 rendered as dollars=-2 / rem=77 -> 'R$-1,998.77'),
+    which the silver conform would then re-parse as -1998.77 — a 1000x
+    corruption of every negative money reading (caught by the r10
+    hostile-relational probe, SCALE.md). The literal scrub + cast path
+    handles the '-' untouched."""
+    mag = F.abs(cents)
+    dollars = F.floor(mag / 100)
+    rem = mag - dollars * 100
     th = F.floor(dollars / 1000)
     un = dollars - th * 1000
     return F.concat(
         F.lit("R$"),
+        F.when(cents < 0, F.lit("-")).otherwise(F.lit("")),
         th.cast("string"),
         F.lit(","),
         F.lpad(un.cast("string"), 3, "0"),

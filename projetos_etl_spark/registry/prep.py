@@ -1374,7 +1374,14 @@ def _zorder_exprs() -> tuple[str, str]:
     d1_d = "(o_custkey & 65535)"
     d2_d = "(CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) & 65535)"
     z_s = f"({_spread_bits(d1_s, spark_shl)} | {spark_shl(_spread_bits(d2_s, spark_shl), 1)})"
-    z_d = f"({_spread_bits(d1_d, duck_shl)} | {_spread_bits(d2_d, duck_shl)} << 1)"
+    # The dim-2 shift MUST go through duck_shl (which parenthesizes):
+    # DuckDB gives |, &, << one shared precedence level, left-associative
+    # (PostgreSQL "any other operator" rule), so the bare spelling
+    # `a | b << 1` parses as `(a | b) << 1` — dim-1's bits land on the
+    # ODD (dim-2) positions and the Z-value is not a Morton code. Latent
+    # until a key >= 16384 (bit 14+) reaches the interleave: caught by
+    # the r10 hostile-relational probe's orphan custkeys (SCALE.md).
+    z_d = f"({_spread_bits(d1_d, duck_shl)} | {duck_shl(_spread_bits(d2_d, duck_shl), 1)})"
     return z_s, z_d
 
 

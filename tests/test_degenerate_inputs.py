@@ -1047,3 +1047,113 @@ def test_ohlc_duplicate_timestamp_tiebreak_is_event_id(
     row = queries["ts_ohlc_bars"](spark, str(tmp_path)).collect()[0]
     assert row["open"] == 20.0 and row["close"] == 90.0
     assert row["high"] == 90.0 and row["low"] == 20.0 and row["n_ticks"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Hostile RELATIONAL values (r10 probe, SCALE.md "hostile family six"):
+# negative money through the currency-string medallion roundtrip, and
+# join keys big enough to reach the Morton interleave's high bits. The
+# standing fixture axis is sf_hostilerel (tools/make_degenerate_fixtures.py);
+# these pins are the hermetic versions of the two bugs that probe caught.
+# ---------------------------------------------------------------------------
+
+
+def _lineitem(tmp_path, rows):
+    """rows: (okey, pkey, skey, lineno, qty, extprice, disc, tax, rf, ls, ship)."""
+    _write(
+        tmp_path,
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in rows], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in rows], pa.float64()),
+                "l_discount": pa.array([r[6] for r in rows], pa.float64()),
+                "l_tax": pa.array([r[7] for r in rows], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in rows], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in rows], pa.string()),
+                "l_shipdate": pa.array([r[10] for r in rows], pa.timestamp("us")),
+            }
+        ),
+    )
+
+
+def test_brl_renders_negative_cents_sign_correct(spark):
+    # -123 cents is 'R$-0,001.23'; the old floor-ladder on the raw
+    # negative rendered 'R$-1,998.77' (floor toward -inf), which the
+    # conform re-parse turned into -1998.77 — a 1000x corruption.
+    import pyspark.sql.functions as F
+
+    from projetos_etl_spark.medallion import clean_currency_col
+    from projetos_etl_spark.registry.medallion import _brl
+
+    df = spark.createDataFrame([(-123,), (123,), (-100000,), (0,), (None,)],
+                               "cents long")
+    out = df.select(
+        _brl(F.col("cents")).alias("s"),
+        clean_currency_col(_brl(F.col("cents"))).alias("back"),
+    ).collect()
+    got = {r["s"]: r["back"] for r in out}
+    assert got["R$-0,001.23"] == -1.23
+    assert got["R$0,001.23"] == 1.23
+    assert got["R$-1,000.00"] == -1000.0
+    assert got["R$0,000.00"] == 0.0
+    assert got[None] is None
+
+
+def test_silver_conform_negative_money_matches_oracle(spark, queries, tmp_path):
+    # One negative-quantity line (a return) among normal lines: every
+    # money measure (gross/sales/cogs/profit) must survive the
+    # render -> scrub -> cast roundtrip sign-correct in both engines.
+    ship = datetime.datetime(1995, 3, 1)
+    _lineitem(
+        tmp_path,
+        [
+            (1, 10, 5, 1, 17.0, 912.34, 0.04, 0.02, "N", "O", ship),
+            (2, 11, 6, 1, -3.0, 450.00, 0.00, 0.01, "R", "F", ship),
+            (3, 12, 7, 1, 25.0, 100.10, 0.07, 0.03, "A", "F", ship),
+        ],
+    )
+    sp = _assert_entry_matches_oracle(
+        spark,
+        queries,
+        tmp_path,
+        "medallion_silver_conform",
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')",
+    )
+    neg = sp[sp["units_sold"] == -3.0].iloc[0]
+    assert neg["gross_sales"] == -1350.0
+    assert neg["cogs"] == -810.0
+    assert neg["profit"] == -540.0
+
+
+def test_zorder_oracle_interleave_matches_engine_above_bit14(
+    spark, queries, tmp_path
+):
+    # A custkey with bits 14/15 set (>= 49152) reaches the interleave's
+    # top nibble. DuckDB parses `a | b << 1` as `(a | b) << 1` (one
+    # shared bitwise precedence level), which put dim-1's bits on dim-2's
+    # positions — zbucket 10 instead of 5 — until the oracle spelled the
+    # shift through the parenthesizing renderer.
+    _orders(
+        tmp_path,
+        [
+            (1, 50000, "O", 100.0, "1-URGENT"),
+            (2, 50001, "O", 100.0, "1-URGENT"),
+        ],
+    )
+    sp = _assert_entry_matches_oracle(
+        spark,
+        queries,
+        tmp_path,
+        "maintenance_zorder_stats",
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')",
+    )
+    # custkey 50000 bit15=1 -> z bit 30, bit14=1 -> z bit 28; the fixture
+    # day (2024-01-01 = 19723 days, bit14=1) -> z bit 29: bucket 0b0111.
+    assert list(sp["zbucket"]) == [7]

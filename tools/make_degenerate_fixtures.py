@@ -54,13 +54,34 @@ production schemas:
                      NOT planted: the spine operators now REFUSE spans
                      over SPINE_SPAN_CAP_HOURS with a named diagnostic
                      — registry/prep.py — pinned hermetically instead.)
+- ``sf_hostilerel`` hostile RELATIONAL values in orders/lineitem,
+                     keyed on the order keys (r10 "family six"):
+                     orders  % 37 -> o_orderdate epoch 1970-01-01,
+                             % 41 -> 2250-06-01 far future,
+                             % 43 -> ORPHAN o_custkey (1e9 + key),
+                             % 53 -> negative o_totalprice;
+                     lineitem % 47 -> ORPHAN l_orderkey (2e9 + key),
+                             % 59/61 -> epoch / far-future l_shipdate,
+                             % 67 -> NEGATIVE l_quantity (a return),
+                             % 71 -> out-of-domain l_discount 1.5,
+                             % 73/79 -> orphan l_suppkey / l_partkey.
+                     One negative quantity used to corrupt every money
+                     measure 1000x through the medallion currency-string
+                     roundtrip (floor-ladder on negative cents), and one
+                     orphan custkey >= 16384 exposed the DuckDB bitwise-
+                     precedence bug in the Z-order oracle (`a | b << 1`
+                     parses as `(a | b) << 1`). Epoch/far-future ORDER
+                     dates are in-domain here (no spine operator runs on
+                     orders): date filters, year partitions, and the
+                     business-day closed form must simply agree.
 
 Then sweep each with the driver simulator:
 
     python tools/driver_sim.py --sf-dir /tmp/sf_nulls
 
 Expected: 326/326 MATCH on sf_onerow, sf_nulls, sf_ragged, sf_nan,
-sf_hostiletext, and sf_hostileevents; 325/326 on the two empty axes
+sf_hostiletext, sf_hostileevents, and sf_hostilerel; 325/326 on the
+two empty axes
 (the one failure is
 ``medallion_gold_profit_mart``'s deliberate reference-parity
 empty-input guard — SURVEY.md §2A op #14). The conventions each axis
@@ -217,6 +238,87 @@ def _hostile_events(tab: pa.Table) -> pa.Table:
     )
 
 
+def _hostile_orders(tab: pa.Table) -> pa.Table:
+    """Plant hostile relational values in orders, keyed on o_orderkey
+    (precedence top-down keeps each row in exactly one class)."""
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    far = datetime.datetime(2250, 6, 1)
+    keys = tab.column("o_orderkey").to_pylist()
+    od = tab.column("o_orderdate").to_pylist()
+    ck = tab.column("o_custkey").to_pylist()
+    tp = tab.column("o_totalprice").to_pylist()
+    n_od, n_ck, n_tp = [], [], []
+    for k, d, c, p in zip(keys, od, ck, tp):
+        nd, nc, np_ = d, c, p
+        if k % 37 == 0:
+            nd = epoch
+        elif k % 41 == 0:
+            nd = far
+        elif k % 43 == 0:
+            nc = 1_000_000_000 + k  # orphan FK: no such customer
+        elif k % 53 == 0:
+            np_ = None if p is None else -abs(p)
+        n_od.append(nd)
+        n_ck.append(nc)
+        n_tp.append(np_)
+    for col, vals in (("o_orderdate", n_od), ("o_custkey", n_ck),
+                      ("o_totalprice", n_tp)):
+        idx = tab.schema.get_field_index(col)
+        tab = tab.set_column(
+            idx, tab.schema.field(col),
+            pa.array(vals, tab.schema.field(col).type),
+        )
+    return tab
+
+
+def _hostile_lineitem(tab: pa.Table) -> pa.Table:
+    """Plant hostile relational values in lineitem, keyed on l_orderkey
+    (one class per row, precedence top-down). Negative quantity is the
+    class that corrupted the medallion currency roundtrip; the orphan
+    keys break referential integrity the join family must shrug off."""
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    far = datetime.datetime(2250, 6, 1)
+    cols = {
+        c: tab.column(c).to_pylist()
+        for c in ("l_orderkey", "l_shipdate", "l_quantity", "l_discount",
+                  "l_suppkey", "l_partkey")
+    }
+    out = {c: [] for c in cols}
+    for k, s, q, d, su, pk in zip(
+        cols["l_orderkey"], cols["l_shipdate"], cols["l_quantity"],
+        cols["l_discount"], cols["l_suppkey"], cols["l_partkey"],
+    ):
+        nk, ns, nq, nd, nsu, npk = k, s, q, d, su, pk
+        if k % 47 == 0:
+            nk = 2_000_000_000 + k  # orphan FK: no such order
+        elif k % 59 == 0:
+            ns = epoch
+        elif k % 61 == 0:
+            ns = far
+        elif k % 67 == 0:
+            nq = None if q is None else -abs(q)  # a return
+        elif k % 71 == 0:
+            nd = 1.5  # out-of-domain discount: (1 - d) < 0
+        elif k % 73 == 0:
+            nsu = 3_000_000_000 + k
+        elif k % 79 == 0:
+            npk = 4_000_000_000 + k
+        for c, v in (("l_orderkey", nk), ("l_shipdate", ns),
+                     ("l_quantity", nq), ("l_discount", nd),
+                     ("l_suppkey", nsu), ("l_partkey", npk)):
+            out[c].append(v)
+    for c, vals in out.items():
+        idx = tab.schema.get_field_index(c)
+        tab = tab.set_column(
+            idx, tab.schema.field(c), pa.array(vals, tab.schema.field(c).type)
+        )
+    return tab
+
+
 def _null_holes(tab: pa.Table, cols: list[str]) -> pa.Table:
     for col in cols:
         idx = tab.schema.get_field_index(col)
@@ -244,6 +346,7 @@ def main() -> None:
         for name in (
             "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls",
             "sf_ragged", "sf_nan", "sf_hostiletext", "sf_hostileevents",
+            "sf_hostilerel",
         )
     }
     for d in dirs.values():
@@ -277,6 +380,14 @@ def main() -> None:
         pq.write_table(
             _hostile_events(tab) if t == "events" else tab,
             os.path.join(dirs["sf_hostileevents"], f"{t}.parquet"),
+        )
+        hostile_rel = tab
+        if t == "orders":
+            hostile_rel = _hostile_orders(tab)
+        elif t == "lineitem":
+            hostile_rel = _hostile_lineitem(tab)
+        pq.write_table(
+            hostile_rel, os.path.join(dirs["sf_hostilerel"], f"{t}.parquet")
         )
         print(f"{t}: all degenerate axes written")
     print("fixture sets:", ", ".join(dirs.values()))
