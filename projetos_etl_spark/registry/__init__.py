@@ -43,22 +43,24 @@ _FAMILIES = [
 #
 # Round-10 window — derived by tools/freshness.py::plan_window(
 # TOUCHED_R10, through=9) per the COVERAGE.md freshness policy and
-# asserted by tests/test_freshness.py: (1) the 37 entries the r10
+# asserted by tests/test_freshness.py: (1) the 40 entries the r10
 # hostile-family closures touched — the ragged-embedding family
 # (well_formed gained the NULL-element class, exact-tier oracles moved
 # to the fold-mirroring sql_cosine), the non-finite-numerics family
 # (functions/finite.py gates on 13 value consumers), the hostile-text
-# family (try_divide ratio metrics, exact CSV round-trip), and the
+# family (try_divide ratio metrics, exact CSV round-trip), the
 # hostile-events family (json_valid oracle gates, the (ts, event_id)
-# OHLC anchor, spine span guards) — then (2) the stalest entries by
-# artifact-derived age: the 13 oldest r2-vintage rows. Rotated TWICE
-# this round: the mid-round hardening kept touching entries after the
-# first rotation, and freshness beats window stability (the suggester
-# in tools/freshness.py --suggest-touched derived this list; two
-# entries ride along from module-level import attribution, which
-# over-verifies, never under-).
+# OHLC anchor, spine span guards), and the hostile-relational family
+# (sign-correct _brl currency rendering -> both medallion entries;
+# the Z-order oracle's DuckDB bitwise-precedence fix) — then (2) the
+# stalest entries by artifact-derived age: the 10 oldest r2-vintage
+# rows. Rotated THREE times this round: the hostile-family hardening
+# kept touching entries after each rotation, and freshness beats
+# window stability (the suggester in tools/freshness.py
+# --suggest-touched derived this list; two entries ride along from
+# module-level import attribution, which over-verifies, never under-).
 _WINDOW_HEAD = [
-    # (1) touched by the r10 hostile-family closures (37)
+    # (1) touched by the r10 hostile-family closures (40)
     "anomaly_zscore_rolling",
     "dedup_embedding_cosine",
     "emb_matryoshka_overlap",
@@ -71,6 +73,9 @@ _WINDOW_HEAD = [
     "fn_variant_extract",
     "incremental_var_merge",
     "join_bucketed_no_shuffle",
+    "maintenance_zorder_stats",
+    "medallion_gold_profit_mart",
+    "medallion_silver_conform",
     "ml_kmeans_lloyd",
     "ml_knn_classify",
     "pipeline_quality_gate_fused",
@@ -96,7 +101,7 @@ _WINDOW_HEAD = [
     "udf_scalar",
     "win_rank_topk_per_group",
     "win_rolling_median",
-    # (2) stalest by artifact-derived age (13 r2-vintage rows)
+    # (2) stalest by artifact-derived age (10 r2-vintage rows)
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -107,9 +112,6 @@ _WINDOW_HEAD = [
     "q16_supplier_count",
     "q19_disjunctive_join",
     "q22_idle_balance",
-    "q2_min_price_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
 ]
 
 def build() -> Registry:

@@ -26,13 +26,16 @@ from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 from tools.freshness import last_green, plan_window, staleness_order
 
 # Entries whose code or oracle changed since their last green official
-# driver row: the 37 touched by the r10 hostile-family closures —
+# driver row: the 40 touched by the r10 hostile-family closures —
 # ragged embeddings (well_formed gained the NULL-element class, the
 # exact-tier oracles moved from NULL-skipping list_sum dots to the
 # fold-mirroring sql_cosine in registry/_sqlvec.py), non-finite
 # numerics (functions/finite.py gates), hostile text (try_divide ratio
-# metrics, exact CSV round-trip), and hostile events (json_valid oracle
-# gates, the (ts, event_id) OHLC anchor, spine span guards) — derived
+# metrics, exact CSV round-trip), hostile events (json_valid oracle
+# gates, the (ts, event_id) OHLC anchor, spine span guards), and
+# hostile relational values (the sign-correct _brl currency renderer
+# touches both medallion entries; the Z-order oracle's DuckDB
+# bitwise-precedence fix touches the maintenance audit) — derived
 # by `tools/freshness.py --suggest-touched` over the round's diff plus
 # the two entries touched only through shared helpers
 # (sim_search_pq_adc / sim_search_ivf_pq via _ann_contract and
@@ -54,6 +57,9 @@ TOUCHED_R10 = [
     "fn_variant_extract",
     "incremental_var_merge",
     "join_bucketed_no_shuffle",
+    "maintenance_zorder_stats",
+    "medallion_gold_profit_mart",
+    "medallion_silver_conform",
     "ml_kmeans_lloyd",
     "ml_knn_classify",
     "pipeline_quality_gate_fused",
@@ -197,7 +203,12 @@ def test_suggest_touched_recovers_r10_registry_entries():
 
         _pytest.skip("r10 diff base has moved on")
     s = suggest_touched()
+    # Known misses, i.e. why the suggestion feeds judgment instead of
+    # replacing the pin: pq_adc / ivf_pq are touched only through the
+    # SHARED _ann_contract helpers (attributed to sim_search_ivf), and
+    # medallion_gold_profit_mart only through the shared _brl renderer
+    # (attributed to the entry that FOLLOWS it, medallion_silver_conform).
     assert set(s["entries"]) >= set(TOUCHED_R10) - {
-        "sim_search_pq_adc", "sim_search_ivf_pq"
+        "sim_search_pq_adc", "sim_search_ivf_pq", "medallion_gold_profit_mart"
     }
     assert set(s["entries"]) <= set(TOUCHED_R10)

@@ -22,13 +22,12 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r10 window: 15 entries touched by the r10 ragged-embedding
-# hardening (well_formed gained the NULL-element class, the exact-tier
-# consumer oracles moved to the fold-NULL-mirroring sql_cosine,
-# emb_quantize_int8 adopted the well-formed corpus contract,
-# emb_norm_outlier_audit grew n_malformed), then the 35 stalest entries
-# by artifact-derived age (all 28 remaining r2-vintage rows + the 7
-# oldest r3-vintage rows).
+# The r10 window: 40 entries touched by the r10 hostile-family
+# closures (ragged embeddings, non-finite numerics, hostile text,
+# hostile events, hostile relational — the last adding the two
+# medallion entries via the sign-correct _brl renderer and the Z-order
+# maintenance audit via its oracle's bitwise-precedence fix), then the
+# 10 stalest entries by artifact-derived age (r2-vintage rows).
 R10_WINDOW = [
     "anomaly_zscore_rolling",
     "dedup_embedding_cosine",
@@ -42,6 +41,9 @@ R10_WINDOW = [
     "fn_variant_extract",
     "incremental_var_merge",
     "join_bucketed_no_shuffle",
+    "maintenance_zorder_stats",
+    "medallion_gold_profit_mart",
+    "medallion_silver_conform",
     "ml_kmeans_lloyd",
     "ml_knn_classify",
     "pipeline_quality_gate_fused",
@@ -77,9 +79,6 @@ R10_WINDOW = [
     "q16_supplier_count",
     "q19_disjunctive_join",
     "q22_idle_balance",
-    "q2_min_price_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
 ]
 
 def test_driver_window_matches_coverage_plan():
