@@ -11,6 +11,17 @@ not (a single hot key would OOM one executor; here the window sort spills).
 Tie semantics match DuckDB's ``ASOF JOIN ... ON r.ts <= l.ts``: at equal
 timestamps the right row is visible to the left row (right sorts first via
 the side tag).
+
+NULL-timestamp semantics also match DuckDB's: the ASOF inequality is
+NULL for a NULL timestamp on either side, so a NULL-ts right row can
+never be anyone's match and a NULL-ts left row matches nothing (it is
+kept, with NULL carried values — left-join semantics). This must be
+EXPLICIT in the window emulation: Spark's ascending sort puts NULLs
+FIRST, so an unfiltered NULL-ts right row would sort to the window head
+and forward-fill its value into EVERY row of its key — one
+unparseable-timestamp record silently becoming the "most recent match"
+for an entire user's history (caught by the r10 null-keys probe,
+SCALE.md family seven).
 """
 
 from __future__ import annotations
@@ -50,6 +61,18 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     out_cols = [f"{c}{suffix}" for c in right_value_cols]
 
+    # A NULL-ts right row can never satisfy the ASOF inequality, and a
+    # NULL-KEY right row can never satisfy the equi-condition (JOIN
+    # semantics: NULL = NULL is not a match — unlike the window's
+    # partitionBy, which GROUPS the NULL keys together and would happily
+    # match a NULL-user probe to a NULL-user reading). Drop both BEFORE
+    # the union, or Spark's NULLS-FIRST ascending sort would place the
+    # NULL-ts rows at the window head and forward-fill them into the
+    # whole key.
+    right = right.filter(F.col(right_ts).isNotNull())
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
+
     l_tagged = left.withColumn("__asof_ts", F.col(left_ts)).withColumn(
         "__is_left", F.lit(1)
     )
@@ -88,6 +111,18 @@ def asof_join(
     for c in fill_cols:
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     result = filled.filter(F.col("__is_left") == 1)
+    # A NULL-ts or NULL-key LEFT row matches nothing (inequality /
+    # equi-condition is NULL): keep the row, null its carried values.
+    # With the right side pre-filtered the fill above is usually already
+    # NULL here, but only by sort-order accident — pin the semantics
+    # explicitly.
+    unmatched = F.col(left_ts).isNull()
+    for k in keys:
+        unmatched = unmatched | F.col(k).isNull()
+    for c in out_cols:
+        result = result.withColumn(
+            c, F.when(unmatched, F.lit(None)).otherwise(F.col(c))
+        )
     if tolerance_seconds:
         age = (
             F.unix_micros(F.col("__asof_ts")) - F.unix_micros(F.col("__asof_src_ts"))

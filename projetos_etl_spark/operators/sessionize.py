@@ -24,7 +24,15 @@ def sessionize(
     gap_seconds: float,
     session_col: str = "session_id",
 ) -> DataFrame:
-    """Assign per-key session ids (1-based, in time order) to every row."""
+    """Assign per-key session ids (1-based, in time order) to every row.
+
+    Rows with NULL ``ts_col`` are DROPPED: a session is a maximal run of
+    gap-bounded timestamps, so an un-timestamped event has no gap
+    relation to any neighbor — and Spark's NULLS-FIRST ascending sort
+    would otherwise park it at the window head where ``lag`` feeds it
+    into the first timed event's gap (engine-divergent: DuckDB sorts the
+    same NULLs last). Family-seven convention, SCALE.md r10."""
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(key).orderBy(F.col(ts_col))
     sec = F.col(ts_col).cast("double")
     prev = F.lag(sec).over(w)

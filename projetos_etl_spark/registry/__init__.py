@@ -43,75 +43,67 @@ _FAMILIES = [
 #
 # Round-10 window — derived by tools/freshness.py::plan_window(
 # TOUCHED_R10, through=9) per the COVERAGE.md freshness policy and
-# asserted by tests/test_freshness.py: (1) the 40 entries the r10
-# hostile-family closures touched — the ragged-embedding family
-# (well_formed gained the NULL-element class, exact-tier oracles moved
-# to the fold-mirroring sql_cosine), the non-finite-numerics family
-# (functions/finite.py gates on 13 value consumers), the hostile-text
-# family (try_divide ratio metrics, exact CSV round-trip), the
-# hostile-events family (json_valid oracle gates, the (ts, event_id)
-# OHLC anchor, spine span guards), and the hostile-relational family
-# (sign-correct _brl currency rendering -> both medallion entries;
-# the Z-order oracle's DuckDB bitwise-precedence fix) — then (2) the
-# stalest entries by artifact-derived age: the 10 oldest r2-vintage
-# rows. Rotated THREE times this round: the hostile-family hardening
-# kept touching entries after each rotation, and freshness beats
-# window stability (the suggester in tools/freshness.py
-# --suggest-touched derived this list; two entries ride along from
-# module-level import attribution, which over-verifies, never under-).
+# asserted by tests/test_freshness.py. The r10 hostile-family closures
+# (ragged embeddings, non-finite numerics, hostile text, hostile
+# events, hostile relational values, NULL keys — seven probe families)
+# touched 69 entries, MORE than the 50-slot window: plan_window's
+# overflow rule (r10) seats the 50 STALEST touched entries by the
+# artifact-derived order and defers the 19 freshest-rowed
+# (plan_overflow — they lead r11's touched list, documented in
+# COVERAGE.md's r11 row). Rotated FOUR times this round: the
+# hostile-family hardening kept touching entries after each rotation,
+# and freshness beats window stability.
 _WINDOW_HEAD = [
-    # (1) touched by the r10 hostile-family closures (40)
-    "anomaly_zscore_rolling",
-    "dedup_embedding_cosine",
-    "emb_matryoshka_overlap",
-    "emb_norm_outlier_audit",
-    "emb_pca_top_component",
-    "emb_quantize_int8",
-    "eval_ndcg_at_k",
-    "feat_impute_missing",
-    "fn_json_extract",
-    "fn_variant_extract",
-    "incremental_var_merge",
-    "join_bucketed_no_shuffle",
-    "maintenance_zorder_stats",
-    "medallion_gold_profit_mart",
     "medallion_silver_conform",
-    "ml_kmeans_lloyd",
-    "ml_knn_classify",
-    "pipeline_quality_gate_fused",
-    "scan_csv_multiline_quoted",
-    "sim_hard_negative_mining",
-    "sim_range_search",
-    "sim_search_ivf",
-    "sim_search_ivf_pq",
-    "sim_search_lsh_bucketed",
-    "sim_search_pq_adc",
-    "sim_search_topk",
-    "stream_custom_stateful_profile",
+    "medallion_gold_profit_mart",
+    "win_rank_topk_per_group",
     "stream_tumbling_count",
-    "stream_upsert_tablelog",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_custom_stateful_profile",
+    "stream_stream_left_outer_join",
     "text_quality_score",
     "text_tokens_bpe_regex",
-    "ts_autocorr_lag",
-    "ts_interpolate_linear",
-    "ts_ohlc_bars",
-    "ts_resample_ffill",
-    "ts_stl_decompose",
+    "dedup_embedding_cosine",
+    "agg_collect_sorted",
+    "win_lag_delta",
+    "win_moving_avg_frame",
+    "sessionize_events",
+    "win_rolling_distinct",
+    "win_rolling_distinct_unbounded",
+    "fn_json_extract",
     "udaf_grouped",
-    "udf_scalar",
-    "win_rank_topk_per_group",
-    "win_rolling_median",
-    # (2) stalest by artifact-derived age (10 r2-vintage rows)
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_pivot",
-    "q14_promo_revenue",
-    "q16_supplier_count",
-    "q19_disjunctive_join",
-    "q22_idle_balance",
+    "graph_pagerank",
+    "graph_degree_stats",
+    "ts_resample_ffill",
+    "ts_interpolate_linear",
+    "quality_referential_integrity",
+    "maintenance_zorder_stats",
+    "sim_range_search",
+    "stream_sliding_topk",
+    "stream_session_close_stateful",
+    "eval_ndcg_at_k",
+    "sim_hard_negative_mining",
+    "emb_norm_outlier_audit",
+    "eval_precision_recall_f1",
+    "graph_bipartite_projection",
+    "incremental_var_merge",
+    "ts_autocorr_lag",
+    "ts_week_over_week",
+    "pipeline_quality_gate_fused",
+    "quality_table_checksum",
+    "emb_matryoshka_overlap",
+    "ts_changepoint_cusum",
+    "feat_impute_missing",
+    "agg_markov_transitions",
+    "ml_knn_classify",
+    "graph_label_propagation",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_decomposition",
+    "ts_ewma_anomaly",
+    "ts_stl_decompose",
+    "maintenance_retention_sweep",
+    "scan_csv_multiline_quoted",
 ]
 
 def build() -> Registry:

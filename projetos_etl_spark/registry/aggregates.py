@@ -416,7 +416,9 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT)                              AS n_events,
-           md5(array_to_string(list(event_type ORDER BY ts, event_id), ',')) AS seq_md5
+           md5(array_to_string(
+               list(event_type ORDER BY ts, event_id)
+                   FILTER (WHERE ts IS NOT NULL), ',')) AS seq_md5
     FROM events
     GROUP BY user_id
     ORDER BY user_id
@@ -429,9 +431,23 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation collects (ts, event_id, type) structs and sort_array's
     them AFTER the aggregate — the sequence signature is then engine-
     and partitioning-invariant. This is the behavioral-sequence
-    extraction step of session/funnel mining."""
+    extraction step of session/funnel mining.
+
+    Family-seven convention: an un-timestamped event has no sequence
+    position — counted in ``n_events``, absent from the digest (Spark's
+    struct sort parks NULL ts first, DuckDB's ORDER BY last; inside a
+    fingerprint that is a silent cross-engine hash flip). collect_list
+    skips the NULL the ``when`` produces; the oracle mirrors with
+    FILTER."""
     seq = F.transform(
-        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("ts").isNotNull(),
+                    F.struct("ts", "event_id", "event_type"),
+                )
+            )
+        ),
         lambda s: s["event_type"],
     )
     return (

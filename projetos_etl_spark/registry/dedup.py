@@ -642,6 +642,7 @@ def er_blocking_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges AS (
         SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
     ),
     deg AS (
         SELECT v.id, COALESCE(d.deg, 0) AS deg
@@ -686,11 +687,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contracts the per-round ulp noise so ~1e-15 relative never reaches
     the 6th decimal at these rank magnitudes). Also cross-checked
     against a dense numpy power iteration on the same edge set in
-    tests/test_dedup.py."""
+    tests/test_dedup.py. NULL keys are not vertices (family seven):
+    gated like every graph entry, so the NULL-vertex fate never depends
+    on which engine's NULL-concat/NULL-join behavior it hits."""
     from projetos_etl_spark.operators.pagerank import pagerank
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -998,6 +1009,7 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT concat('c', o_custkey)  AS src,
                         concat('s', l_suppkey)  AS dst
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
     ),
     deg AS (
         SELECT src AS id, count(*) AS degree FROM e GROUP BY src
@@ -1022,8 +1034,21 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two mergeable aggregates over the deduped edge set (degree per
     vertex, then vertex count per degree) — the histogram shuffle
     carries one row per DISTINCT degree value, essentially nothing."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # A NULL key is not a vertex (family seven): an edge needs two
+    # identities. The gate also dodges an engine trap — concat('c',
+    # NULL) is NULL in Spark but 'c' in DuckDB (which skips NULL args),
+    # so ungated NULL keys would mint a different phantom vertex per
+    # engine.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     e = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -1333,6 +1358,7 @@ PROJ_TOP_K = 20
     WITH edges AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
     ),
     kept AS (
         SELECT c, s FROM edges
@@ -1359,8 +1385,17 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle), which bounds the blowup exactly like the
     hot-bucket cap in ``dedup_near_minhash``. Top-k pairs via
     TakeOrderedAndProject with an (a, b) tie-break."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # NULL keys are not vertices (family-seven convention, SCALE.md).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     # The edge set is referenced by the degree filter AND both self-join
     # sides; the static plan duplicates the scan+join+distinct subtree
     # per reference (measured: 8 FileScans, 0 ReusedExchange). Locally
@@ -1492,6 +1527,7 @@ LPA_SUPP_BASE = 1_000_000
     bip AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
     ),
     und AS (
         SELECT c AS src, {LPA_SUPP_BASE} + s AS dst FROM bip
@@ -1532,8 +1568,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the plan stays iteration-invariant — at 100 TB the edge table is
     hash-partitioned on src once and every round reuses that
     partitioning."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # NULL keys are not vertices (family-seven convention, SCALE.md).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     bip = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -1582,6 +1627,7 @@ LINKPRED_TOPK = 100
     WITH bip AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
     ),
     keep AS (
         SELECT c FROM bip GROUP BY c HAVING count(*) <= {PROJ_HUB_CAP}
@@ -1613,8 +1659,17 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     mirrored in the oracle); degrees come from the full graph in one
     mergeable aggregate and broadcast-join back onto the pair list;
     top-k is TakeOrderedAndProject, never a global sort of all pairs."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # NULL keys are not vertices (family-seven convention, SCALE.md).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     bip = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
@@ -1668,6 +1723,7 @@ KCORE_ROUNDS = 6
     bip AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
     ),
     und AS (
         SELECT c AS src, {LPA_SUPP_BASE} + s AS dst FROM bip
@@ -1724,9 +1780,20 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     — plus a ``converged`` column comparing the last two rounds'
     survivor counts (computed identically in both engines, so it
     documents rather than gambles). Per-round cost tracks surviving
-    edges, which only shrinks."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges, which only shrinks. NULL keys are not vertices (family
+    seven): a NULL custkey would mint a NULL node whose edges silently
+    vanish in the oracle's recursive equi-joins while surviving Spark's
+    degree grouping."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     bip = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(

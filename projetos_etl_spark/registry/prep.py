@@ -350,8 +350,10 @@ def _ri_oracle() -> str:
         SELECT '{label}' AS relation,
                (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS child_rows,
                (SELECT CAST(count(*) AS BIGINT) FROM
-                   (SELECT DISTINCT {fk} FROM {child}) c
-                   WHERE c.{fk} NOT IN (SELECT {pk} FROM {parent})) AS orphan_keys
+                   (SELECT DISTINCT {fk} FROM {child}
+                    WHERE {fk} IS NOT NULL) c
+                   WHERE c.{fk} NOT IN (SELECT {pk} FROM {parent}
+                                        WHERE {pk} IS NOT NULL)) AS orphan_keys
         """
         for label, child, fk, parent, pk in _FK_AUDITS
     ]
@@ -368,7 +370,15 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     |distinct keys| rows, not |child| rows, and the two 1-row counters
     meet via the broadcast-crossJoin scalar pattern. At 100 TB each
     edge is an independent job; orphan counts stay exact (no sampling)
-    because the distinct projection is the only wide step."""
+    because the distinct projection is the only wide step.
+
+    Family-seven convention: an ORPHAN is a non-NULL key whose parent
+    does not exist; a NULL FK points at nothing and is a different
+    defect class (missing attribution — surfaced by null-count audits,
+    not this one). The gate is also the classic cross-engine trap:
+    SQL's ``NOT IN`` silently skips a NULL key (three-valued logic)
+    while a left-anti join COUNTS it — ungated, the two spellings of
+    "orphan" disagree on every NULL."""
     out = None
     for label, child, fk, parent, pk in _FK_AUDITS:
         c = load_table(spark, sf_dir, child)
@@ -376,6 +386,7 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         child_rows = c.agg(F.count(F.lit(1)).cast("long").alias("child_rows"))
         orphans = (
             c.select(fk)
+            .filter(F.col(fk).isNotNull())
             .distinct()
             .join(p.select(pk), F.col(fk) == F.col(pk), "left_anti")
             .agg(F.count(F.lit(1)).cast("long").alias("orphan_keys"))
@@ -1293,6 +1304,7 @@ def feat_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
                stddev_samp({sql_finite("value")}) OVER frame AS sd,
                count({sql_finite("value")})       OVER frame AS n_prev
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW frame AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
     )
@@ -1312,8 +1324,10 @@ def anomaly_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs on metric columns; at 100 TB the frame is O(1) state
     per row and the shuffle is the same user-key exchange every other
     per-user op reuses. Deterministic (ts, event_id) frame order; z
-    rounded to 4 (stddev ulp across engines)."""
-    ev = load_table(spark, sf_dir, "events")
+    rounded to 4 (stddev ulp across engines). NULL-ts readings are
+    excluded from the series like non-finite values — no position, no
+    history, no score (family seven, SCALE.md r10)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1976,7 +1990,7 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH finite_series AS (
         SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value
-        FROM events WHERE isfinite(value)
+        FROM events WHERE isfinite(value) AND ts IS NOT NULL
     ),
     lagged AS (
         SELECT user_id, value,
@@ -2002,7 +2016,9 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n, Σx, Σy, Σxy, Σx², Σy²) state is mergeable, keeping the
     aggregate map-combinable at 100 TB. Rounded to 4 (covariance
     accumulation order differs across engines at the ulp)."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts readings are not part of the ordered series (family
+    # seven): with no position they can form no lag pair.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # finite(): see the oracle comment — the usable series only.
     lagged = (
@@ -2155,7 +2171,7 @@ def quality_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT time_bucket(INTERVAL '1 day', ts) AS day,
                round(sum(value), 2) AS day_value
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     wow AS (
         SELECT day, day_value,
@@ -2178,8 +2194,11 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing day would shift the comparison — on gappy data compose
     with ``ts_gap_detect``/a `gen_date_dim` spine join first. Daily
     sums rounded to 2 before the ratio so both engines divide
-    identical inputs."""
-    ev = load_table(spark, sf_dir, "events")
+    identical inputs. NULL-ts readings belong to no day — excluded
+    (family seven): an un-timestamped row would otherwise form a NULL
+    "day" that row-shifts the lag-7 comparison differently per engine
+    (Spark sorts it first, DuckDB last)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.round(F.sum("value"), 2).alias("day_value")
     )
@@ -2473,11 +2492,11 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(('0x' || substr(md5(
-                 CAST(o_orderkey AS VARCHAR) || '|' ||
-                 CAST(o_custkey  AS VARCHAR) || '|' ||
-                 o_orderstatus   || '|' ||
-                 o_orderpriority || '|' ||
-                 strftime(o_orderdate, '%Y-%m-%d')
+                 COALESCE(CAST(o_orderkey AS VARCHAR), '\\N') || '|' ||
+                 COALESCE(CAST(o_custkey  AS VARCHAR), '\\N') || '|' ||
+                 COALESCE(o_orderstatus,   '\\N') || '|' ||
+                 COALESCE(o_orderpriority, '\\N') || '|' ||
+                 COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '\\N')
                ), 1, 14))::BIGINT)  -- HUGEINT accumulator in DuckDB
                % 9007199254740993 AS BIGINT) AS checksum
     FROM orders
@@ -2496,15 +2515,22 @@ def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows (ANSI mode raises) and a double sum silently loses the
     low bits the checksum exists to compare. The canonical rendering
     sticks to int/string/formatted-date columns because float-to-string
-    formatting is engine-specific."""
+    formatting is engine-specific.
+
+    NULLs are RENDERED (explicit sentinel), never dropped: a checksum
+    that skips NULL-holed rows is blind to exactly the corrupted rows
+    it exists to catch — and the unpinned spellings diverge anyway
+    (Spark's concat_ws SKIPS a NULL piece, SQL's || nulls the whole
+    row string; family-seven probe)."""
     o = load_table(spark, sf_dir, "orders")
+    NS = "\\N"
     row_str = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_orderpriority"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.coalesce(F.col("o_orderkey").cast("string"), F.lit(NS)),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit(NS)),
+        F.coalesce(F.col("o_orderstatus"), F.lit(NS)),
+        F.coalesce(F.col("o_orderpriority"), F.lit(NS)),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit(NS)),
     )
     term = F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 14), 16, 10).cast("long")
     return o.agg(
@@ -3393,7 +3419,7 @@ def feat_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                time_bucket(INTERVAL '1 hour', ts) AS h,
                count(*) AS x
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     cum AS (
         SELECT event_type, h, x,
@@ -3426,8 +3452,11 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly pre-aggregate (mergeable counts), then partition-local
     windows per event type — no second shuffle, since running sum, row
     number, and the partition totals share one window key. The argmax
-    tie-breaks on the earlier hour."""
-    ev = load_table(spark, sf_dir, "events")
+    tie-breaks on the earlier hour. NULL-ts events belong to no hour
+    (family seven): an un-timestamped row would otherwise form a NULL
+    bucket that each engine sorts to a different end of the series,
+    shifting every row_number t."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.count(F.lit(1)).alias("x"))
@@ -3614,7 +3643,7 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     pairs AS (
         SELECT prev_type, event_type AS next_type, count(*) AS n
@@ -3632,10 +3661,17 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     simulation; over token streams the identical plan is a bigram LM.
     ONE window pass (lag over the user key) feeds a mergeable pair
     count; row-normalization is a window total over the states^2-sized
-    count table, so corpus rows shuffle once on the user key."""
+    count table, so corpus rows shuffle once on the user key. NULL-ts
+    events have no sequence position (family seven): unfiltered, each
+    engine would order them to a different end of the user's sequence
+    and count different transition pairs."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type")
+    )
     seq = ev.select(
         "event_type",
         F.lag("event_type")
@@ -4442,7 +4478,8 @@ EWMA_THRESH = 100.0
     hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS h,
                round(avg(value), 6) AS x
-        FROM events GROUP BY user_id, date_trunc('hour', ts)
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id, date_trunc('hour', ts)
     ),
     s AS (
         SELECT user_id, h, x,
@@ -4472,8 +4509,17 @@ def ts_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``F.aggregate`` over the sorted series — no Python, no
     per-iteration jobs): per-key state is the bounded series, the exact
     shape that scales by keys, not by time. 9dp per-step fixing makes
-    the float trajectory hash-verifiable (see oracle note)."""
-    ev = load_table(spark, sf_dir, "events")
+    the float trajectory hash-verifiable (see oracle note). NULL-ts
+    readings belong to no hour (family seven): unfiltered they form a
+    NULL bucket that array_sort places at one end and the oracle's
+    row_number at the other, desynchronizing the whole recursion.
+    NULL-user readings have no stream to smooth — EWMA is per-entity
+    state, and the NULL bucket would fold unrelated sources into one
+    fake trajectory (the oracle's recursive self-join on user_id cannot
+    carry a NULL key anyway — JOIN semantics, not GROUP BY's)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.round(F.avg("value"), 6).alias("x"))
@@ -4851,7 +4897,8 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT date_trunc('hour', ts) AS h,
                CAST(round(round(avg({sql_finite("value")}), 6) * 1000000, 0)
                     AS BIGINT) AS m_e6
-        FROM events GROUP BY date_trunc('hour', ts)
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY date_trunc('hour', ts)
     ),
     win AS (
         SELECT h, m_e6,
@@ -4894,7 +4941,9 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hourly rollup, one ordered window over the HOURLY grid (720
     rows here; grid-bounded, not row-bounded, at 100 TB), one
     24-group seasonal aggregate broadcast back."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts readings belong to no hour (family seven): a NULL bucket
+    # would enter the 24-row trend window at a different end per engine.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # finite(): see the oracle comment — a NaN mean would ANSI-abort
     # the e6-integer cast.
     hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(

@@ -402,9 +402,11 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id,
            p.user_id,
            strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
-           strftime(e.ts, '{TS_FMT_DUCK}') AS last_error_ts
+           CASE WHEN p.ts IS NULL THEN NULL
+                ELSE strftime(e.ts, '{TS_FMT_DUCK}') END AS last_error_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error'
+                    AND ts IS NOT NULL AND user_id IS NOT NULL) e
       ON p.user_id = e.user_id AND e.ts <= p.ts
     """,
 )
@@ -775,13 +777,14 @@ ASOF_TOLERANCE_SECONDS = 6 * 3600
     SELECT p.event_id,
            p.user_id,
            strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
-           CASE WHEN e.ts IS NULL
+           CASE WHEN p.ts IS NULL OR e.ts IS NULL
                   OR epoch_us(p.ts) - epoch_us(e.ts)
                      > {ASOF_TOLERANCE_SECONDS * 1_000_000}
                 THEN NULL
                 ELSE strftime(e.ts, '{TS_FMT_DUCK}') END AS last_error_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error'
+                    AND ts IS NOT NULL AND user_id IS NOT NULL) e
       ON p.user_id = e.user_id AND e.ts <= p.ts
     """,
 )
@@ -1311,9 +1314,11 @@ def join_bucketed_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id,
            p.user_id,
            strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
-           strftime(e.ts, '{TS_FMT_DUCK}') AS next_error_ts
+           CASE WHEN p.ts IS NULL THEN NULL
+                ELSE strftime(e.ts, '{TS_FMT_DUCK}') END AS next_error_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error'
+                    AND ts IS NOT NULL AND user_id IS NOT NULL) e
       ON p.user_id = e.user_id AND e.ts >= p.ts
     """,
 )
@@ -1496,14 +1501,15 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH p AS (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'purchase'),
-    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'
+          AND ts IS NOT NULL AND user_id IS NOT NULL),
     back AS (
-        SELECT p.event_id, e.ts AS bts
+        SELECT p.event_id, CASE WHEN p.ts IS NULL THEN NULL ELSE e.ts END AS bts
         FROM p ASOF LEFT JOIN e
           ON p.user_id = e.user_id AND e.ts <= p.ts
     ),
     fwd AS (
-        SELECT p.event_id, e.ts AS fts
+        SELECT p.event_id, CASE WHEN p.ts IS NULL THEN NULL ELSE e.ts END AS fts
         FROM p ASOF LEFT JOIN e
           ON p.user_id = e.user_id AND e.ts >= p.ts
     )

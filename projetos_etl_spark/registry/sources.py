@@ -637,10 +637,18 @@ def maintenance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     to delete old rows; partition-aligned retention is why layers are
     date-partitioned in the first place. Readback is the standard
     partition-discovering scan; the oracle recomputes the surviving
-    rows from the raw table."""
+    rows from the raw table.
+
+    Family-seven convention: a NULL-ts row has no partition home in a
+    date-partitioned layer — it would land in the
+    __HIVE_DEFAULT_PARTITION__ directory, which a date-compare sweep
+    can neither age nor drop, silently exempting exactly the corrupt
+    rows from retention forever. Excluded at the layer write (the
+    production fix is an upstream quarantine lane); the oracle's
+    ``ts >= cutoff`` drops the same rows by three-valued logic."""
     from projetos_etl_spark.sources.io import retention_sweep
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     base = scratch_dir("retention_") + "/layer"
     layer = ev.withColumn(
         "d", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")

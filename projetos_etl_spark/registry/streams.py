@@ -45,6 +45,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)              AS n,
            round(sum(value), 6)  AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -68,11 +69,11 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start, event_type, count(*) AS n FROM (
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{HOUR_FMT_DUCK}')
                    AS window_start, event_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         UNION ALL
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes'),
                         '{HOUR_FMT_DUCK}'), event_type
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     GROUP BY 1, 2
     """,
@@ -98,6 +99,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_SECONDS}
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
         SELECT user_id, ts, value,
@@ -266,7 +268,16 @@ def stream_custom_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFram
     ).collect()[0][0]
 
     watch = scratch_dir("state_")
-    stage_files(ev_all.filter(F.col("ts") <= F.lit(median_ts)), watch, "batch1")
+    # The profile is an ARRIVAL-order state machine (no watermark, no
+    # event-time): every event counts, timestamped or not. A bare
+    # `ts <= median` split would strand NULL-ts rows in NEITHER batch
+    # (three-valued logic) — the family-seven probe caught the profile
+    # silently undercounting exactly the corrupt-stamp events.
+    stage_files(
+        ev_all.filter((F.col("ts") <= F.lit(median_ts)) | F.col("ts").isNull()),
+        watch,
+        "batch1",
+    )
 
     stream = spark.readStream.format("parquet").schema(ev_all.schema).load(watch)
     profile = running_user_profile(stream)
@@ -509,7 +520,8 @@ def stream_append_finalized_windows(spark: SparkSession, sf_dir: str) -> DataFra
            p.user_id,
            strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
            strftime(e.ts, '{TS_FMT_DUCK}') AS error_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts IS NOT NULL) p
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       ON p.user_id = e.user_id
      AND e.ts >= p.ts - INTERVAL '2 hours' AND e.ts <= p.ts
@@ -587,9 +599,15 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             q.processAllAvailable()  # batch 2: watermark passes everything
         finally:
             q.stop()
+    # The sentinel filter must not also swallow NULL-user purchases
+    # (`NULL >= 0` is NULL): an unattributed purchase is still a
+    # purchase — it emits with no error match, exactly as the batch
+    # LEFT JOIN keeps it. NULL-ts purchases, by contrast, ARE dropped
+    # — by the watermark, the streaming engine's own family-seven
+    # semantics — and the oracle mirrors that gate.
     return (
         spark.table(name)
-        .filter(F.col("user_id") >= 0)
+        .filter((F.col("user_id") >= 0) | F.col("user_id").isNull())
         .select(
             "purchase_id",
             "user_id",
@@ -606,7 +624,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{HOUR_FMT_DUCK}')
                    AS window_start,
                event_type, count(*) AS n
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT window_start, event_type, n, rank FROM (
         SELECT *, CAST(row_number() OVER (
@@ -655,6 +673,7 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_SECONDS} SECOND
                     THEN 1 ELSE 0 END AS brk
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (

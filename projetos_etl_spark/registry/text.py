@@ -611,7 +611,12 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # declared labels — integer confusion-matrix counts, nullif-guarded
     # ratios (a class can have zero predictions on this fixture).
     oracle=f"""
-    WITH pred AS ({_langid_oracle()})
+    WITH pred_all AS ({_langid_oracle()}),
+    pred AS (
+        SELECT p.* FROM pred_all p
+        JOIN documents dl ON dl.doc_id = p.doc_id
+        WHERE dl.lang IS NOT NULL
+    )
     SELECT d.lang AS clazz,
            CAST(count(*) AS BIGINT) AS n_true,
            CAST((SELECT count(*) FROM pred p2 WHERE p2.detected_lang = d.lang)
@@ -628,6 +633,7 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE p2.detected_lang = d.lang) + count(*), 0), 6)
                AS f1
     FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    WHERE d.lang IS NOT NULL
     GROUP BY d.lang ORDER BY d.lang
     """,
 )
@@ -638,8 +644,14 @@ def eval_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     honestly documents that word-soup text defeats a stopword detector;
     on real text the same operator grades any (predicted, true) pair).
     One detector pass + two tiny aggregates over the per-class counts;
-    ratios are nullif-guarded because a class may never be predicted."""
-    docs = _t(spark, sf_dir, "documents")
+    ratios are nullif-guarded because a class may never be predicted.
+
+    Family-seven convention: an UNLABELED document (NULL lang) is not in
+    the eval set — a prediction without ground truth can be graded
+    neither hit nor miss (and ungated, Spark's boolean-cast tp sums the
+    NULL comparisons to NULL/NaN where SQL's CASE counts 0 — a silent
+    cross-engine f1 flip on the phantom NULL class)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
     pred = docs.select(
         "doc_id",
         F.col("lang").alias("clazz"),

@@ -86,18 +86,33 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_lag_delta",
     oracle="""
     SELECT event_id, user_id,
-           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
-               AS delta
+           CASE WHEN ts IS NULL THEN NULL
+                ELSE round(value - lag(value) OVER
+                     (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id), 6)
+           END AS delta
     FROM events
     """,
 )
 def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta vs previous event of the same user (NULL on first)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    """Delta vs previous event of the same user (NULL on first).
+
+    NULL-ts convention (family seven, SCALE.md): an un-timestamped event
+    has no position in the series, so its delta is NULL — and it must
+    not shift anyone ELSE's lag. Both engines pin ``ts ASC NULLS LAST``
+    (Spark defaults NULLS FIRST, DuckDB NULLS LAST — unpinned, each
+    engine hands lag() a different sequence), which also parks the
+    NULL-ts rows AFTER every timed row so no preceding frame sees them;
+    their own output is then nulled."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.when(
+            F.col("ts").isNotNull(),
+            F.round(F.col("value") - F.lag("value").over(w), 6),
+        ).alias("delta"),
     )
 
 
@@ -105,18 +120,29 @@ def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving_avg_frame",
     oracle="""
     SELECT event_id, user_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+           CASE WHEN ts IS NULL THEN NULL
+                ELSE round(avg(value) OVER
+                     (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+           END AS moving_avg
     FROM events
     """,
 )
 def win_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-event moving average (explicit ROWS frame)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    """4-event moving average (explicit ROWS frame). NULL-ts rows sort
+    last (pinned both sides) so no timed row's frame consumes them, and
+    their own positionless average is NULL — family-seven convention."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
+        .rowsBetween(-3, 0)
+    )
     return _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+        F.when(
+            F.col("ts").isNotNull(), F.round(F.avg("value").over(w), 6)
+        ).alias("moving_avg"),
     )
 
 
@@ -252,6 +278,7 @@ def win_ntile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SECONDS}
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
         SELECT user_id, ts, value,
@@ -415,10 +442,11 @@ def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rolling_distinct",
     oracle="""
     SELECT event_id, user_id,
-           CAST(count(DISTINCT event_type) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
-               AS n_types_so_far
+           CASE WHEN ts IS NULL THEN NULL
+                ELSE CAST(count(DISTINCT event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+           END AS n_types_so_far
     FROM events
     """,
 )
@@ -437,13 +465,20 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     window state via a running sum of first-occurrence flags."""
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Family-seven NULL-ts convention: "so far" is undefined for a row
+    # with no position in time — NULLS-LAST ordering (pinned both sides)
+    # keeps such rows out of every timed row's frame, and their own
+    # running count is NULL.
     return _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.size(F.collect_set("event_type").over(w)).alias("n_types_so_far"),
+        F.when(
+            F.col("ts").isNotNull(),
+            F.size(F.collect_set("event_type").over(w)),
+        ).alias("n_types_so_far"),
     )
 
 
@@ -582,10 +617,11 @@ def win_percentiles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rolling_distinct_unbounded",
     oracle="""
     SELECT event_id, user_id,
-           CAST(count(DISTINCT event_type) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
-               AS n_types_so_far
+           CASE WHEN ts IS NULL THEN NULL
+                ELSE CAST(count(DISTINCT event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+           END AS n_types_so_far
     FROM events
     """,
 )
@@ -604,10 +640,16 @@ def win_rolling_distinct_unbounded(spark: SparkSession, sf_dir: str) -> DataFram
     then by user_id) in exchange for memory that no longer depends on
     the value domain; both engines agree exactly, so the oracle is the
     same COUNT(DISTINCT ... ) window as the bounded variant."""
-    first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # NULLS-LAST on both window passes (family-seven convention, pinned
+    # in the oracle too): a type first seen only on un-timestamped rows
+    # gets its flag parked after every timed row, so timed frames never
+    # count it; NULL-ts rows' own running count is NULL.
+    first = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     run = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -616,7 +658,10 @@ def win_rolling_distinct_unbounded(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "event_id",
             "user_id",
-            F.sum("__first").over(run).cast("int").alias("n_types_so_far"),
+            F.when(
+                F.col("ts").isNotNull(),
+                F.sum("__first").over(run).cast("int"),
+            ).alias("n_types_so_far"),
         )
     )
 
@@ -684,6 +729,7 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                quantile_cont({sql_finite("value")}, 0.5) OVER frame AS med,
                count({sql_finite("value")})              OVER frame AS n_prev
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW frame AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
     )
@@ -702,7 +748,11 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW aggregate — O(frame) state per row, same single user_id
     exchange as every other per-user window; at 100 TB frames stay
     O(1) and the cost profile is identical to the moving average."""
-    ev = load_table(spark, sf_dir, "events")
+    # Family-seven NULL-ts convention: an un-timestamped reading has no
+    # position, so it can be no one's trailing history and has no frame
+    # of its own — excluded from the series like a non-finite value
+    # (mirrored in the oracle's WHERE).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

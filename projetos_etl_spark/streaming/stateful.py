@@ -160,8 +160,15 @@ def closed_sessions(events: DataFrame) -> DataFrame:
     from projetos_etl_spark.session import ship_package
 
     ship_package(events.sparkSession)
+    # A session is a run of gap-bounded timestamps: an un-timestamped
+    # event has no gap relation (family seven) — and Arrow hands the
+    # pandas state fn its NULL ts as NaN, which would poison the gap
+    # arithmetic rather than error. Watermarked operators drop such
+    # rows implicitly; this NoTimeout state machine must do it
+    # explicitly.
     return (
-        events.select("user_id", F.unix_micros("ts").alias("ts_us"))
+        events.filter(F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
         .groupBy("user_id")
         .applyInPandasWithState(
             _close_sessions,

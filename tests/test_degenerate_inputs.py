@@ -1157,3 +1157,151 @@ def test_zorder_oracle_interleave_matches_engine_above_bit14(
     # custkey 50000 bit15=1 -> z bit 30, bit14=1 -> z bit 28; the fixture
     # day (2024-01-01 = 19723 days, bit14=1) -> z bit 29: bucket 0b0111.
     assert list(sp["zbucket"]) == [7]
+
+
+# ---------------------------------------------------------------------------
+# Family seven: NULL KEY columns (r10 probe, SCALE.md). sf_nulls holes only
+# payload columns; the sf_nullkeys axis holes keys and timestamps — the
+# probe caught 30 diverging entries. These pins are the hermetic versions
+# of the representative bug classes.
+# ---------------------------------------------------------------------------
+
+_H = datetime.timedelta(hours=1)
+
+
+def test_asof_null_ts_and_null_key_never_match(spark, queries, tmp_path):
+    # One user with a real error and a NULL-ts error: the NULL-ts error
+    # must never be anyone's match (before the fix, Spark's NULLS-FIRST
+    # sort forward-filled it into the entire key). A NULL-ts purchase
+    # and a NULL-user purchase match nothing but are KEPT (left-join
+    # semantics).
+    _events(
+        tmp_path,
+        [
+            (1, _TS0 + 2 * _H, 7, "purchase", 1.0),
+            (2, None, 7, "error", 0.0),          # NULL-ts error: no match ever
+            (3, _TS0 + 1 * _H, 7, "error", 0.0),  # the real match
+            (4, None, 7, "purchase", 1.0),        # NULL-ts purchase -> NULL
+            (5, _TS0 + 2 * _H, None, "purchase", 1.0),  # NULL-user -> NULL
+        ],
+    )
+    rows = {
+        r["event_id"]: r["last_error_ts"]
+        for r in queries["join_asof_events"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1] is not None and rows[1].startswith("2024-01-01 01:00:00")
+    assert rows[4] is None
+    assert rows[5] is None
+
+
+def test_window_sequence_null_ts_is_positionless(spark, queries, tmp_path):
+    # The NULL-ts row's delta is NULL, and it does NOT shift anyone
+    # else's lag (before the fix Spark handed lag() the NULL-ts row
+    # first; DuckDB last).
+    _events(
+        tmp_path,
+        [
+            (1, _TS0, 7, "view", 10.0),
+            (2, None, 7, "view", 99.0),
+            (3, _TS0 + _H, 7, "view", 30.0),
+        ],
+    )
+    rows = {
+        r["event_id"]: r["delta"]
+        for r in queries["win_lag_delta"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1] is None          # first timed event: no predecessor
+    assert rows[2] is None          # positionless
+    assert rows[3] == 20.0          # 30 - 10: the NULL-ts row is invisible
+
+
+def test_referential_orphans_exclude_null_fk(spark, queries, tmp_path):
+    # One real orphan (custkey 999 has no parent), one NULL FK: the
+    # orphan count is 1, not 2 — NULL points at nothing, which is a
+    # missing-attribution defect, not an orphan (and the NOT IN /
+    # left-anti spellings disagree on it).
+    _orders(
+        tmp_path,
+        [
+            (1, 5, "O", 10.0, "1-URGENT"),
+            (2, 999, "O", 10.0, "1-URGENT"),
+            (3, None, "O", 10.0, "1-URGENT"),
+        ],
+    )
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([5], pa.int64()),
+                "c_name": pa.array(["a"], pa.string()),
+                "c_nationkey": pa.array([0], pa.int64()),
+                "c_mktsegment": pa.array(["BUILDING"], pa.string()),
+                "c_acctbal": pa.array([0.0], pa.float64()),
+            }
+        ),
+    )
+    # lineitem/part/supplier edges need tables to exist; give them
+    # empty-but-schemaed stand-ins via the real fixture shapes.
+    _lineitem(tmp_path, [])
+    for name, schema in (
+        ("part", {"p_partkey": pa.int64(), "p_name": pa.string(),
+                  "p_brand": pa.string(), "p_type": pa.string(),
+                  "p_size": pa.int32(), "p_retailprice": pa.float64()}),
+        ("supplier", {"s_suppkey": pa.int64(), "s_name": pa.string(),
+                      "s_nationkey": pa.int64(), "s_acctbal": pa.float64()}),
+    ):
+        _write(tmp_path, name,
+               pa.table({k: pa.array([], t) for k, t in schema.items()}))
+    out = {
+        r["relation"]: r["orphan_keys"]
+        for r in queries["quality_referential_integrity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["orders.o_custkey -> customer"] == 1
+
+
+def test_checksum_renders_nulls_not_drops_them(spark, queries, tmp_path):
+    # Two tables differing ONLY in a NULL hole must checksum
+    # differently — a checksum that skips NULL-holed rows is blind to
+    # exactly the corruption it exists to catch.
+    _orders(tmp_path, [(1, 5, "O", 10.0, "1-URGENT"),
+                       (2, 6, "O", 10.0, "2-HIGH")])
+    a = queries["quality_table_checksum"](spark, str(tmp_path)).collect()[0]
+    _orders(tmp_path, [(1, 5, "O", 10.0, "1-URGENT"),
+                       (2, None, "O", 10.0, "2-HIGH")])
+    b = queries["quality_table_checksum"](spark, str(tmp_path)).collect()[0]
+    assert a["n_rows"] == b["n_rows"] == 2
+    assert a["checksum"] != b["checksum"]
+
+
+def test_graph_null_key_is_not_a_vertex(spark, queries, tmp_path):
+    _orders(tmp_path, [(1, 5, "O", 10.0, "1-URGENT"),
+                       (2, None, "O", 10.0, "1-URGENT")])
+    _lineitem(
+        tmp_path,
+        [
+            (1, 10, 3, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS0),
+            (2, 11, None, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", _TS0),
+        ],
+    )
+    rows = queries["graph_degree_stats"](spark, str(tmp_path)).collect()
+    # Only the (c5, s3) edge exists: one customer vertex, one supplier
+    # vertex, each degree 1 — the NULL custkey and NULL suppkey minted
+    # no phantom vertices.
+    assert sum(r["n_vertices"] for r in rows) == 2
+    assert all(r["degree"] == 1 for r in rows)
+
+
+def test_sessionize_drops_null_ts_rows(spark):
+    from projetos_etl_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(7, _TS0, 1.0), (7, None, 2.0), (7, _TS0 + _H, 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = sessionize(df, key="user_id", ts_col="ts", gap_seconds=3600 * 4)
+    rows = out.collect()
+    assert len(rows) == 2           # the NULL-ts row has no gap relation
+    assert all(r["session_id"] == 1 for r in rows)

@@ -54,6 +54,24 @@ production schemas:
                      NOT planted: the spine operators now REFUSE spans
                      over SPINE_SPAN_CAP_HOURS with a named diagnostic
                      — registry/prep.py — pinned hermetically instead.)
+- ``sf_nullkeys``   NULL KEY columns — the gap sf_nulls deliberately
+                     left (it holes only payload columns). Planted by
+                     stable ids: events.ts NULL (event_id % 31, an
+                     unparseable upstream stamp), events.user_id NULL
+                     (% 43, an unattributed event), orders.o_custkey
+                     NULL (o_orderkey % 29), lineitem.l_suppkey NULL
+                     (l_orderkey % 83), documents.lang NULL (doc_id
+                     % 37). The r10 probe of this axis caught THIRTY
+                     diverging entries ("family seven", SCALE.md): a
+                     NULL-ts right row forward-filled into a whole
+                     as-of key, Spark/DuckDB sorted NULL ts to
+                     opposite ends of every ordered window, NOT IN
+                     vs left-anti disagreed on NULL orphans, phantom
+                     NULL graph vertices, NaN f1 on the unlabeled
+                     class, a median split stranding NULL-ts rows in
+                     neither micro-batch, and NULL-ts rows parked
+                     forever in __HIVE_DEFAULT_PARTITION__ past every
+                     retention sweep.
 - ``sf_hostilerel`` hostile RELATIONAL values in orders/lineitem,
                      keyed on the order keys (r10 "family six"):
                      orders  % 37 -> o_orderdate epoch 1970-01-01,
@@ -80,8 +98,8 @@ Then sweep each with the driver simulator:
     python tools/driver_sim.py --sf-dir /tmp/sf_nulls
 
 Expected: 326/326 MATCH on sf_onerow, sf_nulls, sf_ragged, sf_nan,
-sf_hostiletext, sf_hostileevents, and sf_hostilerel; 325/326 on the
-two empty axes
+sf_hostiletext, sf_hostileevents, sf_hostilerel, and sf_nullkeys;
+325/326 on the two empty axes
 (the one failure is
 ``medallion_gold_profit_mart``'s deliberate reference-parity
 empty-input guard — SURVEY.md §2A op #14). The conventions each axis
@@ -319,6 +337,31 @@ def _hostile_lineitem(tab: pa.Table) -> pa.Table:
     return tab
 
 
+#: (keycol, col, mod) plants for sf_nullkeys, per table.
+NULLKEY_PLANTS = {
+    "events": [("event_id", "ts", 31), ("event_id", "user_id", 43)],
+    "orders": [("o_orderkey", "o_custkey", 29)],
+    "lineitem": [("l_orderkey", "l_suppkey", 83)],
+    "documents": [("doc_id", "lang", 37)],
+}
+
+
+def _null_keys(tab: pa.Table, plants) -> pa.Table:
+    """NULL a key column wherever the (stable) id column % mod == 0."""
+    for keycol, col, mod in plants:
+        keys = tab.column(keycol).to_pylist()
+        vals = tab.column(col).to_pylist()
+        out = [
+            None if (k is not None and k % mod == 0) else v
+            for k, v in zip(keys, vals)
+        ]
+        idx = tab.schema.get_field_index(col)
+        tab = tab.set_column(
+            idx, tab.schema.field(col), pa.array(out, tab.schema.field(col).type)
+        )
+    return tab
+
+
 def _null_holes(tab: pa.Table, cols: list[str]) -> pa.Table:
     for col in cols:
         idx = tab.schema.get_field_index(col)
@@ -346,7 +389,7 @@ def main() -> None:
         for name in (
             "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls",
             "sf_ragged", "sf_nan", "sf_hostiletext", "sf_hostileevents",
-            "sf_hostilerel",
+            "sf_hostilerel", "sf_nullkeys",
         )
     }
     for d in dirs.values():
@@ -388,6 +431,10 @@ def main() -> None:
             hostile_rel = _hostile_lineitem(tab)
         pq.write_table(
             hostile_rel, os.path.join(dirs["sf_hostilerel"], f"{t}.parquet")
+        )
+        pq.write_table(
+            _null_keys(tab, NULLKEY_PLANTS[t]) if t in NULLKEY_PLANTS else tab,
+            os.path.join(dirs["sf_nullkeys"], f"{t}.parquet"),
         )
         print(f"{t}: all degenerate axes written")
     print("fixture sets:", ", ".join(dirs.values()))
