@@ -26,25 +26,26 @@ from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 from tools.freshness import last_green, plan_window, staleness_order
 
 # Entries whose code or oracle changed since their last green official
-# driver row: the 40 touched by the r10 hostile-family closures —
+# driver row: the 69 touched by the r10 hostile-family closures —
 # ragged embeddings (well_formed gained the NULL-element class, the
 # exact-tier oracles moved from NULL-skipping list_sum dots to the
 # fold-mirroring sql_cosine in registry/_sqlvec.py), non-finite
 # numerics (functions/finite.py gates), hostile text (try_divide ratio
 # metrics, exact CSV round-trip), hostile events (json_valid oracle
-# gates, the (ts, event_id) OHLC anchor, spine span guards), and
-# hostile relational values (the sign-correct _brl currency renderer
-# touches both medallion entries; the Z-order oracle's DuckDB
-# bitwise-precedence fix touches the maintenance audit) — derived
-# by `tools/freshness.py --suggest-touched` over the round's diff plus
-# the two entries touched only through shared helpers
-# (sim_search_pq_adc / sim_search_ivf_pq via _ann_contract and
-# _pq_lut_udf). stream_tumbling_count and win_rank_topk_per_group ride
-# along from module-level import attribution — conservative
-# over-verification, never under-. This list is judgment (which diffs
-# touched which entries), so it is pinned here — everything else about
-# the window is artifact-derived.
+# gates, the (ts, event_id) OHLC anchor, spine span guards), hostile
+# relational values (the sign-correct _brl currency renderer, the
+# Z-order oracle's bitwise-precedence fix), and NULL keys / NULL
+# timestamps (family seven: the asof operator's NULL-match semantics,
+# NULLS-LAST ordered windows, series/session/graph/eval/audit/stream
+# gates — 30 diverging entries plus the four graph entries gated for
+# convention coherence). 69 > the 50-slot window, so plan_window's
+# overflow rule seats the 50 stalest and plan_overflow carries the 19
+# freshest-rowed to r11. This list is judgment (which diffs touched
+# which entries), so it is pinned here — everything else about the
+# window is artifact-derived.
 TOUCHED_R10 = [
+    "agg_collect_sorted",
+    "agg_markov_transitions",
     "anomaly_zscore_rolling",
     "dedup_embedding_cosine",
     "emb_matryoshka_overlap",
@@ -52,18 +53,33 @@ TOUCHED_R10 = [
     "emb_pca_top_component",
     "emb_quantize_int8",
     "eval_ndcg_at_k",
+    "eval_precision_recall_f1",
     "feat_impute_missing",
     "fn_json_extract",
     "fn_variant_extract",
+    "graph_bipartite_projection",
+    "graph_degree_stats",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_decomposition",
+    "graph_label_propagation",
+    "graph_pagerank",
     "incremental_var_merge",
+    "join_asof_events",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
     "join_bucketed_no_shuffle",
+    "maintenance_retention_sweep",
     "maintenance_zorder_stats",
     "medallion_gold_profit_mart",
     "medallion_silver_conform",
     "ml_kmeans_lloyd",
     "ml_knn_classify",
     "pipeline_quality_gate_fused",
+    "quality_referential_integrity",
+    "quality_table_checksum",
     "scan_csv_multiline_quoted",
+    "sessionize_events",
     "sim_hard_negative_mining",
     "sim_range_search",
     "sim_search_ivf",
@@ -72,18 +88,30 @@ TOUCHED_R10 = [
     "sim_search_pq_adc",
     "sim_search_topk",
     "stream_custom_stateful_profile",
+    "stream_session_close_stateful",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_sliding_topk",
+    "stream_stream_left_outer_join",
     "stream_tumbling_count",
     "stream_upsert_tablelog",
     "text_quality_score",
     "text_tokens_bpe_regex",
     "ts_autocorr_lag",
+    "ts_changepoint_cusum",
+    "ts_ewma_anomaly",
     "ts_interpolate_linear",
     "ts_ohlc_bars",
     "ts_resample_ffill",
     "ts_stl_decompose",
+    "ts_week_over_week",
     "udaf_grouped",
     "udf_scalar",
+    "win_lag_delta",
+    "win_moving_avg_frame",
     "win_rank_topk_per_group",
+    "win_rolling_distinct",
+    "win_rolling_distinct_unbounded",
     "win_rolling_median",
 ]
 
@@ -105,6 +133,20 @@ def test_window_derives_from_artifacts():
         "(touched-first, then stalest by last-green round / artifact "
         "position). Regenerate it with tools.freshness.plan_window."
     )
+
+
+def test_overflow_is_the_rest_of_touched():
+    # 69 touched > 50 slots: the overflow rule seats the stalest 50 and
+    # defers the 19 freshest-rowed; window + overflow must partition the
+    # touched set exactly, and every deferred entry must have a FRESHER
+    # (or equal) official row than every seated touched entry.
+    from tools.freshness import plan_overflow
+
+    overflow = plan_overflow(TOUCHED_R10, through=PLANNED_THROUGH)
+    assert len(overflow) == len(TOUCHED_R10) - 50
+    assert sorted(_WINDOW_HEAD + overflow) == sorted(TOUCHED_R10)
+    order = {n: i for i, n in enumerate(staleness_order(through=PLANNED_THROUGH))}
+    assert max(order[n] for n in _WINDOW_HEAD) < min(order[n] for n in overflow)
 
 
 def test_touched_entries_were_green_before():

@@ -22,63 +22,62 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r10 window: 40 entries touched by the r10 hostile-family
-# closures (ragged embeddings, non-finite numerics, hostile text,
-# hostile events, hostile relational — the last adding the two
-# medallion entries via the sign-correct _brl renderer and the Z-order
-# maintenance audit via its oracle's bitwise-precedence fix), then the
-# 10 stalest entries by artifact-derived age (r2-vintage rows).
+# The r10 window: the seven hostile-family closures touched 69 entries
+# — more than the window holds — so this is the OVERFLOW form: the 50
+# stalest touched entries by artifact-derived order (plan_window's r10
+# overflow rule); the 19 deferred lead r11's touched list
+# (plan_overflow, pinned in test_freshness.py).
 R10_WINDOW = [
-    "anomaly_zscore_rolling",
-    "dedup_embedding_cosine",
-    "emb_matryoshka_overlap",
-    "emb_norm_outlier_audit",
-    "emb_pca_top_component",
-    "emb_quantize_int8",
-    "eval_ndcg_at_k",
-    "feat_impute_missing",
-    "fn_json_extract",
-    "fn_variant_extract",
-    "incremental_var_merge",
-    "join_bucketed_no_shuffle",
-    "maintenance_zorder_stats",
-    "medallion_gold_profit_mart",
     "medallion_silver_conform",
-    "ml_kmeans_lloyd",
-    "ml_knn_classify",
-    "pipeline_quality_gate_fused",
-    "scan_csv_multiline_quoted",
-    "sim_hard_negative_mining",
-    "sim_range_search",
-    "sim_search_ivf",
-    "sim_search_ivf_pq",
-    "sim_search_lsh_bucketed",
-    "sim_search_pq_adc",
-    "sim_search_topk",
-    "stream_custom_stateful_profile",
+    "medallion_gold_profit_mart",
+    "win_rank_topk_per_group",
     "stream_tumbling_count",
-    "stream_upsert_tablelog",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_custom_stateful_profile",
+    "stream_stream_left_outer_join",
     "text_quality_score",
     "text_tokens_bpe_regex",
-    "ts_autocorr_lag",
-    "ts_interpolate_linear",
-    "ts_ohlc_bars",
-    "ts_resample_ffill",
-    "ts_stl_decompose",
+    "dedup_embedding_cosine",
+    "agg_collect_sorted",
+    "win_lag_delta",
+    "win_moving_avg_frame",
+    "sessionize_events",
+    "win_rolling_distinct",
+    "win_rolling_distinct_unbounded",
+    "fn_json_extract",
     "udaf_grouped",
-    "udf_scalar",
-    "win_rank_topk_per_group",
-    "win_rolling_median",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_pivot",
-    "q14_promo_revenue",
-    "q16_supplier_count",
-    "q19_disjunctive_join",
-    "q22_idle_balance",
+    "graph_pagerank",
+    "graph_degree_stats",
+    "ts_resample_ffill",
+    "ts_interpolate_linear",
+    "quality_referential_integrity",
+    "maintenance_zorder_stats",
+    "sim_range_search",
+    "stream_sliding_topk",
+    "stream_session_close_stateful",
+    "eval_ndcg_at_k",
+    "sim_hard_negative_mining",
+    "emb_norm_outlier_audit",
+    "eval_precision_recall_f1",
+    "graph_bipartite_projection",
+    "incremental_var_merge",
+    "ts_autocorr_lag",
+    "ts_week_over_week",
+    "pipeline_quality_gate_fused",
+    "quality_table_checksum",
+    "emb_matryoshka_overlap",
+    "ts_changepoint_cusum",
+    "feat_impute_missing",
+    "agg_markov_transitions",
+    "ml_knn_classify",
+    "graph_label_propagation",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_decomposition",
+    "ts_ewma_anomaly",
+    "ts_stl_decompose",
+    "maintenance_retention_sweep",
+    "scan_csv_multiline_quoted",
 ]
 
 def test_driver_window_matches_coverage_plan():

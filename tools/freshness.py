@@ -107,13 +107,36 @@ def plan_window(
 ) -> list[str]:
     """The policy window: touched entries first (their official rows
     predate the code that now implements them), then the stalest
-    remaining ever-green entries until ``size`` slots are filled."""
-    if len(touched) > size:
-        raise ValueError(f"touched list ({len(touched)}) exceeds window size {size}")
+    remaining ever-green entries until ``size`` slots are filled.
+
+    OVERFLOW rule (r10, when a round touches more entries than the
+    window holds): the window takes the ``size`` STALEST touched
+    entries by the same artifact-derived order — deferring the touched
+    entries whose official rows are FRESHEST is the least-risk
+    deferral — and the remainder (``plan_overflow``) carries to the
+    next round's touched list, documented in COVERAGE.md."""
     if len(set(touched)) != len(touched):
         raise ValueError("touched list has duplicates")
+    if len(touched) > size:
+        order = {n: i for i, n in enumerate(staleness_order(repo, through))}
+        return sorted(touched, key=lambda n: order[n])[:size]
     fill = [n for n in staleness_order(repo, through) if n not in set(touched)]
     return list(touched) + fill[: size - len(touched)]
+
+
+def plan_overflow(
+    touched: list[str],
+    size: int = WINDOW_SIZE,
+    repo: str = REPO,
+    through: int | None = None,
+) -> list[str]:
+    """The touched entries ``plan_window`` could NOT seat (freshest
+    official rows first deferred, so this is staleness-ordered too):
+    they lead the NEXT round's touched list."""
+    if len(touched) <= size:
+        return []
+    order = {n: i for i, n in enumerate(staleness_order(repo, through))}
+    return sorted(touched, key=lambda n: order[n])[size:]
 
 
 def _registry_entry_blocks(path: str) -> list[tuple[str, int, int]]:
