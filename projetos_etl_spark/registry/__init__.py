@@ -54,56 +54,56 @@ _FAMILIES = [
 # hostile-family hardening kept touching entries after each rotation,
 # and freshness beats window stability.
 _WINDOW_HEAD = [
-    "medallion_silver_conform",
-    "medallion_gold_profit_mart",
-    "win_rank_topk_per_group",
-    "stream_tumbling_count",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_custom_stateful_profile",
-    "stream_stream_left_outer_join",
-    "text_quality_score",
-    "text_tokens_bpe_regex",
-    "dedup_embedding_cosine",
     "agg_collect_sorted",
-    "win_lag_delta",
-    "win_moving_avg_frame",
-    "sessionize_events",
-    "win_rolling_distinct",
-    "win_rolling_distinct_unbounded",
-    "fn_json_extract",
-    "udaf_grouped",
-    "graph_pagerank",
-    "graph_degree_stats",
-    "ts_resample_ffill",
-    "ts_interpolate_linear",
-    "quality_referential_integrity",
-    "maintenance_zorder_stats",
-    "sim_range_search",
+    "agg_hll_sketch_rollup",
+    "anomaly_zscore_rolling",
+    "bitmap_distinct_rollup",
+    "emb_pca_top_component",
+    "emb_quantize_int8",
+    "eval_auc_roc",
+    "fn_variant_extract",
+    "join_asof_events",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_bucketed_no_shuffle",
+    "ml_kmeans_lloyd",
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "sim_search_lsh_bucketed",
+    "sim_search_pq_adc",
+    "sim_search_topk",
     "stream_sliding_topk",
-    "stream_session_close_stateful",
-    "eval_ndcg_at_k",
-    "sim_hard_negative_mining",
-    "emb_norm_outlier_audit",
-    "eval_precision_recall_f1",
-    "graph_bipartite_projection",
-    "incremental_var_merge",
-    "ts_autocorr_lag",
-    "ts_week_over_week",
-    "pipeline_quality_gate_fused",
-    "quality_table_checksum",
-    "emb_matryoshka_overlap",
-    "ts_changepoint_cusum",
-    "feat_impute_missing",
-    "agg_markov_transitions",
-    "ml_knn_classify",
-    "graph_label_propagation",
-    "graph_jaccard_link_prediction",
-    "graph_kcore_decomposition",
-    "ts_ewma_anomaly",
-    "ts_stl_decompose",
-    "maintenance_retention_sweep",
-    "scan_csv_multiline_quoted",
+    "stream_upsert_tablelog",
+    "ts_ohlc_bars",
+    "udf_scalar",
+    "win_rolling_distinct_unbounded",
+    "win_rolling_median",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_pivot",
+    "q14_promo_revenue",
+    "q16_supplier_count",
+    "q19_disjunctive_join",
+    "q22_idle_balance",
+    "q2_min_price_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_sole_supplier",
+    "q17_small_quantity_revenue",
+    "q20_concentrated_suppliers",
+    "scd2_dimension_upsert",
+    "cdc_apply_changes",
+    "scan_parquet",
+    "scan_csv_schema",
+    "source_http",
+    "source_http_datasource",
+    "scan_excel",
+    "scan_json_lines",
 ]
 
 def build() -> Registry:

@@ -438,7 +438,12 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct sort parks NULL ts first, DuckDB's ORDER BY last; inside a
     fingerprint that is a silent cross-engine hash flip). collect_list
     skips the NULL the ``when`` produces; the oracle mirrors with
-    FILTER."""
+    FILTER. A user whose EVERY event is un-timestamped has no sequence
+    at all: DuckDB's list(...) FILTER over zero qualifying rows is NULL
+    (md5(NULL) = NULL), while Spark's collect_list yields an empty
+    array (md5('') = d41d8...), so the digest is gated on a non-empty
+    sequence to make both engines emit NULL for a positionless-only
+    user (r10 ADVICE)."""
     seq = F.transform(
         F.sort_array(
             F.collect_list(
@@ -455,7 +460,10 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.md5(F.array_join(seq, ",").cast("binary")).alias("seq_md5"),
+            F.when(
+                F.size(seq) > 0,
+                F.md5(F.array_join(seq, ",").cast("binary")),
+            ).alias("seq_md5"),
         )
         .orderBy("user_id")
     )
@@ -549,10 +557,17 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users_exact"))
     )
+    # NULL-safe tier join (family seven, mechanism 3): the UNTYPED
+    # group survives GROUP BY on both engines, but a plain equi-join
+    # between the two tiers would silently drop it (NULL != NULL) while
+    # the single-pass oracle keeps it. Plain aggregation keeps the NULL
+    # group — so the internal join must too.
     return (
-        exact.join(merged, "event_type")
+        exact.join(
+            merged, exact["event_type"].eqNullSafe(merged["event_type"])
+        )
         .select(
-            "event_type",
+            exact["event_type"],
             "n_users_exact",
             (
                 F.abs(F.col("est") - F.col("n_users_exact"))

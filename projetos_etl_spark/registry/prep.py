@@ -411,7 +411,8 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_exact,
            CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_bitmap,
            CAST((SELECT max(n_day) FROM daily d
-                 WHERE d.event_type = e.event_type) AS BIGINT) AS max_daily
+                 WHERE d.event_type IS NOT DISTINCT FROM e.event_type)
+               AS BIGINT) AS max_daily
     FROM events e GROUP BY e.event_type ORDER BY e.event_type
     """,
 )
@@ -453,9 +454,21 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_users_exact")
     )
+    # NULL-safe tier joins (family seven, mechanism 3): the UNTYPED
+    # group survives every GROUP BY but a plain equi-join between tiers
+    # drops it (NULL != NULL) while the single-pass oracle keeps it.
+    # Tier keys are renamed before joining so the null-safe conditions
+    # resolve unambiguously across the chained joins.
     return (
-        exact.join(rolled, "event_type")
-        .join(daily_exact, "event_type")
+        exact
+        .join(
+            rolled.withColumnRenamed("event_type", "_et_rolled"),
+            F.col("event_type").eqNullSafe(F.col("_et_rolled")),
+        )
+        .join(
+            daily_exact.withColumnRenamed("event_type", "_et_daily"),
+            F.col("event_type").eqNullSafe(F.col("_et_daily")),
+        )
         .select("event_type", "n_users_exact", "n_users_bitmap", "max_daily")
         .orderBy("event_type")
     )
@@ -4411,13 +4424,19 @@ def quality_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OPPOSITE ends of the ROC sweep (Spark windows order NULLS FIRST,
     # DuckDB NULLS LAST), silently shifting every cumulative count.
     # Excluding unscored rows identically is the only rank-stable
-    # convention.
+    # convention. AND event_type IS NOT NULL (family seven, mechanism
+    # 3: an unlabeled row is not in the eval set): Spark's
+    # `type != 'purchase'` NULLs the tally term where this CASE's ELSE
+    # would count the untyped row as a NEGATIVE — exclude it on both
+    # engines instead.
     oracle="""
     WITH g AS (
         SELECT value,
                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
                sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
-        FROM events WHERE value IS NOT NULL GROUP BY value
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY value
     ), c AS (
         SELECT np, nn,
                COALESCE(sum(nn) OVER (ORDER BY value
@@ -4442,8 +4461,12 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grid (not the rows) bounds the window; for truly continuous
     scores bucket the grid first (same identity per bucket). Unscored
     (NULL-value) rows are excluded — they cannot be ranked, and engines
-    disagree on where NULL sorts (see the oracle comment)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    disagree on where NULL sorts; UNLABELED (NULL-type) rows are
+    excluded too — an untyped event is neither a positive nor a
+    negative (see the oracle comment)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     g = ev.groupBy("value").agg(
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
         F.sum((F.col("event_type") != "purchase").cast("long")).alias("nn"),

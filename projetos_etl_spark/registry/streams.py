@@ -629,7 +629,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT window_start, event_type, n, rank FROM (
         SELECT *, CAST(row_number() OVER (
                    PARTITION BY window_start
-                   ORDER BY n DESC, event_type) AS INTEGER) AS rank
+                   ORDER BY n DESC, event_type NULLS LAST) AS INTEGER) AS rank
         FROM counts
     ) WHERE rank <= 3
     """,
@@ -642,7 +642,10 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final counts (rank-on-stream would emit provisional leaders). At
     100 TB the sink is a compacted table and the rank runs partition-
     local per window key with a deterministic (count DESC, type)
-    tie-break."""
+    tie-break — pinned NULLS LAST on both engines (family seven,
+    mechanism 2: the UNTYPED group survives the plain streaming
+    aggregation like its tumbling siblings, but an unpinned ascending
+    tie-break would park it at OPPOSITE ends of the leaderboard)."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
@@ -650,7 +653,9 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     out = run_to_memory(agg, "complete")
-    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc_nulls_last()
+    )
     return (
         out.select(
             F.date_format("w.start", HOUR_FMT_SPARK).alias("window_start"),

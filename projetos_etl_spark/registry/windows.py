@@ -643,7 +643,11 @@ def win_rolling_distinct_unbounded(spark: SparkSession, sf_dir: str) -> DataFram
     # NULLS-LAST on both window passes (family-seven convention, pinned
     # in the oracle too): a type first seen only on un-timestamped rows
     # gets its flag parked after every timed row, so timed frames never
-    # count it; NULL-ts rows' own running count is NULL.
+    # count it; NULL-ts rows' own running count is NULL. A NULL
+    # event_type is NOT a type: COUNT(DISTINCT) skips NULLs, but
+    # row_number over the all-NULL partition would still flag its first
+    # row, so the flag is additionally gated on a non-NULL type (r10
+    # ADVICE).
     first = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").asc_nulls_last(), "event_id"
     )
@@ -654,7 +658,13 @@ def win_rolling_distinct_unbounded(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return (
         _t(spark, sf_dir, "events")
-        .withColumn("__first", (F.row_number().over(first) == 1).cast("int"))
+        .withColumn(
+            "__first",
+            (
+                (F.row_number().over(first) == 1)
+                & F.col("event_type").isNotNull()
+            ).cast("int"),
+        )
         .select(
             "event_id",
             "user_id",

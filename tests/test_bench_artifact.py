@@ -126,3 +126,24 @@ def test_compact_line_truncation_keeps_medians_and_mins_aligned():
         assert set(parsed["queries_min"]) <= set(parsed["queries"])
         slowest = max(t, key=t.__getitem__)
         assert slowest in parsed["queries"]
+
+
+def test_regression_flag_has_a_noise_floor():
+    # VERDICT r10 item 4: the r10 five-session host-drift table showed
+    # the min-basis flag firing on sub-2s entries drifting ~0.3s
+    # (stream_tumbling_count / ts_resample_ffill) from pure contention.
+    # The flag now requires EITHER a >2x ratio, OR (ratio > 1.3x AND a
+    # >=2s baseline AND a >=0.5s absolute delta).
+    from bench import _regression_flag
+
+    # the r10 phantom class: 1.5s entry drifting to 1.95s (1.3x+)
+    assert not _regression_flag(1.95 / 1.5, 1.5, 1.95)
+    # sub-0.5s delta on a slow entry: 5.0 -> 5.4s is host noise
+    assert not _regression_flag(5.4 / 5.0, 5.0, 5.4)
+    # a real regression of a slow entry still flags
+    assert _regression_flag(7.0 / 5.0, 5.0, 7.0)
+    assert _regression_flag(2.61 / 2.0, 2.0, 2.61)
+    # a fast entry that genuinely doubled still flags
+    assert _regression_flag(2.2 / 1.0, 1.0, 2.2)
+    # and the old threshold's green region stays green
+    assert not _regression_flag(1.2, 5.0, 6.0)

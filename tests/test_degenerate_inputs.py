@@ -1305,3 +1305,115 @@ def test_sessionize_drops_null_ts_rows(spark):
     rows = out.collect()
     assert len(rows) == 2           # the NULL-ts row has no gap relation
     assert all(r["session_id"] == 1 for r in rows)
+
+
+def test_collect_sorted_positionless_only_user_digests_null(
+    spark, queries, tmp_path
+):
+    # r10 ADVICE: a user whose EVERY event is un-timestamped has no
+    # sequence at all. DuckDB's list(...) FILTER over zero qualifying
+    # rows is NULL (md5(NULL) = NULL); a naive Spark collect_list gives
+    # an empty array (md5('') = d41d8...). Both engines must emit NULL.
+    _events(
+        tmp_path,
+        [
+            (1, None, 7, "view", 1.0),      # user 7: positionless only
+            (2, None, 7, "click", 2.0),
+            (3, _TS0, 8, "view", 3.0),      # user 8: a real sequence
+            (4, None, 8, "click", 4.0),     # ...plus one positionless
+        ],
+    )
+    rows = {
+        r["user_id"]: (r["n_events"], r["seq_md5"])
+        for r in queries["agg_collect_sorted"](spark, str(tmp_path)).collect()
+    }
+    assert rows[7][0] == 2 and rows[7][1] is None
+    assert rows[8][0] == 2 and rows[8][1] is not None
+
+
+def test_rolling_distinct_null_type_is_not_a_type(spark, queries, tmp_path):
+    # r10 ADVICE: COUNT(DISTINCT event_type) skips NULLs, so the
+    # first-occurrence-flag decomposition must not flag the NULL-type
+    # partition's first row (both the unbounded scale tier and the
+    # bounded collect_set variant agree).
+    _events(
+        tmp_path,
+        [
+            (1, _TS0, 7, "view", 1.0),
+            (2, _TS0 + _H, 7, None, 2.0),       # NULL type: not distinct
+            (3, _TS0 + 2 * _H, 7, "click", 3.0),
+        ],
+    )
+    for entry in ("win_rolling_distinct_unbounded", "win_rolling_distinct"):
+        rows = {
+            r["event_id"]: r["n_types_so_far"]
+            for r in queries[entry](spark, str(tmp_path)).collect()
+        }
+        assert rows == {1: 1, 2: 1, 3: 2}, entry
+
+
+def test_distinct_rollups_keep_the_untyped_group(spark, queries, tmp_path):
+    # r11 probe (NULL event_type plant): the UNTYPED group survives
+    # GROUP BY on both engines, so the sketch/bitmap tier JOINS must be
+    # null-safe or the group silently drops from the Spark side only
+    # (family seven, mechanism 3 — plain aggregation keeps NULL groups).
+    _events(
+        tmp_path,
+        [
+            (1, _TS0, 7, "view", 1.0),
+            (2, _TS0, 8, None, 2.0),
+            (3, _TS0 + 25 * _H, 8, None, 3.0),   # next day, same user
+        ],
+    )
+    hll = {
+        r["event_type"]: r["n_users_exact"]
+        for r in queries["agg_hll_sketch_rollup"](spark, str(tmp_path)).collect()
+    }
+    assert hll == {"view": 1, None: 1}
+    bm = {
+        r["event_type"]: (r["n_users_exact"], r["n_users_bitmap"], r["max_daily"])
+        for r in queries["bitmap_distinct_rollup"](spark, str(tmp_path)).collect()
+    }
+    assert bm == {"view": (1, 1, 1), None: (1, 1, 1)}
+
+
+def test_auc_excludes_unlabeled_rows(spark, queries, tmp_path):
+    # r11 probe: Spark's `type != 'purchase'` NULLs the unlabeled tally
+    # term while the oracle's CASE ELSE counted it as a NEGATIVE; the
+    # convention (an unlabeled row is not in the eval set) excludes it
+    # on both engines. With the unlabeled high-score row excluded the
+    # one (pos, neg) pair ranks perfectly.
+    _events(
+        tmp_path,
+        [
+            (1, _TS0, 7, "purchase", 10.0),
+            (2, _TS0, 7, "view", 5.0),
+            (3, _TS0, 7, None, 20.0),   # unlabeled: would flip AUC to 0.5
+        ],
+    )
+    row = queries["eval_auc_roc"](spark, str(tmp_path)).collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc"]) == (1, 1, 1.0)
+
+
+def test_sliding_topk_ranks_the_untyped_group_last_on_ties(
+    spark, queries, tmp_path
+):
+    # r11 probe: the leaderboard keeps the untyped group (plain
+    # streaming aggregation, like its tumbling siblings) but its rank
+    # tie-break must pin NULLS LAST on both engines — unpinned, Spark
+    # parks NULL first and DuckDB last, swapping ranks on every tie.
+    _events(
+        tmp_path,
+        [
+            (1, _TS0, 7, "view", 1.0),
+            (2, _TS0, 7, "view", 1.0),
+            (3, _TS0, 8, None, 1.0),
+            (4, _TS0, 8, None, 1.0),
+            (5, _TS0, 9, "click", 1.0),
+        ],
+    )
+    rows = {
+        r["event_type"]: r["rank"]
+        for r in queries["stream_sliding_topk"](spark, str(tmp_path)).collect()
+    }
+    assert rows == {"view": 1, None: 2, "click": 3}

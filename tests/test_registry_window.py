@@ -22,68 +22,73 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r10 window: the seven hostile-family closures touched 69 entries
-# — more than the window holds — so this is the OVERFLOW form: the 50
-# stalest touched entries by artifact-derived order (plan_window's r10
-# overflow rule); the 19 deferred lead r11's touched list
-# (plan_overflow, pinned in test_freshness.py).
-R10_WINDOW = [
-    "medallion_silver_conform",
-    "medallion_gold_profit_mart",
-    "win_rank_topk_per_group",
-    "stream_tumbling_count",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_custom_stateful_profile",
-    "stream_stream_left_outer_join",
-    "text_quality_score",
-    "text_tokens_bpe_regex",
-    "dedup_embedding_cosine",
+# The r11 window: the 25 touched entries first — the 19 the r10
+# overflow rule deferred (their code changed in r10 but their official
+# rows predate it; plan_overflow, VERDICT r10 item 1 of "What's
+# missing"), the two r11 ADVICE fixes (agg_collect_sorted's
+# positionless-user NULL digest, win_rolling_distinct_unbounded's
+# NULL-type gate), and the four entries the strengthened sf_nullkeys
+# axis caught (untyped-group tier joins in both distinct rollups,
+# eval_auc_roc's unlabeled negatives, stream_sliding_topk's tie-break)
+# — then the 25 stalest remaining entries by artifact-derived age
+# (all r2-vintage TPC-H / source entries).
+R11_WINDOW = [
     "agg_collect_sorted",
-    "win_lag_delta",
-    "win_moving_avg_frame",
-    "sessionize_events",
-    "win_rolling_distinct",
-    "win_rolling_distinct_unbounded",
-    "fn_json_extract",
-    "udaf_grouped",
-    "graph_pagerank",
-    "graph_degree_stats",
-    "ts_resample_ffill",
-    "ts_interpolate_linear",
-    "quality_referential_integrity",
-    "maintenance_zorder_stats",
-    "sim_range_search",
+    "agg_hll_sketch_rollup",
+    "anomaly_zscore_rolling",
+    "bitmap_distinct_rollup",
+    "emb_pca_top_component",
+    "emb_quantize_int8",
+    "eval_auc_roc",
+    "fn_variant_extract",
+    "join_asof_events",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_bucketed_no_shuffle",
+    "ml_kmeans_lloyd",
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "sim_search_lsh_bucketed",
+    "sim_search_pq_adc",
+    "sim_search_topk",
     "stream_sliding_topk",
-    "stream_session_close_stateful",
-    "eval_ndcg_at_k",
-    "sim_hard_negative_mining",
-    "emb_norm_outlier_audit",
-    "eval_precision_recall_f1",
-    "graph_bipartite_projection",
-    "incremental_var_merge",
-    "ts_autocorr_lag",
-    "ts_week_over_week",
-    "pipeline_quality_gate_fused",
-    "quality_table_checksum",
-    "emb_matryoshka_overlap",
-    "ts_changepoint_cusum",
-    "feat_impute_missing",
-    "agg_markov_transitions",
-    "ml_knn_classify",
-    "graph_label_propagation",
-    "graph_jaccard_link_prediction",
-    "graph_kcore_decomposition",
-    "ts_ewma_anomaly",
-    "ts_stl_decompose",
-    "maintenance_retention_sweep",
-    "scan_csv_multiline_quoted",
+    "stream_upsert_tablelog",
+    "ts_ohlc_bars",
+    "udf_scalar",
+    "win_rolling_distinct_unbounded",
+    "win_rolling_median",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_pivot",
+    "q14_promo_revenue",
+    "q16_supplier_count",
+    "q19_disjunctive_join",
+    "q22_idle_balance",
+    "q2_min_price_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_sole_supplier",
+    "q17_small_quantity_revenue",
+    "q20_concentrated_suppliers",
+    "scd2_dimension_upsert",
+    "cdc_apply_changes",
+    "scan_parquet",
+    "scan_csv_schema",
+    "source_http",
+    "source_http_datasource",
+    "scan_excel",
+    "scan_json_lines",
 ]
 
 def test_driver_window_matches_coverage_plan():
-    assert len(R10_WINDOW) == 50
-    got = list(all_queries())[: len(R10_WINDOW)]
-    assert got == R10_WINDOW, (
+    assert len(R11_WINDOW) == 50
+    got = list(all_queries())[: len(R11_WINDOW)]
+    assert got == R11_WINDOW, (
         "The first-50 verification window shifted. The window is the "
         "explicit registry.__init__._WINDOW_HEAD list; if you changed it, "
         "update this pin AND COVERAGE.md's ledger deliberately."
@@ -93,7 +98,7 @@ def test_driver_window_matches_coverage_plan():
 def test_window_head_is_the_pin():
     # _WINDOW_HEAD and this pin must be the same list; divergence means a
     # half-finished rotation commit.
-    assert _WINDOW_HEAD == R10_WINDOW
+    assert _WINDOW_HEAD == R11_WINDOW
 
 
 def test_no_window_name_collisions():

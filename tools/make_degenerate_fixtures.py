@@ -61,7 +61,14 @@ production schemas:
                      (% 43, an unattributed event), orders.o_custkey
                      NULL (o_orderkey % 29), lineitem.l_suppkey NULL
                      (l_orderkey % 83), documents.lang NULL (doc_id
-                     % 37). The r10 probe of this axis caught THIRTY
+                     % 37); r11 adds events.event_type NULL
+                     (event_id % 41 — COUNT(DISTINCT) skips NULL
+                     types but a first-occurrence row_number flag
+                     would not) and one POSITIONLESS-ONLY user (the
+                     smallest user_id gets ts NULLed on EVERY event:
+                     an empty filtered sequence digests to NULL in
+                     DuckDB but md5('') in a naive Spark
+                     collect_list). The r10 probe of this axis caught THIRTY
                      diverging entries ("family seven", SCALE.md): a
                      NULL-ts right row forward-filled into a whole
                      as-of key, Spark/DuckDB sorted NULL ts to
@@ -339,7 +346,11 @@ def _hostile_lineitem(tab: pa.Table) -> pa.Table:
 
 #: (keycol, col, mod) plants for sf_nullkeys, per table.
 NULLKEY_PLANTS = {
-    "events": [("event_id", "ts", 31), ("event_id", "user_id", 43)],
+    "events": [
+        ("event_id", "ts", 31),
+        ("event_id", "user_id", 43),
+        ("event_id", "event_type", 41),
+    ],
     "orders": [("o_orderkey", "o_custkey", 29)],
     "lineitem": [("l_orderkey", "l_suppkey", 83)],
     "documents": [("doc_id", "lang", 37)],
@@ -360,6 +371,22 @@ def _null_keys(tab: pa.Table, plants) -> pa.Table:
             idx, tab.schema.field(col), pa.array(out, tab.schema.field(col).type)
         )
     return tab
+
+
+def _positionless_user(tab: pa.Table) -> pa.Table:
+    """NULL the ts of EVERY event of the smallest non-NULL user_id, so
+    sf_nullkeys contains one user with zero sequence positions (r11:
+    the class the r10 ADVICE flagged as unreachable — an empty filtered
+    event sequence must digest to NULL on both engines, and ordered
+    per-user windows must survive an all-NULL ordering partition)."""
+    users = tab.column("user_id").to_pylist()
+    target = min(u for u in users if u is not None)
+    ts = tab.column("ts").to_pylist()
+    out = [None if u == target else t for u, t in zip(users, ts)]
+    idx = tab.schema.get_field_index("ts")
+    return tab.set_column(
+        idx, tab.schema.field("ts"), pa.array(out, tab.schema.field("ts").type)
+    )
 
 
 def _null_holes(tab: pa.Table, cols: list[str]) -> pa.Table:
@@ -432,9 +459,11 @@ def main() -> None:
         pq.write_table(
             hostile_rel, os.path.join(dirs["sf_hostilerel"], f"{t}.parquet")
         )
+        nullkeys = _null_keys(tab, NULLKEY_PLANTS[t]) if t in NULLKEY_PLANTS else tab
+        if t == "events":
+            nullkeys = _positionless_user(nullkeys)
         pq.write_table(
-            _null_keys(tab, NULLKEY_PLANTS[t]) if t in NULLKEY_PLANTS else tab,
-            os.path.join(dirs["sf_nullkeys"], f"{t}.parquet"),
+            nullkeys, os.path.join(dirs["sf_nullkeys"], f"{t}.parquet")
         )
         print(f"{t}: all degenerate axes written")
     print("fixture sets:", ", ".join(dirs.values()))
