@@ -75,6 +75,7 @@ _WINDOW_HEAD = [
     "sim_search_topk",
     "stream_sliding_topk",
     "stream_upsert_tablelog",
+    "text_keyness_g2",
     "ts_ohlc_bars",
     "udf_scalar",
     "win_rolling_distinct_unbounded",
@@ -103,7 +104,6 @@ _WINDOW_HEAD = [
     "source_http",
     "source_http_datasource",
     "scan_excel",
-    "scan_json_lines",
 ]
 
 def build() -> Registry:

@@ -1007,6 +1007,7 @@ KEYNESS_TOPN = 30
         SELECT CASE WHEN source IN {str(KEYNESS_FOCUS)} THEN 1 ELSE 0 END AS foc,
                unnest(string_split(lower(text), ' ')) AS w
         FROM documents
+        WHERE source IS NOT NULL
     ),
     counts AS (
         SELECT w,
@@ -1041,10 +1042,19 @@ def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), totals as a 1-row broadcast scalar, ln over
     integer-ratio arguments, top-k by TakeOrderedAndProject. The
     overuse direction compares a*R2 vs b*R1 in integers — no division,
-    no rounding ambiguity."""
+    no rounding ambiguity. UNATTRIBUTED (NULL-source) documents belong
+    to neither subcorpus and are excluded on both engines (family
+    seven, mechanism 3): Spark's NULL `isin` flag would silently drop
+    them from BOTH tallies while the oracle's `CASE ... ELSE 0` would
+    count them as REFERENCE — two different corpora, one entry."""
     foc = F.col("source").isin(*KEYNESS_FOCUS).cast("long")
-    toks = _t(spark, sf_dir, "documents").select(
-        foc.alias("foc"), F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select(
+            foc.alias("foc"),
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
     )
     counts = (
         toks.groupBy("w")

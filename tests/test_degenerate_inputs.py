@@ -1417,3 +1417,36 @@ def test_sliding_topk_ranks_the_untyped_group_last_on_ties(
         for r in queries["stream_sliding_topk"](spark, str(tmp_path)).collect()
     }
     assert rows == {"view": 1, None: 2, "click": 3}
+
+
+def test_keyness_excludes_unattributed_documents(spark, queries, tmp_path):
+    # r11 probe (NULL documents.source plant): an unattributed document
+    # belongs to NEITHER keyness subcorpus. Spark's NULL `isin` flag
+    # silently dropped its tokens from both tallies while the oracle's
+    # `CASE ... ELSE 0` counted them as REFERENCE — now both engines
+    # exclude it. 'tok' appears 10x in focus, 10x in attributed
+    # reference, and 5x in the NULL-source doc: excluded, the counts
+    # are exactly (10, 10).
+    _write(
+        tmp_path,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [" ".join(["tok"] * 10),
+                     " ".join(["tok"] * 10),
+                     " ".join(["tok"] * 5)],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en", "en", "en"], pa.string()),
+                "source": pa.array(["src0", "web", None], pa.string()),
+                "n_chars": pa.array([39, 39, 19], pa.int64()),
+            }
+        ),
+    )
+    rows = {
+        r["token"]: (r["n_focus"], r["n_ref"])
+        for r in queries["text_keyness_g2"](spark, str(tmp_path)).collect()
+    }
+    assert rows == {"tok": (10, 10)}

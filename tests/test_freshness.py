@@ -56,21 +56,24 @@ OVERFLOW_FROM_R10 = [
 # r10 ADVICE closures (agg_collect_sorted's empty-filtered-sequence
 # digest now NULLs like DuckDB's FILTERed list();
 # win_rolling_distinct_unbounded's first-occurrence flag no longer
-# counts a NULL event_type as a type) plus the FOUR entries the
-# strengthened sf_nullkeys axis (NULL event_type plant + one
-# positionless-only user) caught diverging: the two distinct-count
-# rollups dropped the untyped group through plain tier joins
-# (NULL != NULL), eval_auc_roc counted unlabeled rows as negatives on
-# the oracle side only, and stream_sliding_topk's rank tie-break parked
-# the untyped group at opposite leaderboard ends.
-# ``tools/freshness.py --suggest-touched`` recovers exactly this set
-# from the r11 diff (pinned below).
+# counts a NULL event_type as a type) plus the FIVE entries the
+# strengthened sf_nullkeys axis (NULL event_type + NULL
+# documents.source plants + one positionless-only user) caught
+# diverging: the two distinct-count rollups dropped the untyped group
+# through plain tier joins (NULL != NULL), eval_auc_roc counted
+# unlabeled rows as negatives on the oracle side only,
+# stream_sliding_topk's rank tie-break parked the untyped group at
+# opposite leaderboard ends, and text_keyness_g2 dropped unattributed
+# documents from both tallies while its oracle counted them as
+# reference. ``tools/freshness.py --suggest-touched`` recovers exactly
+# this set from the r11 diff (pinned below).
 REGISTRY_TOUCHED_R11 = [
     "agg_collect_sorted",
     "agg_hll_sketch_rollup",
     "bitmap_distinct_rollup",
     "eval_auc_roc",
     "stream_sliding_topk",
+    "text_keyness_g2",
     "win_rolling_distinct_unbounded",
 ]
 

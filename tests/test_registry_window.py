@@ -22,15 +22,16 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r11 window: the 25 touched entries first — the 19 the r10
+# The r11 window: the 26 touched entries first — the 19 the r10
 # overflow rule deferred (their code changed in r10 but their official
 # rows predate it; plan_overflow, VERDICT r10 item 1 of "What's
 # missing"), the two r11 ADVICE fixes (agg_collect_sorted's
 # positionless-user NULL digest, win_rolling_distinct_unbounded's
-# NULL-type gate), and the four entries the strengthened sf_nullkeys
+# NULL-type gate), and the five entries the strengthened sf_nullkeys
 # axis caught (untyped-group tier joins in both distinct rollups,
-# eval_auc_roc's unlabeled negatives, stream_sliding_topk's tie-break)
-# — then the 25 stalest remaining entries by artifact-derived age
+# eval_auc_roc's unlabeled negatives, stream_sliding_topk's tie-break,
+# text_keyness_g2's unattributed-document subcorpus) — then the 24
+# stalest remaining entries by artifact-derived age
 # (all r2-vintage TPC-H / source entries).
 R11_WINDOW = [
     "agg_collect_sorted",
@@ -54,6 +55,7 @@ R11_WINDOW = [
     "sim_search_topk",
     "stream_sliding_topk",
     "stream_upsert_tablelog",
+    "text_keyness_g2",
     "ts_ohlc_bars",
     "udf_scalar",
     "win_rolling_distinct_unbounded",
@@ -82,7 +84,6 @@ R11_WINDOW = [
     "source_http",
     "source_http_datasource",
     "scan_excel",
-    "scan_json_lines",
 ]
 
 def test_driver_window_matches_coverage_plan():

@@ -61,7 +61,9 @@ production schemas:
                      (% 43, an unattributed event), orders.o_custkey
                      NULL (o_orderkey % 29), lineitem.l_suppkey NULL
                      (l_orderkey % 83), documents.lang NULL (doc_id
-                     % 37); r11 adds events.event_type NULL
+                     % 37), documents.source NULL (doc_id % 53 —
+                     r11: an unattributed document; 8 entries group
+                     or join on source); r11 adds events.event_type NULL
                      (event_id % 41 — COUNT(DISTINCT) skips NULL
                      types but a first-occurrence row_number flag
                      would not) and one POSITIONLESS-ONLY user (the
@@ -353,7 +355,7 @@ NULLKEY_PLANTS = {
     ],
     "orders": [("o_orderkey", "o_custkey", 29)],
     "lineitem": [("l_orderkey", "l_suppkey", 83)],
-    "documents": [("doc_id", "lang", 37)],
+    "documents": [("doc_id", "lang", 37), ("doc_id", "source", 53)],
 }
 
 
