@@ -56,11 +56,14 @@ _FAMILIES = [
 _WINDOW_HEAD = [
     "agg_collect_sorted",
     "agg_hll_sketch_rollup",
+    "agg_percentile_approx",
     "anomaly_zscore_rolling",
     "bitmap_distinct_rollup",
     "emb_pca_top_component",
     "emb_quantize_int8",
     "eval_auc_roc",
+    "feat_hashing_trick",
+    "fn_surrogate_key",
     "fn_variant_extract",
     "join_asof_events",
     "join_asof_forward",
@@ -68,6 +71,9 @@ _WINDOW_HEAD = [
     "join_asof_tolerance",
     "join_bucketed_no_shuffle",
     "ml_kmeans_lloyd",
+    "ml_knn_classify",
+    "q12_priority_pivot",
+    "scd2_dimension_upsert",
     "sim_search_ivf",
     "sim_search_ivf_pq",
     "sim_search_lsh_bucketed",
@@ -78,6 +84,7 @@ _WINDOW_HEAD = [
     "text_keyness_g2",
     "ts_ohlc_bars",
     "udf_scalar",
+    "unpivot_melt",
     "win_rolling_distinct_unbounded",
     "win_rolling_median",
     "q4_order_priority",
@@ -85,7 +92,6 @@ _WINDOW_HEAD = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q12_priority_pivot",
     "q14_promo_revenue",
     "q16_supplier_count",
     "q19_disjunctive_join",
@@ -97,13 +103,7 @@ _WINDOW_HEAD = [
     "q21_sole_supplier",
     "q17_small_quantity_revenue",
     "q20_concentrated_suppliers",
-    "scd2_dimension_upsert",
     "cdc_apply_changes",
-    "scan_parquet",
-    "scan_csv_schema",
-    "source_http",
-    "source_http_datasource",
-    "scan_excel",
 ]
 
 def build() -> Registry:

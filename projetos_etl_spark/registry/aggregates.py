@@ -473,10 +473,17 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile_approx",
     # The estimate itself can't be value-oracled, but its CONTRACT can
     # (VERDICT r4 #8, same pattern as agg_hll_sketch_rollup): the exact
-    # median is pinned, and the claim that the sketch lands within its
-    # rank-error band is COMPUTED on the Spark side (vs the exact 0.495
-    # and 0.505 quantiles — 5x the sketch's 0.001 guarantee) while the
-    # oracle pins it true. A broken sketch fails the hash compare.
+    # median is pinned, and the claim that the sketch honors its RANK
+    # error guarantee is COMPUTED on the Spark side while the oracle
+    # pins it true. A broken sketch fails the hash compare. r11 (family
+    # eight): the old value-band form compared the estimate against the
+    # interpolated 0.495/0.505 quantiles, which for any group with
+    # 0.01*(n-1) < 1 — e.g. the NULL-status group the sf_nullcats axis
+    # plants — is an interval containing NO data point, so the flag was
+    # structurally false on small groups. The contract is now the real
+    # one: the estimate's rank interval [cnt_lt+1, cnt_le] must meet
+    # the target window 0.5*n +/- (0.001*n + 1) (sketch guarantee plus
+    # one rank of discretization), valid at every group size.
     oracle="""
     SELECT o_orderstatus,
            round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
@@ -491,25 +498,53 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest percentile sketch (``percentile_approx``) next to the
     exact interpolated percentile — the 100 TB path for quantiles (the
     sketch is map-side mergeable; exact percentile sorts per group).
+    The rank-error contract is verified by counting how many of the
+    group's values fall strictly below / at-or-below the estimate: one
+    groupBy produces the sketch, the tiny (~|distinct status|) result
+    broadcast-joins back onto the scan null-safely, and one further
+    count aggregate yields the estimate's exact rank interval.
     ``tests/test_aggregate_bounds.py`` additionally asserts the rank
     error against the accuracy parameter at both test scales."""
-    return (
-        _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders")
+    est = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # Null-safe re-join (the NULL-status group is a group like any
+    # other); rank window check in exact integer/double arithmetic.
+    ranked = (
+        orders.select("o_orderstatus", "o_totalprice")
+        .join(
+            F.broadcast(
+                est.select(
+                    F.col("o_orderstatus").alias("_st"), "approx_median"
+                )
+            ),
+            F.col("o_orderstatus").eqNullSafe(F.col("_st")),
+        )
         .groupBy("o_orderstatus")
         .agg(
-            F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
-            F.expr("percentile(o_totalprice, 0.495)").alias("_lo"),
-            F.expr("percentile(o_totalprice, 0.505)").alias("_hi"),
-            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col("o_totalprice") < F.col("approx_median")).cast("long")
+            ).alias("_cnt_lt"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("approx_median")).cast("long")
+            ).alias("_cnt_le"),
+        )
+    )
+    return (
+        est.join(
+            ranked.withColumnRenamed("o_orderstatus", "_st2"),
+            F.col("o_orderstatus").eqNullSafe(F.col("_st2")),
         )
         .select(
             "o_orderstatus",
             "exact_median",
             "n",
             (
-                (F.col("approx_median") >= F.col("_lo"))
-                & (F.col("approx_median") <= F.col("_hi"))
+                (F.col("_cnt_lt") + 1 <= 0.5 * F.col("n") + (0.001 * F.col("n") + 1))
+                & (F.col("_cnt_le") >= 0.5 * F.col("n") - (0.001 * F.col("n") + 1))
             ).alias("est_within_band"),
         )
         .orderBy("o_orderstatus")

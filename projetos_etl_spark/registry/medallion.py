@@ -207,11 +207,14 @@ SCD2_BATCH_TS = "2020-06-01 00:00:00"
         SELECT c_custkey, c_mktsegment, c_nationkey,
                TIMESTAMP '1990-01-01 00:00:00' AS vf
         FROM customer
-    ), chg AS (SELECT * FROM cur WHERE c_custkey % 3 = 0 AND c_mktsegment <> 'MACHINERY')
+    ), chg AS (SELECT * FROM cur
+               WHERE c_custkey % 3 = 0
+                 AND c_mktsegment IS DISTINCT FROM 'MACHINERY')
     SELECT c_custkey, c_mktsegment, c_nationkey,
            strftime(vf, '{TS_FMT_DUCK}') AS valid_from,
            CAST(NULL AS VARCHAR)         AS valid_to
-    FROM cur WHERE NOT (c_custkey % 3 = 0 AND c_mktsegment <> 'MACHINERY')
+    FROM cur WHERE NOT (c_custkey % 3 = 0
+                        AND c_mktsegment IS DISTINCT FROM 'MACHINERY')
     UNION ALL
     SELECT c_custkey, c_mktsegment, c_nationkey,
            strftime(vf, '{TS_FMT_DUCK}'),
@@ -232,7 +235,14 @@ def scd2_dimension_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot: every third customer switches segment to MACHINERY (a no-op
     where it already is — change detection must see that), and a few
     brand-new keys arrive. The oracle enumerates the exact expected
-    unchanged/closed/reopened/new row sets."""
+    unchanged/closed/reopened/new row sets.
+
+    The oracle's change predicate is ``IS DISTINCT FROM`` (family
+    eight): the operator's ``eqNullSafe`` change detection correctly
+    treats a NULL-segment row updated to MACHINERY as a CHANGE, but the
+    plain ``<>`` spelling is NULL for that row, which silently drops it
+    from BOTH oracle branches — the row vanishes from the expected
+    snapshot entirely."""
     cust = load_table(spark, sf_dir, "customer")
     dim = cust.select(
         "c_custkey",

@@ -481,6 +481,7 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            'status_' || o_orderstatus AS metric,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders
+    WHERE o_orderstatus IS NOT NULL
     GROUP BY 1, 2
     ORDER BY priority, metric
     """,
@@ -493,7 +494,14 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     reshape pair a reporting layer uses constantly; the oracle computes
     the long form directly. Scale: pivot is ONE hash aggregate whose
     width is the (bounded, known) status domain — no per-status scans;
-    unpivot is a zero-shuffle row-expansion."""
+    unpivot is a zero-shuffle row-expansion.
+
+    NULL-status orders (family eight) have no pivot column — Spark's
+    declared-domain pivot drops them silently, so the oracle gates
+    ``o_orderstatus IS NOT NULL`` to reshape the same table (DuckDB's
+    ``'status_' || NULL`` would otherwise mint a NULL metric row the
+    wide form never held). NULL PRIORITY stays: it is a plain GROUP BY
+    key on both engines."""
     o = load_table(spark, sf_dir, "orders")
     statuses = ["F", "O", "P"]  # bounded, known domain (pivot needs it declared)
     wide = (
@@ -1641,8 +1649,10 @@ def _hex_val(expr: str, pos: int) -> str:
     oracle=f"""
     WITH features AS (
         SELECT 'brand' AS fname, p_brand AS fval FROM part
+        WHERE p_brand IS NOT NULL
         UNION ALL
         SELECT 'type', p_type FROM part
+        WHERE p_type IS NOT NULL
     ),
     hashed AS (
         SELECT fname, fval,
@@ -1668,11 +1678,17 @@ def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit aggregate reports per-bucket load and collision degree
     (distinct features per bucket), the quantity you size the bucket
     count against. DuckDB's instr == Spark's instr on hex strings, so
-    the bucket function is engine-portable by construction."""
+    the bucket function is engine-portable by construction.
+
+    A MISSING categorical (NULL value, family eight) contributes NO
+    feature — the standard hashing-vectorizer convention — and is
+    filtered identically on both engines; unfiltered, Spark's
+    ``concat_ws`` (NULL-skipping) and DuckDB's ``||`` (NULL-poisoning)
+    would build two different feature strings for the same row."""
     p = load_table(spark, sf_dir, "part")
     feats = p.selectExpr(
         "stack(2, 'brand', p_brand, 'type', p_type) AS (fname, fval)"
-    )
+    ).filter(F.col("fval").isNotNull())
     bucket = (
         (F.expr("instr('0123456789abcdef', substr(md5(fname || ':' || fval), 1, 1))") - 1) * 16
         + (F.expr("instr('0123456789abcdef', substr(md5(fname || ':' || fval), 2, 1))") - 1)

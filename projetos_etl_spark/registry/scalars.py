@@ -567,7 +567,7 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT)                       AS n_rows,
            CAST(count(DISTINCT surrogate_key) AS BIGINT)  AS n_distinct_keys,
-           CAST(count(*) - count(DISTINCT surrogate_key) AS BIGINT)
+           CAST(count(surrogate_key) - count(DISTINCT surrogate_key) AS BIGINT)
                AS n_collisions,
            min(surrogate_key)                             AS min_key
     FROM sk
@@ -581,12 +581,23 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     point a 1000-executor load can't afford). The audit row counts hash
     collisions — the check a warehouse runs once per key-width decision
     (expected collisions ~ n²/2^65 at 64 bits; widen to the full digest
-    if the audit ever shows one)."""
+    if the audit ever shows one).
+
+    An INCOMPLETE natural key (any NULL component, family eight) mints
+    NO surrogate: ``concat_ws`` silently SKIPS a NULL piece, so
+    ``(name, NULL)`` would collide with a hypothetical ``name``-only
+    key — the classic mechanism-4 trap — while the oracle's ``||``
+    NULL-poisons to a NULL key. Both engines now emit NULL for such
+    rows (``concat`` propagates NULL like ``||``), and collisions are
+    counted over MINTED keys only (``count(sk) - count(DISTINCT sk)``);
+    unkeyable rows remain visible as ``n_rows - count(sk)``."""
     c = load_table(spark, sf_dir, "customer")
     sk = c.select(
         F.substring(
             F.md5(
-                F.concat_ws("|", F.col("c_name"), F.col("c_nationkey").cast("string"))
+                F.concat(
+                    F.col("c_name"), F.lit("|"), F.col("c_nationkey").cast("string")
+                )
             ),
             1,
             16,
@@ -595,7 +606,7 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct("surrogate_key").cast("long").alias("n_distinct_keys"),
-        (F.count(F.lit(1)) - F.countDistinct("surrogate_key"))
+        (F.count("surrogate_key") - F.countDistinct("surrogate_key"))
         .cast("long")
         .alias("n_collisions"),
         F.min("surrogate_key").alias("min_key"),

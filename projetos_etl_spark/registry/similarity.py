@@ -892,6 +892,7 @@ KNN_K = 5
     oracle=f"""
     WITH e AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE label IS NOT NULL
     ), scored AS (
         SELECT q.vec_id, q.label AS true_label, c.label AS cand_label,
                {sql_cosine("q.v", "c.v")} AS sim,
@@ -927,10 +928,17 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding column is noise. Plan: ONE broadcast of the bounded
     holdout against the corpus scan (the same shape as
     ``sim_search_topk``), a per-query top-k, and an integer vote; at
-    100 TB swap the exact scan for the IVF/PQ tiers and keep the vote."""
+    100 TB swap the exact scan for the IVF/PQ tiers and keep the vote.
+
+    UNLABELED vectors (NULL label, family eight) are in NEITHER role:
+    an unlabeled corpus vector cannot vote (Spark's groupBy would mint
+    a NULL-label candidate whose rank tie-break then sits at opposite
+    NULL ends on the two engines), and an unlabeled holdout vector has
+    no ground truth to score against — the mechanism-3 convention, same
+    as ``eval_auc_roc``."""
     from pyspark.sql import Window
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
     queries = emb.filter(F.col("vec_id") < KNN_HOLDOUT)
     corpus = emb.filter(F.col("vec_id") >= KNN_HOLDOUT)
     nn = brute_force_topk(queries, corpus, k=KNN_K)

@@ -306,7 +306,14 @@ def q12_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-mode priority pivot (TPC-H Q12 shape, ``l_shipmode``
     substituted by ``l_linestatus``): CASE-WHEN conditional counts fold a
     would-be pivot into one aggregation pass — the canonical way to get
-    N pivoted measures without N scans or an Expand node."""
+    N pivoted measures without N scans or an Expand node.
+
+    NULL-priority lines (family eight) count in NEITHER column: the
+    low-count predicate is ``~is_high`` (three-valued — NULL priority
+    gives NULL, falling to the 0 branch), mirroring the oracle's
+    ``NOT IN`` exactly; ``otherwise(1)`` would have silently counted
+    unprioritized lines as LOW on the Spark side only. high + low <
+    total is the honest signature of unknowns in the batch."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -318,7 +325,7 @@ def q12_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
-            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
         .orderBy("l_linestatus")
     )

@@ -1450,3 +1450,102 @@ def test_keyness_excludes_unattributed_documents(spark, queries, tmp_path):
         for r in queries["text_keyness_g2"](spark, str(tmp_path)).collect()
     }
     assert rows == {"tok": (10, 10)}
+
+
+# ---------------------------------------------------------------------------
+# Family eight: NULL CATEGORICAL attributes (r11 probe, sf_nullcats —
+# SCALE.md round 11). GROUP BY keeps a NULL category on both engines, so
+# every divergence here is a mixed-plan bug: a CASE whose ELSE swallows
+# NULL, a pivot with no column for it, a NULL-skipping concat, a tier
+# join. Hermetic pins for the representative mechanisms; the axis sweep
+# covers all seven diverging entries.
+# ---------------------------------------------------------------------------
+
+
+def test_q12_null_priority_counts_in_neither_column(spark, queries, tmp_path):
+    # An unprioritized order is neither high nor low: Spark's old
+    # otherwise(1) counted it low while the oracle's NOT IN yielded
+    # NULL -> ELSE 0. Both predicates are three-valued now.
+    _orders(
+        tmp_path,
+        [
+            (1, 5, "O", 10.0, "1-URGENT"),
+            (2, 5, "O", 10.0, "5-LOW"),
+            (3, 5, "O", 10.0, None),
+        ],
+    )
+    _lineitem(
+        tmp_path,
+        [(k, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+          datetime.datetime(1997, 6, 1)) for k in (1, 2, 3)],
+    )
+    row = queries["q12_priority_pivot"](spark, str(tmp_path)).collect()[0]
+    assert (row["high_line_count"], row["low_line_count"]) == (1, 1)
+
+
+def test_surrogate_key_refuses_incomplete_natural_key(spark, queries, tmp_path):
+    # concat_ws SKIPS a NULL piece, so ("a", NULL) would mint the same
+    # key as a hypothetical name-only row; both engines now emit NULL
+    # for an incomplete natural key and count collisions over MINTED
+    # keys only.
+    _write(
+        tmp_path,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["a", "a", "b"], pa.string()),
+                "c_nationkey": pa.array([7, None, 7], pa.int64()),
+                "c_mktsegment": pa.array(["BUILDING"] * 3, pa.string()),
+                "c_acctbal": pa.array([0.0] * 3, pa.float64()),
+            }
+        ),
+    )
+    row = queries["fn_surrogate_key"](spark, str(tmp_path)).collect()[0]
+    assert (row["n_rows"], row["n_distinct_keys"], row["n_collisions"]) == (3, 2, 0)
+
+
+def test_percentile_band_contract_holds_on_small_groups(
+    spark, queries, tmp_path
+):
+    # The old value-band (exact 0.495/0.505 interpolated quantiles) is
+    # an interval containing NO data point whenever 0.01*(n-1) < 1, so
+    # the flag was structurally FALSE for small groups like the planted
+    # NULL-status group. The rank-window contract holds at any n.
+    _orders(
+        tmp_path,
+        [
+            (1, 5, None, 10.0, "5-LOW"),
+            (2, 5, None, 20.0, "5-LOW"),
+            (3, 5, None, 30.0, "5-LOW"),
+            (4, 5, None, 40.0, "5-LOW"),
+            (5, 5, "O", 15.0, "5-LOW"),
+        ],
+    )
+    rows = {
+        r["o_orderstatus"]: (r["n"], r["est_within_band"])
+        for r in queries["agg_percentile_approx"](spark, str(tmp_path)).collect()
+    }
+    assert rows == {None: (4, True), "O": (1, True)}
+
+
+def test_unpivot_roundtrip_gates_the_declared_status_domain(
+    spark, queries, tmp_path
+):
+    # A NULL status has no pivot column: Spark's declared-domain pivot
+    # drops it, and the oracle now reshapes the same gated table instead
+    # of minting a NULL metric row the wide form never held. The NULL
+    # PRIORITY group stays (plain GROUP BY key).
+    _orders(
+        tmp_path,
+        [
+            (1, 5, "O", 10.0, "1-URGENT"),
+            (2, 5, None, 10.0, "1-URGENT"),
+            (3, 5, "F", 10.0, None),
+        ],
+    )
+    rows = {
+        (r["priority"], r["metric"]): r["n_orders"]
+        for r in queries["unpivot_melt"](spark, str(tmp_path)).collect()
+    }
+    assert rows == {("1-URGENT", "status_O"): 1, (None, "status_F"): 1}

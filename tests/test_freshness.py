@@ -65,21 +65,32 @@ OVERFLOW_FROM_R10 = [
 # stream_sliding_topk's rank tie-break parked the untyped group at
 # opposite leaderboard ends, and text_keyness_g2 dropped unattributed
 # documents from both tallies while its oracle counted them as
-# reference. ``tools/freshness.py --suggest-touched`` recovers exactly
+# reference; plus the SEVEN entries the new sf_nullcats axis (family
+# eight: NULL categorical attributes — mktsegment, orderstatus,
+# orderpriority, returnflag, linestatus, brand, type, nationkey,
+# embeddings.label) caught diverging — SCALE.md round 11 tabulates
+# the mechanisms. ``tools/freshness.py --suggest-touched`` recovers exactly
 # this set from the r11 diff (pinned below).
 REGISTRY_TOUCHED_R11 = [
     "agg_collect_sorted",
     "agg_hll_sketch_rollup",
+    "agg_percentile_approx",
     "bitmap_distinct_rollup",
     "eval_auc_roc",
+    "feat_hashing_trick",
+    "fn_surrogate_key",
+    "ml_knn_classify",
+    "q12_priority_pivot",
+    "scd2_dimension_upsert",
     "stream_sliding_topk",
     "text_keyness_g2",
+    "unpivot_melt",
     "win_rolling_distinct_unbounded",
 ]
 
 # This round's touched list = the mandatory r10 overflow + r11's own
-# registry edits.  21 <= 50, so the window seats ALL touched entries
-# and fills the remaining 29 slots with the stalest r2-vintage rows.
+# registry edits.  33 <= 50, so the window seats ALL touched entries
+# and fills the remaining 17 slots with the stalest r2-vintage rows.
 TOUCHED_R11 = sorted(OVERFLOW_FROM_R10 + REGISTRY_TOUCHED_R11)
 
 # The window was planned from artifacts r1..r10; CORRECTNESS_r11.json

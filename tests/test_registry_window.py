@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r11 window: the 26 touched entries first — the 19 the r10
+# The r11 window: the 33 touched entries first — the 19 the r10
 # overflow rule deferred (their code changed in r10 but their official
 # rows predate it; plan_overflow, VERDICT r10 item 1 of "What's
 # missing"), the two r11 ADVICE fixes (agg_collect_sorted's
@@ -30,17 +30,22 @@ from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 # NULL-type gate), and the five entries the strengthened sf_nullkeys
 # axis caught (untyped-group tier joins in both distinct rollups,
 # eval_auc_roc's unlabeled negatives, stream_sliding_topk's tie-break,
-# text_keyness_g2's unattributed-document subcorpus) — then the 24
-# stalest remaining entries by artifact-derived age
+# text_keyness_g2's unattributed-document subcorpus), and the seven
+# family-eight entries the new sf_nullcats axis caught (SCALE.md
+# round 11) — then the 17 stalest remaining entries by
+# artifact-derived age
 # (all r2-vintage TPC-H / source entries).
 R11_WINDOW = [
     "agg_collect_sorted",
     "agg_hll_sketch_rollup",
+    "agg_percentile_approx",
     "anomaly_zscore_rolling",
     "bitmap_distinct_rollup",
     "emb_pca_top_component",
     "emb_quantize_int8",
     "eval_auc_roc",
+    "feat_hashing_trick",
+    "fn_surrogate_key",
     "fn_variant_extract",
     "join_asof_events",
     "join_asof_forward",
@@ -48,6 +53,9 @@ R11_WINDOW = [
     "join_asof_tolerance",
     "join_bucketed_no_shuffle",
     "ml_kmeans_lloyd",
+    "ml_knn_classify",
+    "q12_priority_pivot",
+    "scd2_dimension_upsert",
     "sim_search_ivf",
     "sim_search_ivf_pq",
     "sim_search_lsh_bucketed",
@@ -58,6 +66,7 @@ R11_WINDOW = [
     "text_keyness_g2",
     "ts_ohlc_bars",
     "udf_scalar",
+    "unpivot_melt",
     "win_rolling_distinct_unbounded",
     "win_rolling_median",
     "q4_order_priority",
@@ -65,7 +74,6 @@ R11_WINDOW = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q12_priority_pivot",
     "q14_promo_revenue",
     "q16_supplier_count",
     "q19_disjunctive_join",
@@ -77,13 +85,7 @@ R11_WINDOW = [
     "q21_sole_supplier",
     "q17_small_quantity_revenue",
     "q20_concentrated_suppliers",
-    "scd2_dimension_upsert",
     "cdc_apply_changes",
-    "scan_parquet",
-    "scan_csv_schema",
-    "source_http",
-    "source_http_datasource",
-    "scan_excel",
 ]
 
 def test_driver_window_matches_coverage_plan():

@@ -101,6 +101,15 @@ production schemas:
                      dates are in-domain here (no spine operator runs on
                      orders): date filters, year partitions, and the
                      business-day closed form must simply agree.
+- ``sf_nullcats``   NULL CATEGORICAL attributes (r11 family eight) —
+                     the enum-like GROUP BY / pivot / CASE / partition
+                     columns no earlier axis holed: c_mktsegment
+                     (c_custkey % 31), c_nationkey (% 41),
+                     o_orderstatus (o_orderkey % 47), o_orderpriority
+                     (% 59), l_returnflag (l_orderkey % 89),
+                     l_linestatus (% 97), p_brand (p_partkey % 43),
+                     p_type (% 61), s_nationkey (s_suppkey % 7),
+                     embeddings.label (vec_id % 53).
 
 Then sweep each with the driver simulator:
 
@@ -375,6 +384,37 @@ def _null_keys(tab: pa.Table, plants) -> pa.Table:
     return tab
 
 
+#: (keycol, col, mod) plants for sf_nullcats, per table: the
+#: CATEGORICAL / dimension-attribute columns no axis had ever NULLed
+#: (r11 follow-up to the sf_nullkeys source-column audit).  These are
+#: GROUP BY / pivot / CASE / partition keys all over the registry; a
+#: NULL category survives plain aggregation identically on both
+#: engines, so any divergence here is a mixed-plan bug (a join or
+#: window emulating the group, a CASE whose ELSE swallows NULL, a
+#: pivot column) — the same mechanism classes family seven found on
+#: event_type, now probed on every remaining enum-like column.
+NULLCAT_PLANTS = {
+    "customer": [
+        ("c_custkey", "c_mktsegment", 31),
+        ("c_custkey", "c_nationkey", 41),
+    ],
+    "orders": [
+        ("o_orderkey", "o_orderstatus", 47),
+        ("o_orderkey", "o_orderpriority", 59),
+    ],
+    "lineitem": [
+        ("l_orderkey", "l_returnflag", 89),
+        ("l_orderkey", "l_linestatus", 97),
+    ],
+    "part": [
+        ("p_partkey", "p_brand", 43),
+        ("p_partkey", "p_type", 61),
+    ],
+    "supplier": [("s_suppkey", "s_nationkey", 7)],
+    "embeddings": [("vec_id", "label", 53)],
+}
+
+
 def _positionless_user(tab: pa.Table) -> pa.Table:
     """NULL the ts of EVERY event of the smallest non-NULL user_id, so
     sf_nullkeys contains one user with zero sequence positions (r11:
@@ -418,7 +458,7 @@ def main() -> None:
         for name in (
             "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls",
             "sf_ragged", "sf_nan", "sf_hostiletext", "sf_hostileevents",
-            "sf_hostilerel", "sf_nullkeys",
+            "sf_hostilerel", "sf_nullkeys", "sf_nullcats",
         )
     }
     for d in dirs.values():
@@ -466,6 +506,10 @@ def main() -> None:
             nullkeys = _positionless_user(nullkeys)
         pq.write_table(
             nullkeys, os.path.join(dirs["sf_nullkeys"], f"{t}.parquet")
+        )
+        pq.write_table(
+            _null_keys(tab, NULLCAT_PLANTS[t]) if t in NULLCAT_PLANTS else tab,
+            os.path.join(dirs["sf_nullcats"], f"{t}.parquet"),
         )
         print(f"{t}: all degenerate axes written")
     print("fixture sets:", ", ".join(dirs.values()))
