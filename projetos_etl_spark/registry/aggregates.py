@@ -347,10 +347,17 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "agg_argmax",
+    # The struct key (price, orderkey) makes the argmax total-ordered:
+    # DuckDB's arg_max can't take a struct key, but MAX over a struct
+    # compares lexicographically exactly like Spark's max_by ordering
+    # struct, and the FILTER mirrors max_by skipping NULL keys (an
+    # unpriced order is not a candidate; an all-NULL-price customer is
+    # NULL/NULL on both engines).
     oracle="""
     SELECT o_custkey,
-           arg_max(o_orderkey, o_totalprice)        AS biggest_order,
-           round(max(o_totalprice), 2)              AS biggest_total
+           (max(struct_pack(p := o_totalprice, k := o_orderkey))
+                FILTER (WHERE o_totalprice IS NOT NULL)).k AS biggest_order,
+           round(max(o_totalprice), 2)                     AS biggest_total
     FROM orders
     GROUP BY o_custkey
     ORDER BY o_custkey
@@ -359,15 +366,27 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arg_max / max_by aggregation: each customer's highest-value order
     in ONE aggregation pass — no self-join back onto the max, no window.
-    (o_custkey, o_totalprice) pairs are unique in the fixture so the
-    argmax is well-defined; with tie-prone data you'd max_by on a
-    (value, unique-key) struct instead. Combinable partial aggregate:
-    the cheapest formulation of "row of the max" at any scale."""
+    Combinable partial aggregate: the cheapest formulation of "row of
+    the max" at any scale.
+
+    r12 (sf_ties): tied prices within a customer made a bare
+    ``max_by(o_orderkey, o_totalprice)`` pick whichever tied row its
+    partial saw first — nondeterministic across partitionings, and the
+    engines disagreed. The ordering key is now the (value, unique-key)
+    STRUCT, a total order: highest price, then highest orderkey. The
+    ``when`` guard keeps NULL-price rows out of the struct so max_by
+    still skips them (a non-NULL struct with a NULL field would rank)."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.max_by(
+                "o_orderkey",
+                F.when(
+                    F.col("o_totalprice").isNotNull(),
+                    F.struct("o_totalprice", "o_orderkey"),
+                ),
+            ).alias("biggest_order"),
             F.round(F.max("o_totalprice"), 2).alias("biggest_total"),
         )
         .orderBy("o_custkey")
@@ -483,11 +502,17 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # structurally false on small groups. The contract is now the real
     # one: the estimate's rank interval [cnt_lt+1, cnt_le] must meet
     # the target window 0.5*n +/- (0.001*n + 1) (sketch guarantee plus
-    # one rank of discretization), valid at every group size.
+    # one rank of discretization), valid at every group size. r12
+    # (ADVICE r11): the sketch ranks over NON-NULL prices only, so the
+    # target window must too — n is count(o_totalprice), not count(*)
+    # (a mostly-NULL-price group would otherwise demand a rank the
+    # non-NULL population can't reach), and a group with ZERO non-NULL
+    # prices (NULL approx_median — both engines) is vacuously within
+    # band: there is no rank contract over an empty population.
     oracle="""
     SELECT o_orderstatus,
            round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
-           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(o_totalprice) AS BIGINT) AS n,
            true AS est_within_band
     FROM orders
     GROUP BY o_orderstatus
@@ -509,7 +534,10 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = orders.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+        # Non-NULL count: the population the sketch actually ranks over
+        # (ADVICE r11 — count(*) would inflate the target rank window
+        # wherever prices are NULL-holed).
+        F.count("o_totalprice").cast("long").alias("n"),
     )
     # Null-safe re-join (the NULL-status group is a group like any
     # other); rank window check in exact integer/double arithmetic.
@@ -542,10 +570,16 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "exact_median",
             "n",
-            (
+            # Vacuous truth for an all-NULL-price group: no estimate,
+            # no rank contract (both engines produce NULL approx_median
+            # there; the NULL comparisons would otherwise yield NULL
+            # against the oracle's pinned true).
+            F.when(F.col("approx_median").isNull(), F.lit(True))
+            .otherwise(
                 (F.col("_cnt_lt") + 1 <= 0.5 * F.col("n") + (0.001 * F.col("n") + 1))
                 & (F.col("_cnt_le") >= 0.5 * F.col("n") - (0.001 * F.col("n") + 1))
-            ).alias("est_within_band"),
+            )
+            .alias("est_within_band"),
         )
         .orderBy("o_orderstatus")
     )

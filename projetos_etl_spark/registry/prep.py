@@ -3076,6 +3076,7 @@ def emb_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
         FROM orders
         WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+          AND o_totalprice IS NOT NULL
     ),
     tot AS (SELECT sum(a) AS n_a, sum(1 - a) AS n_b FROM s),
     e AS (
@@ -3102,9 +3103,14 @@ def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles. The global ORDER BY window is the honest cost — at 100 TB
     run KS per partition key (the window gains a PARTITION BY and the
     sort distributes), or pre-aggregate to distinct values with
-    weights, exactly like ``agg_weighted_median``'s reduce."""
+    weights, exactly like ``agg_weighted_median``'s reduce. r12
+    (sf_nulls holing o_totalprice): an unpriced order has no ECDF
+    position — excluded on both sides (the engines otherwise park the
+    NULL rows at opposite ends of the cumulative window and every
+    intermediate ECDF gap shifts)."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+        & F.col("o_totalprice").isNotNull()
     )
     s = o.select(
         F.col("o_totalprice").alias("v"),
@@ -3230,11 +3236,25 @@ def _pois_case_sql(u: str) -> str:
 
 @REG.add(
     "sample_poisson_bootstrap",
+    # r12 (sf_ties): the replicate mean is INTEGER-EXACT — weighted sums
+    # in CENTS (order-invariant integer accumulation on both engines)
+    # followed by ONE IEEE division, so every m is bit-identical and the
+    # order statistics select identical doubles. The old double-sum form
+    # carried accumulation-order noise ~1e-6 at the fixture's ~2.5e5
+    # mean magnitude — exactly the 6-dp rounding grain, so ci_lo's last
+    # digit flipped between engine RUNS (caught by the sf_ties sweep;
+    # within-session it was stable, which is why eleven rounds of
+    # sweeps never saw it). boot_mean still averages 64 doubles (order
+    # noise ~2e-7), so it rounds at 4 dp, comfortably above the noise.
     oracle=f"""
     WITH reps AS (
         SELECT o.o_orderstatus AS status, b.b,
-               sum(w * o.o_totalprice) / sum(w) AS m
-        FROM orders o, (SELECT unnest(range(0, {BOOT_B})) AS b) b,
+               CAST(sum(w * o.cents) AS DOUBLE)
+                   / (100.0 * nullif(sum(w), 0)) AS m
+        FROM (SELECT o_orderkey, o_orderstatus,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_totalprice IS NOT NULL) o,
+             (SELECT unnest(range(0, {BOOT_B})) AS b) b,
              LATERAL (
                 SELECT {_pois_case_sql(
                     f"CAST((o.o_orderkey * {_BOOT_K1} + b.b * {_BOOT_K2} + {_BOOT_C}) "
@@ -3243,7 +3263,7 @@ def _pois_case_sql(u: str) -> str:
         GROUP BY 1, 2
     )
     SELECT status,
-           round(avg(m), 6) AS boot_mean,
+           round(avg(m), 4) AS boot_mean,
            round(list_sort(list(m))[2], 6)  AS ci_lo,
            round(list_sort(list(m))[63], 6) AS ci_hi,
            CAST(count(*) AS BIGINT) AS n_replicates
@@ -3260,11 +3280,22 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a deterministic Knuth-hash inverse-CDF draw, so both engines
     produce identical integers; the CI bounds are explicit order
     statistics of the 64 replicate means (list_sort[k] in both engines
-    — no percentile-convention mismatch). Replicate means differ across
-    engines only at accumulation-order ulp, 8+ orders below the
-    6-decimal rounding and the inter-replicate spread."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+    — no percentile-convention mismatch). Each replicate mean is
+    integer-exact: weighted sums in CENTS (longs — order-invariant),
+    one double division at the end, so m is bit-identical across
+    engines AND across Spark partitionings (see the oracle comment for
+    the noise class this closed). Unpriced orders contribute no
+    observation and no weight. At 100 TB the cents sum can exceed
+    int64 (~9e18): move the accumulator to decimal(38,0) there; the
+    shape is unchanged."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
     )
     # Overflow-proof LCG in pure LONG arithmetic: o_orderkey * K1
     # overflows BIGINT once keys pass ~3.5e9 (ANSI raises; legacy mode
@@ -3289,12 +3320,12 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = F.when(u < float(_POIS_CDF[k]), k).otherwise(w)
     reps = (
         o.select("*", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"))
-        .select("o_orderstatus", "b", w.alias("w"), "o_totalprice")
+        .select("o_orderstatus", "b", w.alias("w"), "cents")
         .groupBy(F.col("o_orderstatus").alias("status"), "b")
         .agg(
             (
-                F.sum(F.col("w") * F.col("o_totalprice"))
-                / F.nullif(F.sum("w"), F.lit(0))
+                F.sum(F.col("w") * F.col("cents"))
+                / (F.lit(100.0) * F.nullif(F.sum("w"), F.lit(0)))
             ).alias("m")
         )
     )
@@ -3309,7 +3340,7 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         reps.groupBy("status")
         .agg(
-            F.round(F.avg("m"), 6).alias("boot_mean"),
+            F.round(F.avg("m"), 4).alias("boot_mean"),
             F.round(ms[1], 6).alias("ci_lo"),
             F.round(ms[62], 6).alias("ci_hi"),
             F.count(F.lit(1)).cast("long").alias("n_replicates"),
@@ -4194,11 +4225,17 @@ def privacy_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2-term expression of those integers — the same IEEE ops in the
     # same order in both engines, so the argmax candidate is bitwise
     # identical (no rounding needed to pick the winner).
+    # r12 (sf_nulls holing o_totalprice): an unpriced order has no
+    # position on the threshold grid — excluded on both sides (the
+    # declared-domain drop; unfiltered, the NULL cents group sorted to
+    # opposite ends of each engine's cumulative window and every
+    # running count shifted by one).
     oracle="""
     WITH pts AS (
         SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS y
         FROM orders
+        WHERE o_totalprice IS NOT NULL
     ),
     cand AS (
         SELECT cents, count(*) AS n, sum(y) AS pos FROM pts GROUP BY cents
@@ -4242,10 +4279,15 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. The candidate grid is bounded by the distinct bucketed
     values (not row count), so the ordered window is over a small frame
     at any scale; at 100 TB coarsen the bucket (dollars) to cap the
-    grid. Tie-break: lowest threshold."""
-    o = load_table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    grid. Tie-break: lowest threshold. Unpriced orders (NULL
+    o_totalprice) are excluded — no feature value, no grid position."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+        )
     )
     cand = o.groupBy("cents").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")

@@ -96,7 +96,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_SECONDS}
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SECONDS}
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WHERE ts IS NOT NULL
@@ -116,8 +116,14 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming ``session_window`` (4h gap); the oracle is the
-    gaps-and-islands batch formulation (new session when gap >= 4h,
-    matching session_window's event-strictly-inside-gap merge rule)."""
+    gaps-and-islands batch formulation. Boundary semantics verified
+    empirically (r12, sf_ties — hour-truncated events create EXACT 4h
+    gaps no earlier fixture contained): an event at exactly
+    ``prev_ts + gap`` MERGES into the running session (session_window
+    treats its half-open [ts, ts+gap) windows as mergeable when
+    touching), so a new session starts only when the gap is STRICTLY
+    greater — the oracle's is_new predicate is ``>``, same as the batch
+    ``sessionize_events`` twin."""
     agg = session_agg(_events_stream(spark, sf_dir), SESSION_GAP)
     out = run_to_memory(agg, "complete")
     return out.select(

@@ -313,7 +313,15 @@ def q12_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives NULL, falling to the 0 branch), mirroring the oracle's
     ``NOT IN`` exactly; ``otherwise(1)`` would have silently counted
     unprioritized lines as LOW on the Spark side only. high + low <
-    total is the honest signature of unknowns in the batch."""
+    total is the honest signature of unknowns in the batch.
+
+    This DELIBERATELY diverges from TPC-H Q12's literal ELSE-counts-low
+    CASE: the spec's own data model has no NULL o_orderpriority
+    (TPC-H v3 §4.2.3 generates every column of ORDERS non-NULL, so the
+    benchmark never defines a NULL-priority outcome), and under the
+    sf_nullcats axis the ELSE branch is the WRONG semantics — it would
+    classify an unknown priority as known-low. Do not "fix" this back
+    to the literal spec CASE; the oracle's NOT IN already agrees."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))

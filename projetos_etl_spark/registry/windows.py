@@ -200,8 +200,14 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global decile assignment. NOTE: an un-partitioned window is a
     single-reducer sort — acceptable for rank-into-k buckets on bounded
     outputs; at 100 TB use approx quantile cutoffs + a broadcast range
-    join instead."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    join instead.
+
+    r12 (sf_nulls holing o_totalprice): the sort key is pinned
+    ``asc_nulls_last`` — Spark's default NULLS FIRST would park every
+    unpriced order in decile 1 while DuckDB's default puts them in
+    decile 10; an unknown price ranks AFTER every known one on both
+    engines (the windows.py:102 convention)."""
+    w = Window.orderBy(F.col("o_totalprice").asc_nulls_last(), "o_orderkey")
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey", F.ntile(10).over(w).alias("decile")
     )
@@ -234,9 +240,12 @@ def win_ntile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     and window parallelism. The exact-variant oracle pins that the
     assignments are identical, not merely approximate."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranged = orders.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    # asc_nulls_last in BOTH the range partitioner and the local sort
+    # (they must agree or a row's global rank is wrong): unpriced
+    # orders rank last, matching DuckDB's default and the exact twin.
+    ranged = orders.repartitionByRange(
+        32, F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey")
+    ).withColumn("pid", F.spark_partition_id())
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     # Cumulative offsets over <=32 rows: the single-partition window here
     # runs on the COUNTS, not the data — constant-size driver-side state.
@@ -250,7 +259,9 @@ def win_ntile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n"),
     )
-    local_w = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local_w = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
     ranked = (
         ranged.withColumn("local_rn", F.row_number().over(local_w))
         .join(F.broadcast(offsets), "pid")

@@ -1549,3 +1549,122 @@ def test_unpivot_roundtrip_gates_the_declared_status_domain(
         for r in queries["unpivot_melt"](spark, str(tmp_path)).collect()
     }
     assert rows == {("1-URGENT", "status_O"): 1, (None, "status_F"): 1}
+
+
+# ---------------------------------------------------------------------------
+# Family nine: deliberate TIES (r12 probe, sf_ties — SCALE.md round 12).
+# An order-insensitive compare only sees a tie when it changes VALUES:
+# rank numbers assigned differently, a top-k boundary selecting a
+# different tied member, an argmax picking whichever row a partial saw
+# first, a session split at EXACTLY the gap. The standing convention
+# the axis pins: every ordered selection tie-breaks to a key column on
+# BOTH engines, and boundary comparisons are verified empirically, not
+# assumed. Hermetic pins for the representative mechanisms; the axis
+# sweep covers all three diverging entries.
+# ---------------------------------------------------------------------------
+
+
+def test_argmax_tie_breaks_to_highest_orderkey(spark, queries, tmp_path):
+    # Two tied-price orders for one customer: a bare max_by picks
+    # whichever its partial aggregate saw first (partitioning-dependent,
+    # and the engines disagreed). The (price, orderkey) struct key is a
+    # total order: highest price, then highest orderkey — and an
+    # all-NULL-price customer stays NULL/NULL (the when-guard keeps
+    # NULL prices out of the struct so max_by still skips them).
+    _orders(
+        tmp_path,
+        [
+            (1, 5, "O", 400.0, "5-LOW"),
+            (2, 5, "O", 400.0, "5-LOW"),
+            (3, 5, "O", 100.0, "5-LOW"),
+            (4, 9, "O", None, "5-LOW"),
+        ],
+    )
+    rows = {
+        r["o_custkey"]: (r["biggest_order"], r["biggest_total"])
+        for r in queries["agg_argmax"](spark, str(tmp_path)).collect()
+    }
+    assert rows == {5: (2, 400.0), 9: (None, None)}
+
+
+def test_session_window_merges_exact_gap_boundary(spark, queries, tmp_path):
+    # Verified against session_window directly: an event at EXACTLY
+    # prev_ts + gap MERGES (its half-open [ts, ts+gap) window touches
+    # the running session's end), so a new session needs a STRICTLY
+    # greater gap. The oracle's is_new predicate is `>`; hour-truncated
+    # sf_ties events were the first fixture with exact 4h gaps.
+    _events(
+        tmp_path,
+        [
+            (1, _TS0, 1, "click", 1.0),
+            (2, _TS0 + datetime.timedelta(hours=4), 1, "click", 2.0),
+            (3, _TS0 + datetime.timedelta(hours=8, seconds=1), 1, "click", 4.0),
+        ],
+    )
+    rows = sorted(
+        (r["session_start"], r["n_events"])
+        for r in queries["stream_session_window"](spark, str(tmp_path)).collect()
+    )
+    assert rows == [
+        ("2024-01-01 00:00:00.000000", 2),
+        ("2024-01-01 08:00:01.000000", 1),
+    ]
+
+
+def test_ntile_parks_unpriced_orders_last(spark, queries, tmp_path):
+    # sf_nulls (extended r12 with o_totalprice holes) mechanism: Spark's
+    # default NULLS FIRST would put every unpriced order in decile 1
+    # while DuckDB's default puts them last. Pinned asc_nulls_last on
+    # both the plain window and the distributed-rank twin (whose range
+    # partitioner AND local sort must agree or global ranks are wrong).
+    _orders(
+        tmp_path,
+        [
+            (1, 5, "O", 20.0, "5-LOW"),
+            (2, 5, "O", None, "5-LOW"),
+            (3, 5, "O", 10.0, "5-LOW"),
+        ],
+    )
+    for entry in ("win_ntile", "win_ntile_scale"):
+        deciles = {
+            r["o_orderkey"]: r["decile"]
+            for r in queries[entry](spark, str(tmp_path)).collect()
+        }
+        assert deciles == {3: 1, 1: 2, 2: 3}, entry
+
+
+def test_stump_and_ks_exclude_unpriced_orders(spark, queries, tmp_path):
+    # Declared-domain drop: an unpriced order has no position on a
+    # threshold grid or an ECDF — unfiltered, the NULL group sorted to
+    # opposite ends of each engine's cumulative window and every
+    # running count shifted.
+    _orders(
+        tmp_path,
+        [
+            (1, 5, "O", 10.0, "1-URGENT"),
+            (2, 5, "O", 20.0, "1-URGENT"),
+            (3, 5, "O", None, "1-URGENT"),
+            (4, 5, "O", 30.0, "5-LOW"),
+            (5, 5, "O", None, "5-LOW"),
+        ],
+    )
+    stump = queries["ml_decision_stump"](spark, str(tmp_path)).collect()[0]
+    assert stump["n_left"] + stump["n_right"] == 3
+    ks = queries["quality_ks_two_sample"](spark, str(tmp_path)).collect()[0]
+    assert (ks["n_a"], ks["n_b"]) == (2, 1)
+
+
+def test_bootstrap_replicate_mean_is_integer_exact(spark, queries, tmp_path):
+    # One order per status: every replicate mean is EXACTLY the order's
+    # price (cents-integer sum, one division) or NULL (zero total
+    # weight), so the CI bounds can only be the price itself or NULL —
+    # any accumulation-order noise would show a third value.
+    _orders(
+        tmp_path,
+        [(1, 5, "O", 123.45, "5-LOW"), (2, 6, "F", 67.89, "5-LOW")],
+    )
+    for r in queries["sample_poisson_bootstrap"](spark, str(tmp_path)).collect():
+        want = {"O": 123.45, "F": 67.89}[r["status"]]
+        assert r["ci_hi"] in (want, None)
+        assert r["ci_lo"] in (want, None)
+        assert r["n_replicates"] == 64

@@ -237,12 +237,17 @@ def test_compaction_counts_null_below_fragment_count(spark, queries, onerow_sf):
 
 @pytest.fixture(scope="module")
 def nulls_sf(tmp_path_factory) -> str:
-    """sf0.001 with every 10th value/text/embedding NULL."""
+    """sf0.001 with every 10th value/text/embedding/o_totalprice NULL."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     d = tmp_path_factory.mktemp("sf_nulls")
-    nullify = {"events": ["value"], "documents": ["text"], "embeddings": ["embedding"]}
+    nullify = {
+        "events": ["value"],
+        "documents": ["text"],
+        "embeddings": ["embedding"],
+        "orders": ["o_totalprice"],
+    }
     for t in TABLES:
         tab = pq.read_table(os.path.join(SRC_SF, f"{t}.parquet"))
         for col in nullify.get(t, []):

@@ -97,6 +97,36 @@ TOUCHED_R11 = sorted(OVERFLOW_FROM_R10 + REGISTRY_TOUCHED_R11)
 # landing must not change what the plan derives to.
 PLANNED_THROUGH = 10
 
+# Entries whose registry code or oracle r12 ITSELF touched (grown as
+# the round proceeds; the suggest-touched pin below keeps it honest):
+# agg_percentile_approx (ADVICE r11 — rank window over the non-NULL
+# price population, vacuous-true band for an all-NULL-price group) and
+# q12_priority_pivot (docstring only: the TPC-H NULL-free-assumption
+# citation the r11 VERDICT asked for — a block touch to the suggester,
+# so it rides the window like any code change).
+# Then the round's two fixture-hostility probes: extending sf_nulls
+# with NULL o_totalprice holes caught FOUR diverging entries (win_ntile
+# and win_ntile_scale sorted unpriced orders to opposite decile ends;
+# ml_decision_stump's threshold grid and quality_ks_two_sample's ECDF
+# window shifted by the NULL group at opposite ends of each engine's
+# cumulative sort), and the NEW sf_ties axis (family nine) caught THREE
+# (agg_argmax's bare max_by picked arbitrary tied rows;
+# stream_session_window's oracle split sessions at EXACTLY gap where
+# session_window merges; sample_poisson_bootstrap's 6-dp-rounded
+# replicate means flipped at accumulation-order ulp — now integer-exact
+# in cents).
+REGISTRY_TOUCHED_R12 = [
+    "agg_argmax",
+    "agg_percentile_approx",
+    "ml_decision_stump",
+    "q12_priority_pivot",
+    "quality_ks_two_sample",
+    "sample_poisson_bootstrap",
+    "stream_session_window",
+    "win_ntile",
+    "win_ntile_scale",
+]
+
 
 def test_ledger_is_closed():
     lg = last_green(through=PLANNED_THROUGH)
@@ -114,7 +144,7 @@ def test_window_derives_from_artifacts():
 
 
 def test_overflow_debt_is_flushed():
-    # 21 touched <= 50 slots: no overflow this round, every r10-deferred
+    # 33 touched <= 50 slots: no overflow this round, every r10-deferred
     # entry is seated, and the ledger leaves ZERO entries whose official
     # row predates their code once CORRECTNESS_r11 lands (VERDICT r10
     # "What's missing" item 1).
@@ -209,30 +239,31 @@ def test_suggest_touched_empty_diff_suggests_nothing():
     assert s["entries"] == [] and s["review"] == []
 
 
-def test_suggest_touched_recovers_r11_registry_entries():
-    # Against the r11 diff itself (last CORRECTNESS commit .. HEAD) the
-    # suggester must recover exactly the registry-module entries r11
-    # touched — the two ADVICE closures.  If a later r11 edit touches
-    # more registry blocks, this pin fails on purpose: grow
-    # REGISTRY_TOUCHED_R11 and re-derive the rotation (freshness beats
-    # window stability).  Skipped gracefully once a later round's
-    # artifacts land (the diff base moves past r10's artifact commit).
+def test_suggest_touched_recovers_r12_registry_entries():
+    # Against the r12 diff itself (last CORRECTNESS commit — the r11
+    # artifact landing — .. HEAD) the suggester must recover exactly the
+    # registry-module entries r12 touched (REGISTRY_TOUCHED_R12).  If a
+    # later r12 edit touches more registry blocks, this pin fails on
+    # purpose: grow REGISTRY_TOUCHED_R12 and re-derive the rotation
+    # (freshness beats window stability).  Skipped gracefully once a
+    # later round's artifacts land (the diff base moves past r11's
+    # artifact commit).
     import os
     import subprocess
 
     from tools.freshness import suggest_touched
 
     base = subprocess.run(
-        ["git", "log", "-1", "--format=%s", "--", "CORRECTNESS_r10.json"],
+        ["git", "log", "-1", "--format=%s", "--", "CORRECTNESS_r11.json"],
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ).stdout
-    if "round 10" not in base:
+    if "round 11" not in base:
         import pytest as _pytest
 
-        _pytest.skip("r11 diff base has moved on")
+        _pytest.skip("r12 diff base has moved on")
     s = suggest_touched()
-    assert set(s["entries"]) == set(REGISTRY_TOUCHED_R11)
+    assert set(s["entries"]) == set(REGISTRY_TOUCHED_R12)
 
 
 # The r10 touched list (69 entries, pinned in r10's vintage of this

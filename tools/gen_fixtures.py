@@ -14,8 +14,8 @@ can be replayed on fixture draws the engine has never seen:
 Two deliberate deviations from the seed-42 draws, both latent-hunting:
 
 - **Key offsets.**  Each key family (custkey, orderkey, partkey,
-  suppkey) starts at a seeded random base in ``[0, 2^17)`` instead of
-  0, so key bits 14-17 carry real data — the class of bug the Morton
+  suppkey) starts at a seeded random base in ``[2^14, 2^18)`` instead
+  of 0, so key bits 14-17 always carry real data — the class of bug the Morton
   probe found lives exactly in bits the small-sf dense keys never set.
   Foreign keys reference the offset domain, so the join graph is intact.
 - **Fresh categorical mixes.**  Category values come from the profiled

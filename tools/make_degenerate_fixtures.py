@@ -13,8 +13,12 @@ production schemas:
 - ``sf_onerow``      every table exactly its first row — the
                      zero-variance / one-sided-split state;
 - ``sf_nulls``       every 10th events.value / documents.text /
-                     embeddings.embedding NULL — the "failed upstream
-                     parse" state;
+                     embeddings.embedding / orders.o_totalprice NULL —
+                     the "failed upstream parse" state (o_totalprice
+                     added r12 per the r11 ADVICE: a NULL MONEY measure
+                     reaches the percentile rank-window contract, the
+                     measure-ordered windows, and every CASE over
+                     price, none of which the payload holes probed);
 - ``sf_ragged``      malformed vectors planted in the 64-d embeddings
                      corpus (the r9 hostile-probe shape, made a standing
                      axis in r10): vec_id % 29 == 0 -> EMPTY vector,
@@ -110,6 +114,48 @@ production schemas:
                      l_linestatus (% 97), p_brand (p_partkey % 43),
                      p_type (% 61), s_nationkey (s_suppkey % 7),
                      embeddings.label (vec_id % 53).
+- ``sf_ties``       deliberate TIES flooded through every ordered
+                     surface (r12 family nine — two of r11's thirteen
+                     bugs were tie-break divergences and no axis
+                     stressed ties directly). Tie POOLS are planted at
+                     the TOP of each measure's domain so every top-k
+                     boundary falls INSIDE a pool (a mid-domain pool
+                     never forces a tie-broken selection), plus tied
+                     timestamps and full-payload duplicate rows where
+                     every would-be tie-break column is itself tied:
+                     customer  % 17 -> c_acctbal 9900.0;
+                     supplier  % 11 -> s_acctbal 6000.0;
+                     part      % 19 -> p_retailprice 919.0,
+                               % 23 -> p_size 25;
+                     orders    % 13 -> o_totalprice 499000.0,
+                               % 17 -> o_orderdate 1997-06-15;
+                     lineitem  % 19 -> l_extendedprice 104000.0,
+                               % 23 -> l_quantity 50.0,
+                               % 29 -> l_shipdate 1997-06-15,
+                               % 31 -> FULL-PAYLOAD duplicate (qty
+                               25.0 / price 30000.0 / disc 0.05 / tax
+                               0.05 / ship 1997-06-15 — lines identical
+                               except keys and linenumber);
+                     events    % 13 -> value 327.0 (top pool),
+                               % 17 -> value 0.05 (bottom pool),
+                               % 23 -> FULL-PAYLOAD duplicate (ts
+                               2024-01-15 12:00:00, type 'click',
+                               value 42.0 — events identical except
+                               event_id/user_id),
+                               % 7  -> ts truncated to its hour
+                               (intra-user sequence ties);
+                     documents % 11 -> text := first doc's text
+                               (exact content duplicates),
+                               % 13 -> same LENGTH, rotated content
+                               (n_chars stays == len(text) in both);
+                     embeddings % 13 -> embedding := first vector
+                               (exact duplicate vectors -> exactly
+                               tied cosines in every top-k).
+                     Every ordered window / top-k / min_by / first-last
+                     entry lacking a TOTAL-ORDER tie-break is a
+                     candidate divergence on this axis; the standing
+                     convention it pins is that ordered selections
+                     tie-break to a key column on BOTH engines.
 
 Then sweep each with the driver simulator:
 
@@ -143,6 +189,7 @@ NULLIFY = {
     "events": ["value"],
     "documents": ["text"],
     "embeddings": ["embedding"],
+    "orders": ["o_totalprice"],
 }
 
 
@@ -431,6 +478,191 @@ def _positionless_user(tab: pa.Table) -> pa.Table:
     )
 
 
+#: sf_ties scalar tie pools (r12 family nine): per table, precedence-
+#: ordered (keycol, col, mod, constant) plants.  Constants sit at the
+#: TOP of each measure's profiled domain (FIXTURES.md §B) so top-k
+#: boundaries fall inside the pool; NULL source values stay NULL.
+TIE_PLANTS = {
+    "customer": [("c_custkey", "c_acctbal", 17, 9900.0)],
+    "supplier": [("s_suppkey", "s_acctbal", 11, 6000.0)],
+    "part": [
+        ("p_partkey", "p_retailprice", 19, 919.0),
+        ("p_partkey", "p_size", 23, 25),
+    ],
+}
+
+
+def _tie_scalars(tab: pa.Table, plants) -> pa.Table:
+    """Plant constant tie pools, precedence top-down (a row already in
+    an earlier class is left alone, so each row lands in one class)."""
+    claimed: set[int] = set()
+    for keycol, col, mod, const in plants:
+        keys = tab.column(keycol).to_pylist()
+        vals = tab.column(col).to_pylist()
+        out = []
+        for k, v in zip(keys, vals):
+            if k is not None and k % mod == 0 and k not in claimed and v is not None:
+                out.append(const)
+                claimed.add(k)
+            else:
+                out.append(v)
+        idx = tab.schema.get_field_index(col)
+        tab = tab.set_column(
+            idx, tab.schema.field(col), pa.array(out, tab.schema.field(col).type)
+        )
+    return tab
+
+
+def _tie_orders(tab: pa.Table) -> pa.Table:
+    """Tie pools in orders: a top-of-domain price pool and a shared
+    order DATE (windows ordered by o_orderdate tie en masse)."""
+    import datetime
+
+    keys = tab.column("o_orderkey").to_pylist()
+    tp = tab.column("o_totalprice").to_pylist()
+    od = tab.column("o_orderdate").to_pylist()
+    shared = datetime.datetime(1997, 6, 15)
+    n_tp, n_od = [], []
+    for k, p, d in zip(keys, tp, od):
+        np_, nd = p, d
+        if k % 13 == 0:
+            np_ = None if p is None else 499000.0
+        elif k % 17 == 0:
+            nd = None if d is None else shared
+        n_tp.append(np_)
+        n_od.append(nd)
+    for col, vals in (("o_totalprice", n_tp), ("o_orderdate", n_od)):
+        idx = tab.schema.get_field_index(col)
+        tab = tab.set_column(
+            idx, tab.schema.field(col), pa.array(vals, tab.schema.field(col).type)
+        )
+    return tab
+
+
+def _tie_lineitem(tab: pa.Table) -> pa.Table:
+    """Tie pools in lineitem, including the FULL-PAYLOAD duplicate
+    class (% 31): lines identical in every measure AND date, differing
+    only in keys/linenumber — any ordered selection over them MUST fall
+    back to a key tie-break or flap."""
+    import datetime
+
+    shared = datetime.datetime(1997, 6, 15)
+    cols = {
+        c: tab.column(c).to_pylist()
+        for c in ("l_orderkey", "l_extendedprice", "l_quantity",
+                  "l_discount", "l_tax", "l_shipdate")
+    }
+    out = {c: [] for c in cols}
+    for k, ep, q, d, tx, s in zip(
+        cols["l_orderkey"], cols["l_extendedprice"], cols["l_quantity"],
+        cols["l_discount"], cols["l_tax"], cols["l_shipdate"],
+    ):
+        nep, nq, nd, ntx, ns = ep, q, d, tx, s
+        if k % 19 == 0:
+            nep = None if ep is None else 104000.0
+        elif k % 23 == 0:
+            nq = None if q is None else 50.0
+        elif k % 29 == 0:
+            ns = None if s is None else shared
+        elif k % 31 == 0:
+            nq = None if q is None else 25.0
+            nep = None if ep is None else 30000.0
+            nd = None if d is None else 0.05
+            ntx = None if tx is None else 0.05
+            ns = None if s is None else shared
+        for c, v in (("l_extendedprice", nep), ("l_quantity", nq),
+                     ("l_discount", nd), ("l_tax", ntx), ("l_shipdate", ns)):
+            out[c].append(v)
+    out["l_orderkey"] = cols["l_orderkey"]
+    for c in ("l_extendedprice", "l_quantity", "l_discount", "l_tax", "l_shipdate"):
+        idx = tab.schema.get_field_index(c)
+        tab = tab.set_column(
+            idx, tab.schema.field(c), pa.array(out[c], tab.schema.field(c).type)
+        )
+    return tab
+
+
+def _tie_events(tab: pa.Table) -> pa.Table:
+    """Tie pools in events: top/bottom value pools, a full-payload
+    duplicate class, and hour-truncated timestamps (intra-user sequence
+    ties — LAG deltas of zero, rank ties inside every session)."""
+    import datetime
+
+    ids = tab.column("event_id").to_pylist()
+    ts = tab.column("ts").to_pylist()
+    et = tab.column("event_type").to_pylist()
+    val = tab.column("value").to_pylist()
+    dup_ts = datetime.datetime(2024, 1, 15, 12, 0, 0)
+    n_ts, n_et, n_val = [], [], []
+    for i, t, e, v in zip(ids, ts, et, val):
+        nt, ne, nv = t, e, v
+        if i % 13 == 0:
+            nv = None if v is None else 327.0
+        elif i % 17 == 0:
+            nv = None if v is None else 0.05
+        elif i % 23 == 0:
+            nt = None if t is None else dup_ts
+            ne = None if e is None else "click"
+            nv = None if v is None else 42.0
+        elif i % 7 == 0:
+            nt = None if t is None else t.replace(minute=0, second=0, microsecond=0)
+        n_ts.append(nt)
+        n_et.append(ne)
+        n_val.append(nv)
+    for col, vals in (("ts", n_ts), ("event_type", n_et), ("value", n_val)):
+        idx = tab.schema.get_field_index(col)
+        tab = tab.set_column(
+            idx, tab.schema.field(col), pa.array(vals, tab.schema.field(col).type)
+        )
+    return tab
+
+
+def _tie_documents(tab: pa.Table) -> pa.Table:
+    """Tie pools in documents: exact CONTENT duplicates (% 11 — every
+    text-derived score, fingerprint, and dedup signature ties) and
+    same-LENGTH rotated content (% 13 — length/quality ties without
+    content equality). n_chars stays == len(text) in both classes."""
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    donor = next(t for t in texts if t)
+    rotated = donor[1:] + donor[0]
+    nchars = tab.column("n_chars").to_pylist()
+    n_t, n_c = [], []
+    for i, t, c in zip(ids, texts, nchars):
+        nt, nc = t, c
+        if t is not None and i % 11 == 0:
+            nt, nc = donor, len(donor)
+        elif t is not None and i % 13 == 0:
+            nt, nc = rotated, len(rotated)
+        n_t.append(nt)
+        n_c.append(nc)
+    for col, vals, typ in (("text", n_t, pa.string()), ("n_chars", n_c, None)):
+        idx = tab.schema.get_field_index(col)
+        tab = tab.set_column(
+            idx, tab.schema.field(col),
+            pa.array(vals, typ or tab.schema.field(col).type),
+        )
+    return tab
+
+
+def _tie_embeddings(tab: pa.Table) -> pa.Table:
+    """Exact duplicate VECTORS (% 13): every cosine against a query is
+    exactly equal across the class, so ANN top-k boundaries are tied
+    and only a vec_id tie-break makes the selection deterministic."""
+    ids = tab.column("vec_id").to_pylist()
+    vecs = tab.column("embedding").to_pylist()
+    donor = next(v for v in vecs if v)
+    out = [
+        donor if (v is not None and i % 13 == 0) else v
+        for i, v in zip(ids, vecs)
+    ]
+    idx = tab.schema.get_field_index("embedding")
+    return tab.set_column(
+        idx, tab.schema.field("embedding"),
+        pa.array(out, tab.schema.field("embedding").type),
+    )
+
+
 def _null_holes(tab: pa.Table, cols: list[str]) -> pa.Table:
     for col in cols:
         idx = tab.schema.get_field_index(col)
@@ -458,7 +690,7 @@ def main() -> None:
         for name in (
             "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls",
             "sf_ragged", "sf_nan", "sf_hostiletext", "sf_hostileevents",
-            "sf_hostilerel", "sf_nullkeys", "sf_nullcats",
+            "sf_hostilerel", "sf_nullkeys", "sf_nullcats", "sf_ties",
         )
     }
     for d in dirs.values():
@@ -511,6 +743,20 @@ def main() -> None:
             _null_keys(tab, NULLCAT_PLANTS[t]) if t in NULLCAT_PLANTS else tab,
             os.path.join(dirs["sf_nullcats"], f"{t}.parquet"),
         )
+        ties = tab
+        if t in TIE_PLANTS:
+            ties = _tie_scalars(tab, TIE_PLANTS[t])
+        elif t == "orders":
+            ties = _tie_orders(tab)
+        elif t == "lineitem":
+            ties = _tie_lineitem(tab)
+        elif t == "events":
+            ties = _tie_events(tab)
+        elif t == "documents":
+            ties = _tie_documents(tab)
+        elif t == "embeddings":
+            ties = _tie_embeddings(tab)
+        pq.write_table(ties, os.path.join(dirs["sf_ties"], f"{t}.parquet"))
         print(f"{t}: all degenerate axes written")
     print("fixture sets:", ", ".join(dirs.values()))
 
