@@ -41,69 +41,67 @@ _FAMILIES = [
 # Rotate this list (plus the pin in tests/test_registry_window.py and
 # COVERAGE.md's ledger) in ONE commit at each round boundary.
 #
-# Round-10 window — derived by tools/freshness.py::plan_window(
-# TOUCHED_R10, through=9) per the COVERAGE.md freshness policy and
-# asserted by tests/test_freshness.py. The r10 hostile-family closures
-# (ragged embeddings, non-finite numerics, hostile text, hostile
-# events, hostile relational values, NULL keys — seven probe families)
-# touched 69 entries, MORE than the 50-slot window: plan_window's
-# overflow rule (r10) seats the 50 STALEST touched entries by the
-# artifact-derived order and defers the 19 freshest-rowed
-# (plan_overflow — they lead r11's touched list, documented in
-# COVERAGE.md's r11 row). Rotated FOUR times this round: the
-# hostile-family hardening kept touching entries after each rotation,
-# and freshness beats window stability.
+# Round-12 window — derived by tools/freshness.py::plan_window(
+# TOUCHED_R12, through=11) per the COVERAGE.md freshness policy and
+# asserted by tests/test_freshness.py. Touched this round: the r11
+# ADVICE closure (agg_percentile_approx) and q12's docstring citation,
+# plus the seven entries the round's two fixture probes caught — four
+# from extending sf_nulls with NULL o_totalprice holes, three from the
+# NEW sf_ties axis (family nine, deliberate ties). 9 <= 50, so the
+# remaining 41 slots take the stalest rows by artifact-derived age:
+# the r2-vintage scan family and the r3-vintage agg/window/setops/fn/
+# stream tails.
 _WINDOW_HEAD = [
-    "agg_collect_sorted",
-    "agg_hll_sketch_rollup",
+    "agg_argmax",
     "agg_percentile_approx",
-    "anomaly_zscore_rolling",
-    "bitmap_distinct_rollup",
-    "emb_pca_top_component",
-    "emb_quantize_int8",
-    "eval_auc_roc",
-    "feat_hashing_trick",
-    "fn_surrogate_key",
-    "fn_variant_extract",
-    "join_asof_events",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_bucketed_no_shuffle",
-    "ml_kmeans_lloyd",
-    "ml_knn_classify",
+    "ml_decision_stump",
     "q12_priority_pivot",
-    "scd2_dimension_upsert",
-    "sim_search_ivf",
-    "sim_search_ivf_pq",
-    "sim_search_lsh_bucketed",
-    "sim_search_pq_adc",
-    "sim_search_topk",
-    "stream_sliding_topk",
-    "stream_upsert_tablelog",
-    "text_keyness_g2",
-    "ts_ohlc_bars",
-    "udf_scalar",
-    "unpivot_melt",
-    "win_rolling_distinct_unbounded",
-    "win_rolling_median",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_revenue",
-    "q16_supplier_count",
-    "q19_disjunctive_join",
-    "q22_idle_balance",
-    "q2_min_price_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_sole_supplier",
-    "q17_small_quantity_revenue",
-    "q20_concentrated_suppliers",
-    "cdc_apply_changes",
+    "quality_ks_two_sample",
+    "sample_poisson_bootstrap",
+    "stream_session_window",
+    "win_ntile",
+    "win_ntile_scale",
+    "scan_parquet",
+    "scan_csv_schema",
+    "source_http",
+    "source_http_datasource",
+    "scan_excel",
+    "scan_json_lines",
+    "scan_orc_roundtrip",
+    "agg_distinct",
+    "agg_stats",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_corr_regression",
+    "win_running_sum",
+    "win_range_frame",
+    "limit_topk",
+    "sort_multi",
+    "win_percent_dist",
+    "win_first_last",
+    "sort_paginate",
+    "win_percentiles_rank",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "set_distinct",
+    "dedup_exact",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array_map",
+    "clean_currency",
+    "fn_fuzzy_match",
+    "fn_url_parse",
+    "stream_dedup_keys",
+    "stream_late_data",
+    "stream_dedup_within_watermark",
+    "stream_foreach_batch_sink",
+    "stream_static_join_enrich",
+    "stream_stream_interval_join",
+    "stream_append_finalized_windows",
 ]
 
 def build() -> Registry:

@@ -93,9 +93,9 @@ REGISTRY_TOUCHED_R11 = [
 # and fills the remaining 17 slots with the stalest r2-vintage rows.
 TOUCHED_R11 = sorted(OVERFLOW_FROM_R10 + REGISTRY_TOUCHED_R11)
 
-# The window was planned from artifacts r1..r10; CORRECTNESS_r11.json
+# The window was planned from artifacts r1..r11; CORRECTNESS_r12.json
 # landing must not change what the plan derives to.
-PLANNED_THROUGH = 10
+PLANNED_THROUGH = 11
 
 # Entries whose registry code or oracle r12 ITSELF touched (grown as
 # the round proceeds; the suggest-touched pin below keeps it honest):
@@ -127,6 +127,13 @@ REGISTRY_TOUCHED_R12 = [
     "win_ntile_scale",
 ]
 
+# This round's touched list IS the registry-edit list (r11 left no
+# overflow debt).  9 <= 50, so the window seats all touched entries and
+# fills the remaining 41 slots with the stalest rows by artifact-derived
+# age: the r2-vintage scan family and the r3-vintage agg/window/setops/
+# fn/stream tails.
+TOUCHED_R12 = sorted(REGISTRY_TOUCHED_R12)
+
 
 def test_ledger_is_closed():
     lg = last_green(through=PLANNED_THROUGH)
@@ -135,7 +142,7 @@ def test_ledger_is_closed():
 
 
 def test_window_derives_from_artifacts():
-    derived = plan_window(TOUCHED_R11, through=PLANNED_THROUGH)
+    derived = plan_window(TOUCHED_R12, through=PLANNED_THROUGH)
     assert _WINDOW_HEAD == derived, (
         "_WINDOW_HEAD drifted from the artifact-derived policy window "
         "(touched-first, then stalest by last-green round / artifact "
@@ -144,14 +151,13 @@ def test_window_derives_from_artifacts():
 
 
 def test_overflow_debt_is_flushed():
-    # 33 touched <= 50 slots: no overflow this round, every r10-deferred
-    # entry is seated, and the ledger leaves ZERO entries whose official
-    # row predates their code once CORRECTNESS_r11 lands (VERDICT r10
-    # "What's missing" item 1).
+    # 9 touched <= 50 slots: no overflow this round, and the ledger
+    # keeps ZERO entries whose official row predates their code once
+    # CORRECTNESS_r12 lands.
     from tools.freshness import plan_overflow
 
-    assert plan_overflow(TOUCHED_R11, through=PLANNED_THROUGH) == []
-    assert set(TOUCHED_R11) <= set(_WINDOW_HEAD)
+    assert plan_overflow(TOUCHED_R12, through=PLANNED_THROUGH) == []
+    assert set(TOUCHED_R12) <= set(_WINDOW_HEAD)
 
 
 def test_overflow_list_matches_r10_artifacts():
@@ -169,29 +175,29 @@ def test_touched_entries_were_green_before():
     # have a green row (a never-green entry would be a ledger hole, not
     # a freshness item).
     lg = last_green(through=PLANNED_THROUGH)
-    assert all(n in lg for n in TOUCHED_R11)
+    assert all(n in lg for n in TOUCHED_R12)
 
 
 def test_staleness_facts_match_judged_ledger():
-    # Anchor the parser against facts the r10 judge verified by hand:
+    # Anchor the parser against facts the r11 judge verified by hand:
     # the per-round last-green counts partition all 326 entries (the
-    # r10 window re-greened 50, leaving these vintages), and the
-    # stalest entries are the r2-vintage TPC-H rows.
+    # r11 window re-greened 50, leaving these vintages), and the
+    # stalest entries are the r2-vintage scan-family rows.
     lg = last_green(through=PLANNED_THROUGH)
     assert len(lg) == 326
     by_round: dict[int, int] = {}
     for rn in lg.values():
         by_round[rn] = by_round.get(rn, 0) + 1
     assert by_round == {
-        2: 26, 3: 29, 4: 33, 5: 30, 6: 26, 7: 35, 8: 47, 9: 50, 10: 50
+        2: 7, 3: 29, 4: 33, 5: 27, 6: 25, 7: 33, 8: 37, 9: 39, 10: 46, 11: 50
     }
     order = staleness_order(through=PLANNED_THROUGH)
-    assert order[:2] == ["q4_order_priority", "q6_forecast_revenue"]
+    assert order[:2] == ["scan_parquet", "scan_csv_schema"]
     assert len(order) == 326
 
 
 def test_window_names_all_in_coverage_ledger_row():
-    # COVERAGE.md documents the same 50 names in its r11 window row; the
+    # COVERAGE.md documents the same 50 names in its r12 window row; the
     # prose must not drift from the code (the r7 judge caught exactly
     # this class of drift once).
     import os
@@ -201,11 +207,11 @@ def test_window_names_all_in_coverage_ledger_row():
                      "COVERAGE.md")
     ).read()
     row = next(
-        (ln for ln in md.splitlines() if ln.startswith("| **r11 window**")), None
+        (ln for ln in md.splitlines() if ln.startswith("| **r12 window**")), None
     )
-    assert row is not None, "COVERAGE.md lacks the r11 window ledger row"
+    assert row is not None, "COVERAGE.md lacks the r12 window ledger row"
     for name in _WINDOW_HEAD:
-        assert f"`{name}`" in row, f"{name} missing from COVERAGE.md r11 row"
+        assert f"`{name}`" in row, f"{name} missing from COVERAGE.md r12 row"
 
 
 def test_entry_blocks_attribute_helpers_to_following_entry():

@@ -22,76 +22,76 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r11 window: the 33 touched entries first — the 19 the r10
-# overflow rule deferred (their code changed in r10 but their official
-# rows predate it; plan_overflow, VERDICT r10 item 1 of "What's
-# missing"), the two r11 ADVICE fixes (agg_collect_sorted's
-# positionless-user NULL digest, win_rolling_distinct_unbounded's
-# NULL-type gate), and the five entries the strengthened sf_nullkeys
-# axis caught (untyped-group tier joins in both distinct rollups,
-# eval_auc_roc's unlabeled negatives, stream_sliding_topk's tie-break,
-# text_keyness_g2's unattributed-document subcorpus), and the seven
-# family-eight entries the new sf_nullcats axis caught (SCALE.md
-# round 11) — then the 17 stalest remaining entries by
-# artifact-derived age
-# (all r2-vintage TPC-H / source entries).
-R11_WINDOW = [
-    "agg_collect_sorted",
-    "agg_hll_sketch_rollup",
+# The r12 window: the 9 touched entries first — the r11 ADVICE closure
+# (agg_percentile_approx's rank window over the non-NULL price
+# population), q12_priority_pivot's TPC-H NULL-free-assumption citation
+# (a docstring block touch), the four entries the r12 sf_nulls
+# extension (NULL o_totalprice holes) caught (win_ntile and
+# win_ntile_scale parking unpriced orders at opposite decile ends,
+# ml_decision_stump's grid and quality_ks_two_sample's ECDF shifting
+# around the NULL group), and the three entries the NEW sf_ties axis
+# (family nine) caught (agg_argmax's untied max_by,
+# stream_session_window's exact-gap boundary,
+# sample_poisson_bootstrap's noise-grain rounding) — then the 41
+# stalest remaining entries by artifact-derived age (the r2-vintage
+# scan family and the r3-vintage agg/window/setops/fn/stream tails).
+R12_WINDOW = [
+    "agg_argmax",
     "agg_percentile_approx",
-    "anomaly_zscore_rolling",
-    "bitmap_distinct_rollup",
-    "emb_pca_top_component",
-    "emb_quantize_int8",
-    "eval_auc_roc",
-    "feat_hashing_trick",
-    "fn_surrogate_key",
-    "fn_variant_extract",
-    "join_asof_events",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_bucketed_no_shuffle",
-    "ml_kmeans_lloyd",
-    "ml_knn_classify",
+    "ml_decision_stump",
     "q12_priority_pivot",
-    "scd2_dimension_upsert",
-    "sim_search_ivf",
-    "sim_search_ivf_pq",
-    "sim_search_lsh_bucketed",
-    "sim_search_pq_adc",
-    "sim_search_topk",
-    "stream_sliding_topk",
-    "stream_upsert_tablelog",
-    "text_keyness_g2",
-    "ts_ohlc_bars",
-    "udf_scalar",
-    "unpivot_melt",
-    "win_rolling_distinct_unbounded",
-    "win_rolling_median",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_revenue",
-    "q16_supplier_count",
-    "q19_disjunctive_join",
-    "q22_idle_balance",
-    "q2_min_price_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q21_sole_supplier",
-    "q17_small_quantity_revenue",
-    "q20_concentrated_suppliers",
-    "cdc_apply_changes",
+    "quality_ks_two_sample",
+    "sample_poisson_bootstrap",
+    "stream_session_window",
+    "win_ntile",
+    "win_ntile_scale",
+    "scan_parquet",
+    "scan_csv_schema",
+    "source_http",
+    "source_http_datasource",
+    "scan_excel",
+    "scan_json_lines",
+    "scan_orc_roundtrip",
+    "agg_distinct",
+    "agg_stats",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_corr_regression",
+    "win_running_sum",
+    "win_range_frame",
+    "limit_topk",
+    "sort_multi",
+    "win_percent_dist",
+    "win_first_last",
+    "sort_paginate",
+    "win_percentiles_rank",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "set_distinct",
+    "dedup_exact",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array_map",
+    "clean_currency",
+    "fn_fuzzy_match",
+    "fn_url_parse",
+    "stream_dedup_keys",
+    "stream_late_data",
+    "stream_dedup_within_watermark",
+    "stream_foreach_batch_sink",
+    "stream_static_join_enrich",
+    "stream_stream_interval_join",
+    "stream_append_finalized_windows",
 ]
 
 def test_driver_window_matches_coverage_plan():
-    assert len(R11_WINDOW) == 50
-    got = list(all_queries())[: len(R11_WINDOW)]
-    assert got == R11_WINDOW, (
+    assert len(R12_WINDOW) == 50
+    got = list(all_queries())[: len(R12_WINDOW)]
+    assert got == R12_WINDOW, (
         "The first-50 verification window shifted. The window is the "
         "explicit registry.__init__._WINDOW_HEAD list; if you changed it, "
         "update this pin AND COVERAGE.md's ledger deliberately."
@@ -101,7 +101,7 @@ def test_driver_window_matches_coverage_plan():
 def test_window_head_is_the_pin():
     # _WINDOW_HEAD and this pin must be the same list; divergence means a
     # half-finished rotation commit.
-    assert _WINDOW_HEAD == R11_WINDOW
+    assert _WINDOW_HEAD == R12_WINDOW
 
 
 def test_no_window_name_collisions():
