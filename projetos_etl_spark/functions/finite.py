@@ -18,6 +18,18 @@ non-finite input (plain sums, counts, filters on finite thresholds)
 keep the raw column — the gate is for the entries where NaN/Inf either
 crashes an engine or lands on engine-divergent semantics; each gated
 entry says so in its docstring.
+
+r12 (sf_extremes hostile probe, "family ten"): the gate also excludes
+FINITE values of absurd magnitude. A reading like 1e300 passes an
+isfinite check and then overflows INSIDE the second-moment aggregates
+— Spark's variance quietly answers +Inf (corr/skew/kurtosis NaN) while
+DuckDB RAISES "VARSAMP is out of range", i.e. one wild sensor reading
+kills the whole statistics job on one engine and silently poisons it
+on the other. ``MAG_CAP`` = 1e75 keeps every moment through the FOURTH
+power finite ((1e75)^4 = 1e300 < DBL_MAX ~ 1.8e308, with ~1e8 headroom
+for row-count accumulation), and no legitimate measurement domain in
+the corpus is within 70 orders of magnitude of it — anything past the
+cap is a corrupt reading exactly like NaN/Inf.
 """
 
 from __future__ import annotations
@@ -25,18 +37,30 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: Fourth-moment-safe magnitude cap (see module docstring): a FINITE
+#: reading with ``abs(v) >= MAG_CAP`` is treated as corrupt.
+MAG_CAP = 1e75
+
 
 def finite(col: Column | str) -> Column:
-    """``col`` as DOUBLE with NaN/+Inf/-Inf mapped to NULL (corrupt
-    reading -> excluded like NULL; NULL stays NULL)."""
+    """``col`` as DOUBLE with NaN/+Inf/-Inf — and finite values of
+    absurd magnitude (``abs >= MAG_CAP``, which would overflow the
+    moment aggregates) — mapped to NULL (corrupt reading -> excluded
+    like NULL; NULL stays NULL)."""
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("double")
-    return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
+    # abs(c) < MAG_CAP is False for +/-Inf and for NaN comparisons,
+    # but the explicit isnan keeps the three-valued logic readable.
+    return F.when(~F.isnan(c) & (F.abs(c) < MAG_CAP), c)
 
 
 def sql_finite(col: str) -> str:
-    """DuckDB twin of :func:`finite` (NULL on NaN/Inf, else the value).
+    """DuckDB twin of :func:`finite` (NULL on NaN/Inf/absurd magnitude,
+    else the value).
 
     ``isfinite(NULL)`` is NULL -> CASE falls through to NULL, matching
     Spark's ``when`` with no otherwise."""
-    return f"CASE WHEN isfinite({col}) THEN CAST({col} AS DOUBLE) END"
+    return (
+        f"CASE WHEN isfinite({col}) AND abs({col}) < 1e75 "
+        f"THEN CAST({col} AS DOUBLE) END"
+    )

@@ -43,24 +43,46 @@ _FAMILIES = [
 #
 # Round-12 window — derived by tools/freshness.py::plan_window(
 # TOUCHED_R12, through=11) per the COVERAGE.md freshness policy and
-# asserted by tests/test_freshness.py. Touched this round: the r11
-# ADVICE closure (agg_percentile_approx) and q12's docstring citation,
-# plus the seven entries the round's two fixture probes caught — four
-# from extending sf_nulls with NULL o_totalprice holes, three from the
-# NEW sf_ties axis (family nine, deliberate ties). 9 <= 50, so the
-# remaining 41 slots take the stalest rows by artifact-derived age:
-# the r2-vintage scan family and the r3-vintage agg/window/setops/fn/
-# stream tails.
+# asserted by tests/test_freshness.py. Touched this round (25): the
+# r11 ADVICE closure (agg_percentile_approx) and q12's docstring
+# citation; the seven entries the round's first two fixture probes
+# caught (four from extending sf_nulls with NULL o_totalprice holes,
+# three from the NEW sf_ties axis, family nine); and the SIXTEEN
+# finite-gate consumers — family ten (sf_extremes) extended the gate
+# (functions/finite.py MAG_CAP), eight of them diverged and were fixed
+# directly, and every other entry whose oracle embeds sql_finite()
+# changed semantics with the gate, so freshness counts them all.
+# Rotated twice this round (the sf_extremes probe landed after the
+# first rotation — freshness beats window stability). 25 <= 50, so the
+# remaining 25 slots take the stalest rows by artifact-derived age:
+# the r2-vintage scan family and the r3-vintage agg/window/setops
+# tails.
 _WINDOW_HEAD = [
     "agg_argmax",
     "agg_percentile_approx",
+    "agg_time_decayed_sum",
+    "anomaly_zscore_rolling",
+    "feat_impute_missing",
+    "incremental_agg_merge",
+    "incremental_var_merge",
     "ml_decision_stump",
     "q12_priority_pivot",
     "quality_ks_two_sample",
     "sample_poisson_bootstrap",
+    "stream_custom_stateful_profile",
     "stream_session_window",
+    "stream_static_join_enrich",
+    "stream_upsert_tablelog",
+    "ts_autocorr_lag",
+    "ts_ewma_anomaly",
+    "ts_interpolate_linear",
+    "ts_resample_ffill",
+    "ts_stl_decompose",
+    "ts_week_over_week",
+    "udaf_grouped",
     "win_ntile",
     "win_ntile_scale",
+    "win_rolling_median",
     "scan_parquet",
     "scan_csv_schema",
     "source_http",
@@ -86,22 +108,6 @@ _WINDOW_HEAD = [
     "set_union_all",
     "set_intersect",
     "set_except",
-    "set_distinct",
-    "dedup_exact",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_array_map",
-    "clean_currency",
-    "fn_fuzzy_match",
-    "fn_url_parse",
-    "stream_dedup_keys",
-    "stream_late_data",
-    "stream_dedup_within_watermark",
-    "stream_foreach_batch_sink",
-    "stream_static_join_enrich",
-    "stream_stream_interval_join",
-    "stream_append_finalized_windows",
 ]
 
 def build() -> Registry:

@@ -766,13 +766,20 @@ def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "incremental_agg_merge",
-    oracle="""
+    # The measure rides the finite gate (functions/finite.py) on both
+    # tiers (r12 sf_extremes): one corrupt ±1e300 reading makes the
+    # two-tier merged sum and the oracle's single-pass sum disagree
+    # CATASTROPHICALLY (1e300 + x − 1e300 is 0 or x depending on
+    # accumulation order — no rounding grain survives that), and a mart
+    # whose totals depend on merge order is exactly the drift this
+    # entry exists to rule out. n_events still counts every row.
+    oracle=f"""
     SELECT event_type,
-           CAST(count(*) AS BIGINT)   AS n_events,
-           round(sum(value), 2)       AS total_value,
-           round(avg(value), 6)       AS avg_value,
-           round(min(value), 6)       AS min_value,
-           round(max(value), 6)       AS max_value
+           CAST(count(*) AS BIGINT)             AS n_events,
+           round(sum({sql_finite("value")}), 2) AS total_value,
+           round(avg({sql_finite("value")}), 6) AS avg_value,
+           round(min({sql_finite("value")}), 6) AS min_value,
+           round(max({sql_finite("value")}), 6) AS max_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -790,20 +797,23 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg_hll_sketch_rollup``, here for the plain-algebra family).
     Double-summation order is pinned by a day-ordered sort before the
     merge so float totals match the oracle bit-for-bit after 2 dp
-    rounding."""
+    rounding. The measure rides the finite gate (r12 sf_extremes): a
+    corrupt ±1e300 reading would make merged-vs-direct totals differ by
+    accumulation order alone — see the oracle comment."""
     ev = load_table(spark, sf_dir, "events")
     # Two partial counts: row count (n_events = count(*)) and NON-NULL
     # value count — avg's mergeable decomposition is sum/count(value),
     # not sum/count(*), or a NULL-holed day silently deflates the
     # average the oracle's avg() computes by skipping NULLs.
+    fv = finite("value")
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("p_cnt"),
-            F.count("value").alias("p_cnt_val"),
-            F.sum("value").alias("p_sum"),
-            F.min("value").alias("p_min"),
-            F.max("value").alias("p_max"),
+            F.count(fv).alias("p_cnt_val"),
+            F.sum(fv).alias("p_sum"),
+            F.min(fv).alias("p_min"),
+            F.max(fv).alias("p_max"),
         )
     )
     merged = daily.groupBy("event_type").agg(
@@ -984,11 +994,16 @@ _DECAY_LAMBDA = _math.log(2) / 24.0
 
 @REG.add(
     "agg_time_decayed_sum",
+    # The measure rides the finite gate (functions/finite.py, r12
+    # sf_extremes): one corrupt ±1e300 reading dominates the decayed
+    # sum and makes its value a function of accumulation order (Spark
+    # partials vs the oracle's single pass disagree catastrophically).
+    # n_events still counts every event.
     oracle=f"""
     WITH mx AS (SELECT max(epoch_us(ts)) AS mx_us FROM events)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value * exp(-{_DECAY_LAMBDA!r}
+           round(sum({sql_finite("value")} * exp(-{_DECAY_LAMBDA!r}
                  * ((mx.mx_us - epoch_us(ts)) / 3.6e9))), 6) AS decayed_value
     FROM events, mx
     GROUP BY user_id
@@ -1007,7 +1022,7 @@ def agg_time_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     why λ-decay beats sliding windows for 100 TB-scale recency
     features."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "value", F.unix_micros("ts").alias("us")
+        "user_id", finite("value").alias("value"), F.unix_micros("ts").alias("us")
     )
     mx = ev.agg(F.max("us").alias("mx_us"))
     age_h = (F.col("mx_us") - F.col("us")) / F.lit(3.6e9)
@@ -2013,13 +2028,17 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finite gate (functions/finite.py): one Inf reading OVERFLOWS
     # DuckDB's corr internals (STDDEV_POP out of range) and one NaN
     # NaN-poisons Spark's corr state for the whole series (r10 sf_nan
-    # probe). The autocorrelation is computed over the USABLE series:
+    # probe); a FINITE 1e300 does the same through its SQUARE (r12
+    # sf_extremes — the oracle mirrors the gate's MAG_CAP or it
+    # re-crashes on exactly the class the gate excludes). The
+    # autocorrelation is computed over the USABLE series:
     # corrupt/NULL readings are dropped before the lag, so pairs span
     # the gap — the standard missing-data treatment for lag-k stats.
     oracle="""
     WITH finite_series AS (
         SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value
-        FROM events WHERE isfinite(value) AND ts IS NOT NULL
+        FROM events
+        WHERE isfinite(value) AND abs(value) < 1e75 AND ts IS NOT NULL
     ),
     lagged AS (
         SELECT user_id, value,
@@ -2196,10 +2215,14 @@ def quality_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "ts_week_over_week",
+    # The daily total rides the finite gate (functions/finite.py, r12
+    # sf_extremes): a +1e300 and a −1e300 reading landing in the same
+    # day cancel to 0 or to ±residue depending on accumulation order,
+    # so day_value — and every downstream ratio — was engine-divergent.
     oracle=f"""
     WITH daily AS (
         SELECT time_bucket(INTERVAL '1 day', ts) AS day,
-               round(sum(value), 2) AS day_value
+               round(sum({sql_finite("value")}), 2) AS day_value
         FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     wow AS (
@@ -2229,7 +2252,7 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark sorts it first, DuckDB last)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.sum("value"), 2).alias("day_value")
+        F.round(F.sum(finite("value")), 2).alias("day_value")
     )
     w = Window.orderBy("day")
     wow = daily.withColumn("prior_week", F.lag("day_value", 7).over(w))
@@ -4558,7 +4581,7 @@ EWMA_THRESH = 100.0
     WITH RECURSIVE
     hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS h,
-               round(avg(value), 6) AS x
+               round(avg({sql_finite("value")}), 6) AS x
         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
         GROUP BY user_id, date_trunc('hour', ts)
     ),
@@ -4601,9 +4624,13 @@ def ts_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
+    # The hourly mean rides the finite gate (r12 sf_extremes): one
+    # corrupt 1e300 reading made x an accumulation-order function and
+    # desynchronized the whole downstream recursion; an hour with only
+    # corrupt/NULL readings keeps an x of NULL on both engines.
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    ).agg(F.round(F.avg(finite("value")), 6).alias("x"))
     series = hourly.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("h", "x"))).alias("s")
     )

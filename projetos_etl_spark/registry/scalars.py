@@ -308,14 +308,16 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The positivity filter rides the finite gate (functions/finite.py):
     # Spark's `NaN > 0` is TRUE (NaN sorts greatest), so one NaN reading
     # slipped through and NaN-poisoned the whole group's geomean, and
-    # one +Inf pinned it to Inf (r10 sf_nan probe). Geomean over the
-    # FINITE positive values; n_events counts those.
+    # one +Inf pinned it to Inf (r10 sf_nan probe); the oracle also
+    # mirrors the gate's MAG_CAP (r12 sf_extremes — a finite 1e300
+    # passes bare isfinite and skews the log-mean on one side only).
+    # Geomean over the FINITE positive values; n_events counts those.
     oracle="""
     SELECT event_type,
            round(exp(avg(ln(value))), 6) AS geomean_value,
            count(*)                      AS n_events
     FROM events
-    WHERE isfinite(value) AND value > 0
+    WHERE isfinite(value) AND abs(value) < 1e75 AND value > 0
     GROUP BY event_type
     ORDER BY event_type
     """,

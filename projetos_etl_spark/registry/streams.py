@@ -356,7 +356,12 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "stream_static_join_enrich",
-    oracle="""
+    # The enrichment measure rides the finite gate (functions/
+    # finite.py, r12 sf_extremes): corrupt ±1e300 readings in one
+    # (tier, type) group made sum_value an accumulation-order function
+    # (micro-batch partials vs the oracle's single pass). n counts
+    # every event.
+    oracle=f"""
     WITH tiers AS (
         SELECT DISTINCT user_id,
                CASE WHEN user_id % 3 = 0 THEN 'gold'
@@ -366,7 +371,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.tier, e.event_type,
            count(*)             AS n,
-           round(sum(e.value), 6) AS sum_value
+           round(sum({sql_finite("e.value")}), 6) AS sum_value
     FROM events e JOIN tiers t ON e.user_id = t.user_id
     GROUP BY t.tier, e.event_type
     """,
@@ -397,7 +402,7 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(finite("value")), 6).alias("sum_value"),
         )
     )
     return run_to_memory(agg, "complete")

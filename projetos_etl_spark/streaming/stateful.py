@@ -64,14 +64,20 @@ def _update_user_profile(
     # probe caught the divergence). Sum/max run over the finite
     # readings only; n_events still counts every event; a user with no
     # finite reading yet profiles NULL (not 0.0 / -inf), exactly what
-    # the SQL oracle's null-skipping aggregates produce.
+    # the SQL oracle's null-skipping aggregates produce. r12
+    # (sf_extremes): the mask carries functions/finite.py's MAG_CAP —
+    # a FINITE 1e300 reading is corrupt too (it poisons the running
+    # sum exactly like Inf), and the oracle's sql_finite twin already
+    # excludes it.
     import numpy as np
+
+    from projetos_etl_spark.functions.finite import MAG_CAP
 
     n, nv, total, vmax = state.get if state.exists else (0, 0, 0.0, float("-inf"))
     for pdf in pdfs:
         n += len(pdf)
         v = pdf["value"].to_numpy(dtype=np.float64, na_value=np.nan)
-        fin = v[np.isfinite(v)]
+        fin = v[np.isfinite(v) & (np.abs(v) < MAG_CAP)]
         if len(fin):
             nv += len(fin)
             total += float(fin.sum())

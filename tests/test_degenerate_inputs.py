@@ -1668,3 +1668,95 @@ def test_bootstrap_replicate_mean_is_integer_exact(spark, queries, tmp_path):
         assert r["ci_hi"] in (want, None)
         assert r["ci_lo"] in (want, None)
         assert r["n_replicates"] == 64
+
+
+# ---------------------------------------------------------------------------
+# Family ten: EXTREME-MAGNITUDE readings (r12 probe, sf_extremes —
+# SCALE.md round 12). The overflow-from-FINITE-inputs gap sf_nan left:
+# a 1e300 reading passes an isfinite check and then overflows INSIDE
+# the second-moment aggregates (Spark answers +Inf/NaN, DuckDB RAISES
+# "out of range"), and a ±1e300 pair makes every plain sum an
+# accumulation-order function (1e300 + x − 1e300 is 0 or x depending
+# on partial order — no rounding grain survives that). Convention:
+# functions/finite.py's gate also excludes abs(v) >= MAG_CAP (1e75,
+# fourth-moment-safe); denormals and signed zeros are legitimate IEEE
+# values and flow through value logic unharmed.
+# ---------------------------------------------------------------------------
+
+
+def test_finite_gate_caps_absurd_magnitudes(spark):
+    from projetos_etl_spark.functions.finite import MAG_CAP, finite
+
+    assert MAG_CAP == 1e75
+    df = spark.createDataFrame(
+        [(1e300,), (-1e300,), (1.5e154,), (1e75,), (9.9e74,), (5e-324,),
+         (-0.0,), (1e-300,), (2.5,)],
+        "v double",
+    )
+    got = [r["f"] for r in df.select(finite("v").alias("f")).collect()]
+    assert got == [None, None, None, None, 9.9e74, 5e-324, -0.0, 1e-300, 2.5]
+
+
+def _extreme_events(tmp_path):
+    # 360 hours = 15 days: ts_week_over_week's lag-7-days needs > 7
+    # daily rows or the entry is vacuously unexercised.
+    import datetime
+
+    rows = []
+    eid = 0
+    for hour in range(360):
+        for user in range(3):
+            v = float(100 + (eid * 37) % 313)
+            if eid % 17 == 0:
+                v = 1e300
+            elif eid % 23 == 0:
+                v = -1e300
+            elif eid % 29 == 0:
+                v = 1.5e154  # only its SQUARE overflows
+            elif eid % 31 == 0:
+                v = 5e-324  # denormal
+            elif eid % 37 == 0:
+                v = -0.0
+            rows.append(
+                (
+                    eid,
+                    _TS0 + datetime.timedelta(hours=hour, minutes=user),
+                    user,
+                    ["purchase", "signup", "error"][eid % 3],
+                    v,
+                )
+            )
+            eid += 1
+    _events(tmp_path, rows)
+
+
+_EXTREME_CONSUMERS = [
+    "agg_time_decayed_sum",
+    "incremental_agg_merge",
+    "stream_custom_stateful_profile",
+    "stream_static_join_enrich",
+    "ts_autocorr_lag",
+    "ts_ewma_anomaly",
+    "ts_week_over_week",
+    "udaf_grouped",
+]
+
+
+@pytest.mark.parametrize("entry", _EXTREME_CONSUMERS)
+def test_value_consumers_match_oracles_with_extreme_readings(
+    spark, queries, tmp_path, entry
+):
+    # The eight entries the sf_extremes sweep caught diverging, each
+    # re-driven on a hermetic corpus dense in the hostile classes. The
+    # two stream entries and the stateful profile cover the numpy-side
+    # gate (streaming/stateful.py carries MAG_CAP explicitly).
+    _extreme_events(tmp_path)
+    sp = _assert_entry_matches_oracle(
+        spark,
+        queries,
+        tmp_path,
+        entry,
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')",
+    )
+    assert len(sp) > 0, "hermetic corpus must actually exercise the entry"

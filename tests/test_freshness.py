@@ -115,24 +115,58 @@ PLANNED_THROUGH = 11
 # session_window merges; sample_poisson_bootstrap's 6-dp-rounded
 # replicate means flipped at accumulation-order ulp — now integer-exact
 # in cents).
+# Family ten (sf_extremes, the round's third probe) then touched seven
+# more registry blocks directly — agg_time_decayed_sum,
+# incremental_agg_merge, stream_static_join_enrich (catastrophic
+# ±1e300 sum cancellation: accumulation order decides the total),
+# ts_autocorr_lag and udaf_grouped (oracle isfinite desync with the
+# extended gate), ts_ewma_anomaly and ts_week_over_week (ungated
+# hourly/daily means) — and extended functions/finite.py with MAG_CAP
+# (a finite 1e300 overflows second moments: Spark answers Inf/NaN,
+# DuckDB raises), which changes the generated oracle SQL of EVERY
+# sql_finite consumer.
 REGISTRY_TOUCHED_R12 = [
     "agg_argmax",
     "agg_percentile_approx",
+    "agg_time_decayed_sum",
+    "incremental_agg_merge",
     "ml_decision_stump",
     "q12_priority_pivot",
     "quality_ks_two_sample",
     "sample_poisson_bootstrap",
     "stream_session_window",
+    "stream_static_join_enrich",
+    "ts_autocorr_lag",
+    "ts_ewma_anomaly",
+    "ts_week_over_week",
+    "udaf_grouped",
     "win_ntile",
     "win_ntile_scale",
 ]
 
-# This round's touched list IS the registry-edit list (r11 left no
-# overflow debt).  9 <= 50, so the window seats all touched entries and
-# fills the remaining 41 slots with the stalest rows by artifact-derived
-# age: the r2-vintage scan family and the r3-vintage agg/window/setops/
-# fn/stream tails.
-TOUCHED_R12 = sorted(REGISTRY_TOUCHED_R12)
+# The other finite-gate consumers: their registry blocks are unchanged
+# (the suggester lists functions/finite.py and streaming/stateful.py
+# under "review"), but their SEMANTICS changed with the shared gate, so
+# freshness counts them touched — the r10 precedent, when the gate was
+# introduced.
+GATE_TOUCHED_R12 = [
+    "anomaly_zscore_rolling",
+    "feat_impute_missing",
+    "incremental_var_merge",
+    "stream_custom_stateful_profile",
+    "stream_upsert_tablelog",
+    "ts_interpolate_linear",
+    "ts_resample_ffill",
+    "ts_stl_decompose",
+    "win_rolling_median",
+]
+
+# This round's touched list = the registry-block edits plus the
+# gate-impacted consumers (r11 left no overflow debt).  25 <= 50, so
+# the window seats all touched entries and fills the remaining 25
+# slots with the stalest rows by artifact-derived age: the r2-vintage
+# scan family and the r3-vintage agg/window/setops tails.
+TOUCHED_R12 = sorted(set(REGISTRY_TOUCHED_R12) | set(GATE_TOUCHED_R12))
 
 
 def test_ledger_is_closed():

@@ -22,29 +22,40 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r12 window: the 9 touched entries first — the r11 ADVICE closure
-# (agg_percentile_approx's rank window over the non-NULL price
-# population), q12_priority_pivot's TPC-H NULL-free-assumption citation
-# (a docstring block touch), the four entries the r12 sf_nulls
-# extension (NULL o_totalprice holes) caught (win_ntile and
-# win_ntile_scale parking unpriced orders at opposite decile ends,
-# ml_decision_stump's grid and quality_ks_two_sample's ECDF shifting
-# around the NULL group), and the three entries the NEW sf_ties axis
-# (family nine) caught (agg_argmax's untied max_by,
-# stream_session_window's exact-gap boundary,
-# sample_poisson_bootstrap's noise-grain rounding) — then the 41
-# stalest remaining entries by artifact-derived age (the r2-vintage
-# scan family and the r3-vintage agg/window/setops/fn/stream tails).
+# The r12 window: the 25 touched entries first — the r11 ADVICE
+# closure and q12's citation, the four sf_nulls (NULL o_totalprice)
+# catches, the three sf_ties (family nine) catches, and the sixteen
+# finite-gate consumers family ten (sf_extremes) touched via
+# functions/finite.py's MAG_CAP extension (eight diverged and were
+# fixed directly; the rest changed semantics with the shared gate) —
+# then the 25 stalest remaining entries by artifact-derived age (the
+# r2-vintage scan family and the r3-vintage agg/window tails).
 R12_WINDOW = [
     "agg_argmax",
     "agg_percentile_approx",
+    "agg_time_decayed_sum",
+    "anomaly_zscore_rolling",
+    "feat_impute_missing",
+    "incremental_agg_merge",
+    "incremental_var_merge",
     "ml_decision_stump",
     "q12_priority_pivot",
     "quality_ks_two_sample",
     "sample_poisson_bootstrap",
+    "stream_custom_stateful_profile",
     "stream_session_window",
+    "stream_static_join_enrich",
+    "stream_upsert_tablelog",
+    "ts_autocorr_lag",
+    "ts_ewma_anomaly",
+    "ts_interpolate_linear",
+    "ts_resample_ffill",
+    "ts_stl_decompose",
+    "ts_week_over_week",
+    "udaf_grouped",
     "win_ntile",
     "win_ntile_scale",
+    "win_rolling_median",
     "scan_parquet",
     "scan_csv_schema",
     "source_http",
@@ -70,22 +81,6 @@ R12_WINDOW = [
     "set_union_all",
     "set_intersect",
     "set_except",
-    "set_distinct",
-    "dedup_exact",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_array_map",
-    "clean_currency",
-    "fn_fuzzy_match",
-    "fn_url_parse",
-    "stream_dedup_keys",
-    "stream_late_data",
-    "stream_dedup_within_watermark",
-    "stream_foreach_batch_sink",
-    "stream_static_join_enrich",
-    "stream_stream_interval_join",
-    "stream_append_finalized_windows",
 ]
 
 def test_driver_window_matches_coverage_plan():

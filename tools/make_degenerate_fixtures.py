@@ -156,6 +156,26 @@ production schemas:
                      candidate divergence on this axis; the standing
                      convention it pins is that ordered selections
                      tie-break to a key column on BOTH engines.
+- ``sf_extremes``   EXTREME-MAGNITUDE readings in events.value (r12
+                     family ten — the overflow-from-FINITE-inputs gap
+                     sf_nan left: 1e300 passes an isfinite check and
+                     then overflows INSIDE the second-moment
+                     aggregates, where Spark answers +Inf/NaN and
+                     DuckDB RAISES "VARSAMP is out of range").
+                     Planted by event_id, precedence top-down:
+                     % 59 -> 1e300, % 61 -> -1e300 (moment overflow),
+                     % 67 -> 1.5e154 (just past sqrt(DBL_MAX): the
+                     subtle one — ONLY the square overflows),
+                     % 71 -> 1e-300 (tiny), % 73 -> 5e-324 (denormal:
+                     engines render it differently — '4.9E-324' vs
+                     '5e-324'), % 79 -> -0.0 (signed zero: Spark
+                     normalizes a -0.0 GROUP KEY to 0.0, DuckDB
+                     returns -0.0). The convention this axis pins:
+                     the finite gate (functions/finite.py) treats
+                     abs(v) >= MAG_CAP (1e75, fourth-moment-safe) as
+                     a corrupt reading like NaN/Inf; denormals and
+                     signed zeros are legitimate IEEE values and must
+                     flow through value logic unharmed.
 
 Then sweep each with the driver simulator:
 
@@ -663,6 +683,38 @@ def _tie_embeddings(tab: pa.Table) -> pa.Table:
     )
 
 
+def _extreme_events(tab: pa.Table) -> pa.Table:
+    """Plant extreme-magnitude readings in events.value keyed on
+    event_id (precedence top-down, one class per row; NULLs stay
+    NULL). 1e300/-1e300 overflow any second moment; 1.5e154 is the
+    subtle class whose SQUARE alone overflows; 1e-300/5e-324 probe the
+    tiny end; -0.0 probes signed-zero normalization."""
+    idx = tab.schema.get_field_index("value")
+    ids = tab.column("event_id").to_pylist()
+    vals = tab.column("value").to_pylist()
+    out = []
+    for i, v in zip(ids, vals):
+        if v is None:
+            out.append(None)
+        elif i % 59 == 0:
+            out.append(1e300)
+        elif i % 61 == 0:
+            out.append(-1e300)
+        elif i % 67 == 0:
+            out.append(1.5e154)
+        elif i % 71 == 0:
+            out.append(1e-300)
+        elif i % 73 == 0:
+            out.append(5e-324)
+        elif i % 79 == 0:
+            out.append(-0.0)
+        else:
+            out.append(v)
+    return tab.set_column(
+        idx, tab.schema.field("value"), pa.array(out, tab.schema.field("value").type)
+    )
+
+
 def _null_holes(tab: pa.Table, cols: list[str]) -> pa.Table:
     for col in cols:
         idx = tab.schema.get_field_index(col)
@@ -691,6 +743,7 @@ def main() -> None:
             "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls",
             "sf_ragged", "sf_nan", "sf_hostiletext", "sf_hostileevents",
             "sf_hostilerel", "sf_nullkeys", "sf_nullcats", "sf_ties",
+            "sf_extremes",
         )
     }
     for d in dirs.values():
@@ -757,6 +810,10 @@ def main() -> None:
         elif t == "embeddings":
             ties = _tie_embeddings(tab)
         pq.write_table(ties, os.path.join(dirs["sf_ties"], f"{t}.parquet"))
+        pq.write_table(
+            _extreme_events(tab) if t == "events" else tab,
+            os.path.join(dirs["sf_extremes"], f"{t}.parquet"),
+        )
         print(f"{t}: all degenerate axes written")
     print("fixture sets:", ", ".join(dirs.values()))
 
