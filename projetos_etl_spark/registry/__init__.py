@@ -52,9 +52,10 @@ _FAMILIES = [
 # (functions/finite.py MAG_CAP), eight of them diverged and were fixed
 # directly, and every other entry whose oracle embeds sql_finite()
 # changed semantics with the gate, so freshness counts them all.
-# Rotated twice this round (the sf_extremes probe landed after the
-# first rotation — freshness beats window stability). 25 <= 50, so the
-# remaining 25 slots take the stalest rows by artifact-derived age:
+# Rotated three times this round (sf_extremes, then its density-
+# scaled rerun catching scan_csv_badrecords, each landed after a
+# rotation — freshness beats window stability). 26 <= 50, so the
+# remaining 24 slots take the stalest rows by artifact-derived age:
 # the r2-vintage scan family and the r3-vintage agg/window/setops
 # tails.
 _WINDOW_HEAD = [
@@ -69,6 +70,7 @@ _WINDOW_HEAD = [
     "q12_priority_pivot",
     "quality_ks_two_sample",
     "sample_poisson_bootstrap",
+    "scan_csv_badrecords",
     "stream_custom_stateful_profile",
     "stream_session_window",
     "stream_static_join_enrich",
@@ -107,7 +109,6 @@ _WINDOW_HEAD = [
     "win_percentiles_rank",
     "set_union_all",
     "set_intersect",
-    "set_except",
 ]
 
 def build() -> Registry:

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from projetos_etl_spark.functions.finite import finite, sql_finite
 from projetos_etl_spark.medallion import source_http
 from projetos_etl_spark.registry._core import Registry
 from projetos_etl_spark.sources.io import load_table, scan_csv, sink_partitioned
@@ -336,10 +337,16 @@ BAD_CSV_LINES = ["only,two", "notanumber,77,3.5"]
 
 @REG.add(
     "scan_csv_badrecords",
+    # The checksum rides the finite gate (functions/finite.py, r12
+    # sf_extremes at sf0.01 density): corrupt ±1e300 readings survive
+    # the CSV text round-trip losslessly and then make the good-row
+    # sum an accumulation-order function (partial order decides whether
+    # they cancel). Counts still cover every row — containment is the
+    # contract; the checksum is over the usable readings.
     oracle=f"""
     SELECT CAST(count(*) AS BIGINT)      AS n_good,
            CAST({len(BAD_CSV_LINES)} AS BIGINT) AS n_corrupt,
-           round(sum(value), 2)          AS good_value_sum
+           round(sum({sql_finite("value")}), 2) AS good_value_sum
     FROM events
     """,
 )
@@ -377,7 +384,7 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
         F.count(F.col("_corrupt_record")).alias("n_corrupt"),
         F.round(
-            F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("value"))), 2
+            F.sum(F.when(F.col("_corrupt_record").isNull(), finite("value"))), 2
         ).alias("good_value_sum"),
     )
 

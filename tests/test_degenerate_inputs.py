@@ -1733,6 +1733,7 @@ def _extreme_events(tmp_path):
 _EXTREME_CONSUMERS = [
     "agg_time_decayed_sum",
     "incremental_agg_merge",
+    "scan_csv_badrecords",  # caught only by the DENSITY-scaled rerun
     "stream_custom_stateful_profile",
     "stream_static_join_enrich",
     "ts_autocorr_lag",

@@ -125,11 +125,16 @@ PLANNED_THROUGH = 11
 # (a finite 1e300 overflows second moments: Spark answers Inf/NaN,
 # DuckDB raises), which changes the generated oracle SQL of EVERY
 # sql_finite consumer.
+# A final family-ten catch landed from the DENSITY-scaled extremes
+# probe (the axis rebuilt from sf0.01): scan_csv_badrecords' good-row
+# checksum was an ungated sum whose ±1e300 cancellation only surfaces
+# with enough corrupt pairs — gated like the rest.
 REGISTRY_TOUCHED_R12 = [
     "agg_argmax",
     "agg_percentile_approx",
     "agg_time_decayed_sum",
     "incremental_agg_merge",
+    "scan_csv_badrecords",
     "ml_decision_stump",
     "q12_priority_pivot",
     "quality_ks_two_sample",

@@ -22,13 +22,14 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r12 window: the 25 touched entries first — the r11 ADVICE
+# The r12 window: the 26 touched entries first — the r11 ADVICE
 # closure and q12's citation, the four sf_nulls (NULL o_totalprice)
 # catches, the three sf_ties (family nine) catches, and the sixteen
 # finite-gate consumers family ten (sf_extremes) touched via
 # functions/finite.py's MAG_CAP extension (eight diverged and were
-# fixed directly; the rest changed semantics with the shared gate) —
-# then the 25 stalest remaining entries by artifact-derived age (the
+# fixed directly; the rest changed semantics with the shared gate;
+# the density-scaled rerun added scan_csv_badrecords) —
+# then the 24 stalest remaining entries by artifact-derived age (the
 # r2-vintage scan family and the r3-vintage agg/window tails).
 R12_WINDOW = [
     "agg_argmax",
@@ -42,6 +43,7 @@ R12_WINDOW = [
     "q12_priority_pivot",
     "quality_ks_two_sample",
     "sample_poisson_bootstrap",
+    "scan_csv_badrecords",
     "stream_custom_stateful_profile",
     "stream_session_window",
     "stream_static_join_enrich",
@@ -80,7 +82,6 @@ R12_WINDOW = [
     "win_percentiles_rank",
     "set_union_all",
     "set_intersect",
-    "set_except",
 ]
 
 def test_driver_window_matches_coverage_plan():
