@@ -54,8 +54,9 @@ _FAMILIES = [
 # changed semantics with the gate, so freshness counts them all.
 # Rotated three times this round (sf_extremes, then its density-
 # scaled rerun catching scan_csv_badrecords, each landed after a
-# rotation — freshness beats window stability). 26 <= 50, so the
-# remaining 24 slots take the stalest rows by artifact-derived age:
+# rotation — freshness beats window stability; scan_parquet rides as
+# a conservative suggester-attribution touch). 27 <= 50, so the
+# remaining 23 slots take the stalest rows by artifact-derived age:
 # the r2-vintage scan family and the r3-vintage agg/window/setops
 # tails.
 _WINDOW_HEAD = [
@@ -71,6 +72,7 @@ _WINDOW_HEAD = [
     "quality_ks_two_sample",
     "sample_poisson_bootstrap",
     "scan_csv_badrecords",
+    "scan_parquet",
     "stream_custom_stateful_profile",
     "stream_session_window",
     "stream_static_join_enrich",
@@ -85,7 +87,6 @@ _WINDOW_HEAD = [
     "win_ntile",
     "win_ntile_scale",
     "win_rolling_median",
-    "scan_parquet",
     "scan_csv_schema",
     "source_http",
     "source_http_datasource",

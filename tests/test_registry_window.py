@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r12 window: the 26 touched entries first — the r11 ADVICE
+# The r12 window: the 27 touched entries first — the r11 ADVICE
 # closure and q12's citation, the four sf_nulls (NULL o_totalprice)
 # catches, the three sf_ties (family nine) catches, and the sixteen
 # finite-gate consumers family ten (sf_extremes) touched via
@@ -44,6 +44,7 @@ R12_WINDOW = [
     "quality_ks_two_sample",
     "sample_poisson_bootstrap",
     "scan_csv_badrecords",
+    "scan_parquet",
     "stream_custom_stateful_profile",
     "stream_session_window",
     "stream_static_join_enrich",
@@ -58,7 +59,6 @@ R12_WINDOW = [
     "win_ntile",
     "win_ntile_scale",
     "win_rolling_median",
-    "scan_parquet",
     "scan_csv_schema",
     "source_http",
     "source_http_datasource",
