@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 #: reading with ``abs(v) >= MAG_CAP`` is treated as corrupt.
 MAG_CAP = 1e75
 
+#: The cap as a SQL literal, derived from the constant (r12 ADVICE:
+#: every oracle must interpolate this, never re-spell the number, so
+#: retuning MAG_CAP can't desync the Spark gate from its DuckDB
+#: twins).  ``1e+75`` -> ``1e75`` only normalizes formatting.
+MAG_CAP_SQL = f"{MAG_CAP:g}".replace("e+", "e")
+
 
 def finite(col: Column | str) -> Column:
     """``col`` as DOUBLE with NaN/+Inf/-Inf — and finite values of
@@ -54,6 +60,16 @@ def finite(col: Column | str) -> Column:
     return F.when(~F.isnan(c) & (F.abs(c) < MAG_CAP), c)
 
 
+def sql_finite_pred(col: str) -> str:
+    """DuckDB predicate twin of the :func:`finite` gate condition
+    (TRUE iff the reading is a usable finite value below ``MAG_CAP``;
+    NULL/NaN/Inf/absurd-magnitude all fail it).  Hand-written oracle
+    WHERE clauses must use this instead of re-spelling the literal so
+    that retuning ``MAG_CAP`` can never desync the Spark gate from its
+    DuckDB twins."""
+    return f"isfinite({col}) AND abs({col}) < {MAG_CAP_SQL}"
+
+
 def sql_finite(col: str) -> str:
     """DuckDB twin of :func:`finite` (NULL on NaN/Inf/absurd magnitude,
     else the value).
@@ -61,6 +77,6 @@ def sql_finite(col: str) -> str:
     ``isfinite(NULL)`` is NULL -> CASE falls through to NULL, matching
     Spark's ``when`` with no otherwise."""
     return (
-        f"CASE WHEN isfinite({col}) AND abs({col}) < 1e75 "
+        f"CASE WHEN {sql_finite_pred(col)} "
         f"THEN CAST({col} AS DOUBLE) END"
     )

@@ -41,75 +41,73 @@ _FAMILIES = [
 # Rotate this list (plus the pin in tests/test_registry_window.py and
 # COVERAGE.md's ledger) in ONE commit at each round boundary.
 #
-# Round-12 window — derived by tools/freshness.py::plan_window(
-# TOUCHED_R12, through=11) per the COVERAGE.md freshness policy and
-# asserted by tests/test_freshness.py. Touched this round (25): the
-# r11 ADVICE closure (agg_percentile_approx) and q12's docstring
-# citation; the seven entries the round's first two fixture probes
-# caught (four from extending sf_nulls with NULL o_totalprice holes,
-# three from the NEW sf_ties axis, family nine); and the SIXTEEN
-# finite-gate consumers — family ten (sf_extremes) extended the gate
-# (functions/finite.py MAG_CAP), eight of them diverged and were fixed
-# directly, and every other entry whose oracle embeds sql_finite()
-# changed semantics with the gate, so freshness counts them all.
-# Rotated three times this round (sf_extremes, then its density-
-# scaled rerun catching scan_csv_badrecords, each landed after a
-# rotation — freshness beats window stability; scan_parquet rides as
-# a conservative suggester-attribution touch). 27 <= 50, so the
-# remaining 23 slots take the stalest rows by artifact-derived age:
-# the r2-vintage scan family and the r3-vintage agg/window/setops
-# tails.
+# Round-13 window — derived by tools/freshness.py::plan_window(
+# TOUCHED_R13, through=12) per the COVERAGE.md freshness policy and
+# asserted by tests/test_freshness.py. Touched this round (4): the r12
+# ADVICE MAG_CAP-interpolation closure edited the hand-written oracle
+# WHERE clauses of ts_autocorr_lag and udaf_grouped (now built from
+# functions/finite.py::sql_finite_pred; the generated SQL is
+# byte-identical — MAG_CAP_SQL normalizes 1e+75 back to 1e75 — so the
+# OTHER sql_finite consumers are NOT semantics-touched this time,
+# unlike r12 when the gate itself changed), and fn_string /
+# ts_resample_ffill ride as conservative suggester-attribution touches
+# (the new module-top sql_finite_pred imports land in each file's
+# first entry block — the scan_parquet precedent). 4 <= 50, so the
+# remaining 46 slots take the stalest rows by artifact-derived age:
+# exactly the r3-vintage setops/fn/stream tails and r4-vintage
+# text/corpus/dedup families the r12 VERDICT prescribed (its suggested
+# 50 minus the four rows the touched entries displace).
 _WINDOW_HEAD = [
-    "agg_argmax",
-    "agg_percentile_approx",
-    "agg_time_decayed_sum",
-    "anomaly_zscore_rolling",
-    "feat_impute_missing",
-    "incremental_agg_merge",
-    "incremental_var_merge",
-    "ml_decision_stump",
-    "q12_priority_pivot",
-    "quality_ks_two_sample",
-    "sample_poisson_bootstrap",
-    "scan_csv_badrecords",
-    "scan_parquet",
-    "stream_custom_stateful_profile",
-    "stream_session_window",
-    "stream_static_join_enrich",
-    "stream_upsert_tablelog",
+    "fn_string",
     "ts_autocorr_lag",
-    "ts_ewma_anomaly",
-    "ts_interpolate_linear",
     "ts_resample_ffill",
-    "ts_stl_decompose",
-    "ts_week_over_week",
     "udaf_grouped",
-    "win_ntile",
-    "win_ntile_scale",
-    "win_rolling_median",
-    "scan_csv_schema",
-    "source_http",
-    "source_http_datasource",
-    "scan_excel",
-    "scan_json_lines",
-    "scan_orc_roundtrip",
-    "agg_distinct",
-    "agg_stats",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_histogram",
-    "agg_mode_deterministic",
-    "agg_corr_regression",
-    "win_running_sum",
-    "win_range_frame",
-    "limit_topk",
-    "sort_multi",
-    "win_percent_dist",
-    "win_first_last",
-    "sort_paginate",
-    "win_percentiles_rank",
-    "set_union_all",
-    "set_intersect",
+    "set_except",
+    "set_distinct",
+    "dedup_exact",
+    "fn_date",
+    "fn_math",
+    "fn_array_map",
+    "clean_currency",
+    "fn_fuzzy_match",
+    "fn_url_parse",
+    "stream_dedup_keys",
+    "stream_late_data",
+    "stream_dedup_within_watermark",
+    "stream_foreach_batch_sink",
+    "stream_stream_interval_join",
+    "stream_append_finalized_windows",
+    "emb_centroid_per_label",
+    "text_tokens_stats",
+    "text_lang_filter",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "sample_stratified_hash",
+    "text_tfidf_topk",
+    "text_chunk_overlap",
+    "text_pii_redact",
+    "text_contamination_ngram",
+    "text_repetition_ngram",
+    "corpus_mix_weights",
+    "text_unigram_logprob",
+    "text_vocab_topk",
+    "sample_topk_per_stratum",
+    "corpus_pack_bins",
+    "multimodal_bundle",
+    "multimodal_frame_sample",
+    "multimodal_arrow_batches",
+    "scan_binary_files",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "pipeline_training_corpus",
+    "dedup_connected_components",
+    "pipeline_dedup_clustered",
+    "funnel_conversion",
+    "cohort_retention",
+    "udf_pandas_vec",
+    "dedup_minhash_incremental",
+    "dedup_lsh_bucket_stats",
 ]
 
 def build() -> Registry:

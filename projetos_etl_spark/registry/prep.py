@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projetos_etl_spark.functions.finite import finite, sql_finite
+from projetos_etl_spark.functions.finite import finite, sql_finite, sql_finite_pred
 from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
 from projetos_etl_spark.sources.io import load_table
 
@@ -2034,11 +2034,11 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # autocorrelation is computed over the USABLE series:
     # corrupt/NULL readings are dropped before the lag, so pairs span
     # the gap — the standard missing-data treatment for lag-k stats.
-    oracle="""
+    oracle=f"""
     WITH finite_series AS (
         SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value
         FROM events
-        WHERE isfinite(value) AND abs(value) < 1e75 AND ts IS NOT NULL
+        WHERE {sql_finite_pred("value")} AND ts IS NOT NULL
     ),
     lagged AS (
         SELECT user_id, value,

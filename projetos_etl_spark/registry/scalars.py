@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projetos_etl_spark.functions.currency import clean_currency
+from projetos_etl_spark.functions.finite import sql_finite_pred
 from projetos_etl_spark.registry._core import Registry
 from projetos_etl_spark.sources.io import load_table, register_views
 
@@ -312,12 +313,12 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mirrors the gate's MAG_CAP (r12 sf_extremes — a finite 1e300
     # passes bare isfinite and skews the log-mean on one side only).
     # Geomean over the FINITE positive values; n_events counts those.
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            round(exp(avg(ln(value))), 6) AS geomean_value,
            count(*)                      AS n_events
     FROM events
-    WHERE isfinite(value) AND abs(value) < 1e75 AND value > 0
+    WHERE {sql_finite_pred("value")} AND value > 0
     GROUP BY event_type
     ORDER BY event_type
     """,

@@ -93,9 +93,9 @@ REGISTRY_TOUCHED_R11 = [
 # and fills the remaining 17 slots with the stalest r2-vintage rows.
 TOUCHED_R11 = sorted(OVERFLOW_FROM_R10 + REGISTRY_TOUCHED_R11)
 
-# The window was planned from artifacts r1..r11; CORRECTNESS_r12.json
+# The window was planned from artifacts r1..r12; CORRECTNESS_r13.json
 # landing must not change what the plan derives to.
-PLANNED_THROUGH = 11
+PLANNED_THROUGH = 12
 
 # Entries whose registry code or oracle r12 ITSELF touched (grown as
 # the round proceeds; the suggest-touched pin below keeps it honest):
@@ -172,12 +172,41 @@ GATE_TOUCHED_R12 = [
     "win_rolling_median",
 ]
 
-# This round's touched list = the registry-block edits plus the
-# gate-impacted consumers (r11 left no overflow debt).  25 <= 50, so
-# the window seats all touched entries and fills the remaining 25
-# slots with the stalest rows by artifact-derived age: the r2-vintage
-# scan family and the r3-vintage agg/window/setops tails.
+# The r12 touched list = the registry-block edits plus the
+# gate-impacted consumers (r11 left no overflow debt).  27 <= 50
+# (18 registry + 9 gate-touched), so the r12 window seated all touched
+# entries and filled the remaining 23 slots with the stalest rows by
+# artifact-derived age: the r2-vintage scan family and the r3-vintage
+# agg/window/setops tails.  Kept verbatim for the r12-diff recovery
+# pin below.
 TOUCHED_R12 = sorted(set(REGISTRY_TOUCHED_R12) | set(GATE_TOUCHED_R12))
+
+# Entries whose registry code or oracle r13 ITSELF touched (grown as
+# the round proceeds; the suggest-touched pin below keeps it honest):
+# the r12 ADVICE MAG_CAP-interpolation closure rebuilt the
+# hand-written oracle WHERE clauses of ts_autocorr_lag and
+# udaf_grouped from functions/finite.py::sql_finite_pred.  The
+# generated SQL is BYTE-IDENTICAL (MAG_CAP_SQL normalizes repr's
+# 1e+75 back to the 1e75 the oracles always spelled), so unlike r12 —
+# when the gate's semantics changed and every sql_finite consumer was
+# gate-touched — there is NO gate-touched set this round.  fn_string
+# and ts_resample_ffill ride as conservative suggester-attribution
+# touches: the new module-top sql_finite_pred imports in scalars.py
+# and prep.py land in each file's first entry block (the scan_parquet
+# precedent from r12).
+REGISTRY_TOUCHED_R13 = [
+    "fn_string",
+    "ts_autocorr_lag",
+    "ts_resample_ffill",
+    "udaf_grouped",
+]
+
+# This round's touched list (r12 left no overflow debt).  4 <= 50, so
+# the window seats all touched entries and fills the remaining 46
+# slots with the stalest rows by artifact-derived age: the r3-vintage
+# setops/fn/stream tails and the r4-vintage text/corpus/dedup
+# families — exactly the rotation the r12 VERDICT prescribed.
+TOUCHED_R13 = sorted(REGISTRY_TOUCHED_R13)
 
 
 def test_ledger_is_closed():
@@ -187,7 +216,7 @@ def test_ledger_is_closed():
 
 
 def test_window_derives_from_artifacts():
-    derived = plan_window(TOUCHED_R12, through=PLANNED_THROUGH)
+    derived = plan_window(TOUCHED_R13, through=PLANNED_THROUGH)
     assert _WINDOW_HEAD == derived, (
         "_WINDOW_HEAD drifted from the artifact-derived policy window "
         "(touched-first, then stalest by last-green round / artifact "
@@ -196,13 +225,13 @@ def test_window_derives_from_artifacts():
 
 
 def test_overflow_debt_is_flushed():
-    # 9 touched <= 50 slots: no overflow this round, and the ledger
+    # 4 touched <= 50 slots: no overflow this round, and the ledger
     # keeps ZERO entries whose official row predates their code once
-    # CORRECTNESS_r12 lands.
+    # CORRECTNESS_r13 lands.
     from tools.freshness import plan_overflow
 
-    assert plan_overflow(TOUCHED_R12, through=PLANNED_THROUGH) == []
-    assert set(TOUCHED_R12) <= set(_WINDOW_HEAD)
+    assert plan_overflow(TOUCHED_R13, through=PLANNED_THROUGH) == []
+    assert set(TOUCHED_R13) <= set(_WINDOW_HEAD)
 
 
 def test_overflow_list_matches_r10_artifacts():
@@ -220,24 +249,26 @@ def test_touched_entries_were_green_before():
     # have a green row (a never-green entry would be a ledger hole, not
     # a freshness item).
     lg = last_green(through=PLANNED_THROUGH)
-    assert all(n in lg for n in TOUCHED_R12)
+    assert all(n in lg for n in TOUCHED_R13)
 
 
 def test_staleness_facts_match_judged_ledger():
-    # Anchor the parser against facts the r11 judge verified by hand:
+    # Anchor the parser against facts the r12 judge verified by hand:
     # the per-round last-green counts partition all 326 entries (the
-    # r11 window re-greened 50, leaving these vintages), and the
-    # stalest entries are the r2-vintage scan-family rows.
+    # r12 window re-greened 50 — the r2-vintage rows are now all
+    # refreshed, so the oldest vintage is r3), and the stalest entries
+    # are the r3-vintage setops tails.
     lg = last_green(through=PLANNED_THROUGH)
     assert len(lg) == 326
     by_round: dict[int, int] = {}
     for rn in lg.values():
         by_round[rn] = by_round.get(rn, 0) + 1
     assert by_round == {
-        2: 7, 3: 29, 4: 33, 5: 27, 6: 25, 7: 33, 8: 37, 9: 39, 10: 46, 11: 50
+        3: 10, 4: 32, 5: 26, 6: 23, 7: 32, 8: 37, 9: 36, 10: 35, 11: 45,
+        12: 50,
     }
     order = staleness_order(through=PLANNED_THROUGH)
-    assert order[:2] == ["scan_parquet", "scan_csv_schema"]
+    assert order[:2] == ["set_except", "set_distinct"]
     assert len(order) == 326
 
 
@@ -252,11 +283,11 @@ def test_window_names_all_in_coverage_ledger_row():
                      "COVERAGE.md")
     ).read()
     row = next(
-        (ln for ln in md.splitlines() if ln.startswith("| **r12 window**")), None
+        (ln for ln in md.splitlines() if ln.startswith("| **r13 window**")), None
     )
-    assert row is not None, "COVERAGE.md lacks the r12 window ledger row"
+    assert row is not None, "COVERAGE.md lacks the r13 window ledger row"
     for name in _WINDOW_HEAD:
-        assert f"`{name}`" in row, f"{name} missing from COVERAGE.md r12 row"
+        assert f"`{name}`" in row, f"{name} missing from COVERAGE.md r13 row"
 
 
 def test_entry_blocks_attribute_helpers_to_following_entry():
@@ -290,31 +321,32 @@ def test_suggest_touched_empty_diff_suggests_nothing():
     assert s["entries"] == [] and s["review"] == []
 
 
-def test_suggest_touched_recovers_r12_registry_entries():
-    # Against the r12 diff itself (last CORRECTNESS commit — the r11
+def test_suggest_touched_recovers_r13_registry_entries():
+    # Against the r13 diff itself (last CORRECTNESS commit — the r12
     # artifact landing — .. HEAD) the suggester must recover exactly the
-    # registry-module entries r12 touched (REGISTRY_TOUCHED_R12).  If a
-    # later r12 edit touches more registry blocks, this pin fails on
-    # purpose: grow REGISTRY_TOUCHED_R12 and re-derive the rotation
+    # registry-module entries r13 touched (REGISTRY_TOUCHED_R13).  If a
+    # later r13 edit touches more registry blocks, this pin fails on
+    # purpose: grow REGISTRY_TOUCHED_R13 and re-derive the rotation
     # (freshness beats window stability).  Skipped gracefully once a
-    # later round's artifacts land (the diff base moves past r11's
-    # artifact commit).
+    # later round's artifacts land (the diff base moves past r12's
+    # artifact commit — detected by CORRECTNESS_r13.json existing in
+    # git history, the same signal suggest_touched keys off).
     import os
     import subprocess
 
     from tools.freshness import suggest_touched
 
-    base = subprocess.run(
-        ["git", "log", "-1", "--format=%s", "--", "CORRECTNESS_r11.json"],
-        capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ).stdout
-    if "round 11" not in base:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r13_landed = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", "CORRECTNESS_r13.json"],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout.strip()
+    if r13_landed:
         import pytest as _pytest
 
-        _pytest.skip("r12 diff base has moved on")
+        _pytest.skip("r13 diff base has moved on")
     s = suggest_touched()
-    assert set(s["entries"]) == set(REGISTRY_TOUCHED_R12)
+    assert set(s["entries"]) == set(REGISTRY_TOUCHED_R13)
 
 
 # The r10 touched list (69 entries, pinned in r10's vintage of this

@@ -22,72 +22,72 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r12 window: the 27 touched entries first — the r11 ADVICE
-# closure and q12's citation, the four sf_nulls (NULL o_totalprice)
-# catches, the three sf_ties (family nine) catches, and the sixteen
-# finite-gate consumers family ten (sf_extremes) touched via
-# functions/finite.py's MAG_CAP extension (eight diverged and were
-# fixed directly; the rest changed semantics with the shared gate;
-# the density-scaled rerun added scan_csv_badrecords) —
-# then the 24 stalest remaining entries by artifact-derived age (the
-# r2-vintage scan family and the r3-vintage agg/window tails).
-R12_WINDOW = [
-    "agg_argmax",
-    "agg_percentile_approx",
-    "agg_time_decayed_sum",
-    "anomaly_zscore_rolling",
-    "feat_impute_missing",
-    "incremental_agg_merge",
-    "incremental_var_merge",
-    "ml_decision_stump",
-    "q12_priority_pivot",
-    "quality_ks_two_sample",
-    "sample_poisson_bootstrap",
-    "scan_csv_badrecords",
-    "scan_parquet",
-    "stream_custom_stateful_profile",
-    "stream_session_window",
-    "stream_static_join_enrich",
-    "stream_upsert_tablelog",
+# The r13 window: the 4 touched entries first — the r12 ADVICE
+# MAG_CAP-interpolation closure (ts_autocorr_lag and udaf_grouped's
+# hand-written oracle WHERE clauses now interpolate
+# functions/finite.py::sql_finite_pred; generated SQL byte-identical)
+# plus fn_string / ts_resample_ffill as conservative
+# suggester-attribution touches (module-top imports land in each
+# file's first entry block) — then the 46 stalest remaining entries by
+# artifact-derived age: the r3-vintage setops/fn/stream tails and the
+# r4-vintage text/corpus/dedup families (last re-verified rounds 3-4).
+R13_WINDOW = [
+    "fn_string",
     "ts_autocorr_lag",
-    "ts_ewma_anomaly",
-    "ts_interpolate_linear",
     "ts_resample_ffill",
-    "ts_stl_decompose",
-    "ts_week_over_week",
     "udaf_grouped",
-    "win_ntile",
-    "win_ntile_scale",
-    "win_rolling_median",
-    "scan_csv_schema",
-    "source_http",
-    "source_http_datasource",
-    "scan_excel",
-    "scan_json_lines",
-    "scan_orc_roundtrip",
-    "agg_distinct",
-    "agg_stats",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_histogram",
-    "agg_mode_deterministic",
-    "agg_corr_regression",
-    "win_running_sum",
-    "win_range_frame",
-    "limit_topk",
-    "sort_multi",
-    "win_percent_dist",
-    "win_first_last",
-    "sort_paginate",
-    "win_percentiles_rank",
-    "set_union_all",
-    "set_intersect",
+    "set_except",
+    "set_distinct",
+    "dedup_exact",
+    "fn_date",
+    "fn_math",
+    "fn_array_map",
+    "clean_currency",
+    "fn_fuzzy_match",
+    "fn_url_parse",
+    "stream_dedup_keys",
+    "stream_late_data",
+    "stream_dedup_within_watermark",
+    "stream_foreach_batch_sink",
+    "stream_stream_interval_join",
+    "stream_append_finalized_windows",
+    "emb_centroid_per_label",
+    "text_tokens_stats",
+    "text_lang_filter",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "sample_stratified_hash",
+    "text_tfidf_topk",
+    "text_chunk_overlap",
+    "text_pii_redact",
+    "text_contamination_ngram",
+    "text_repetition_ngram",
+    "corpus_mix_weights",
+    "text_unigram_logprob",
+    "text_vocab_topk",
+    "sample_topk_per_stratum",
+    "corpus_pack_bins",
+    "multimodal_bundle",
+    "multimodal_frame_sample",
+    "multimodal_arrow_batches",
+    "scan_binary_files",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "pipeline_training_corpus",
+    "dedup_connected_components",
+    "pipeline_dedup_clustered",
+    "funnel_conversion",
+    "cohort_retention",
+    "udf_pandas_vec",
+    "dedup_minhash_incremental",
+    "dedup_lsh_bucket_stats",
 ]
 
 def test_driver_window_matches_coverage_plan():
-    assert len(R12_WINDOW) == 50
-    got = list(all_queries())[: len(R12_WINDOW)]
-    assert got == R12_WINDOW, (
+    assert len(R13_WINDOW) == 50
+    got = list(all_queries())[: len(R13_WINDOW)]
+    assert got == R13_WINDOW, (
         "The first-50 verification window shifted. The window is the "
         "explicit registry.__init__._WINDOW_HEAD list; if you changed it, "
         "update this pin AND COVERAGE.md's ledger deliberately."
@@ -97,7 +97,7 @@ def test_driver_window_matches_coverage_plan():
 def test_window_head_is_the_pin():
     # _WINDOW_HEAD and this pin must be the same list; divergence means a
     # half-finished rotation commit.
-    assert _WINDOW_HEAD == R12_WINDOW
+    assert _WINDOW_HEAD == R13_WINDOW
 
 
 def test_no_window_name_collisions():
