@@ -177,6 +177,39 @@ production schemas:
                      signed zeros are legitimate IEEE values and must
                      flow through value logic unharmed.
 
+- ``sf_unicode``    Unicode NORMALIZATION/COLLATION hostility (r13
+                     family eleven — nothing earlier was
+                     normalization-divergent; a 100 TB web crawl
+                     contains all of it).  documents.text by doc_id
+                     (% 23 -> NFC prefix, % 29 -> the SAME visible
+                     prefix in NFD — near-dup pairs differing only in
+                     code points, % 31 -> Turkish dotted/dotless İ/ı,
+                     % 37 -> sharp-s ß/SS, % 41 -> zero-width
+                     ZWJ/ZWSP/BOM inside and between words plus an
+                     NBSP-joined token (Python str.split() treats
+                     U+00A0 as whitespace; JVM \\s and SQL
+                     split-on-space do not), % 43 ->
+                     astral-plane emoji + math letters + a ZWJ emoji
+                     family); part.p_name by p_partkey (% 29 -> ZWJ
+                     hidden inside the name, % 31/% 37 -> the same visible
+                     'ácme ' prefix in NFC vs NFD, % 41 -> İ prefix,
+                     % 43 -> astral prefix); customer.c_name by
+                     c_custkey (% 29 -> trailing ß before the final
+                     '7' so fn_string's LIKE '%7' still admits it to
+                     upper(), % 31 -> ZWJ before the final digit,
+                     % 37 -> İ prefix); events.props by event_id
+                     (% 29/% 31 -> NFC/NFD "tag" string values,
+                     % 41 -> JSON-ESCAPED surrogate pair \ud83d\ude00
+                     that must decode to ONE astral code point,
+                     % 43 -> ß + ZWJ value).  The trap this axis pins:
+                     Spark (JVM) uses FULL Unicode case mappings
+                     (lower('İ') = 'i'+U+0307, upper('ß') = 'SS')
+                     while DuckDB (utf8proc) uses SIMPLE 1:1 mappings
+                     ('i', 'ẞ') — every lower()/upper() over dirty
+                     text is a candidate divergence, and binary
+                     equality treats NFC != NFD on both engines (any
+                     one-sided normalization diverges).
+
 Then sweep each with the driver simulator:
 
     python tools/driver_sim.py --sf-dir /tmp/sf_nulls
@@ -715,6 +748,149 @@ def _extreme_events(tab: pa.Table) -> pa.Table:
     )
 
 
+# Family eleven (sf_unicode) plant strings.  NFC and NFD spell the
+# SAME visible text with different code points (é = U+00E9 vs
+# e + U+0301): binary-comparing engines agree they differ, but any
+# one-sided normalization diverges.  The Turkish and sharp-s lines are
+# the canonical FULL-vs-SIMPLE case-mapping traps: Java/Spark full
+# mapping gives lower('İ') = 'i' + U+0307 (2 code points) and
+# upper('ß') = 'SS', while utf8proc/DuckDB simple 1:1 mapping gives
+# 'i' and 'ẞ'.  Zero-width characters (ZWJ/ZWSP/BOM) hide inside
+# words and keys; the astral line forces surrogate-pair handling
+# (UTF-16 engines) vs 4-byte UTF-8.
+UNI_NFC = "caf\u00e9 r\u00e9sum\u00e9 na\u00efve se\u00f1or "
+UNI_NFD = (
+    "cafe\u0301 re\u0301sume\u0301 nai\u0308ve sen\u0303or "
+)
+UNI_TURKISH = "\u0130stanbul D\u0130YARBAKIR \u0131\u015f\u0131k III "
+UNI_SHARP_S = "stra\u00dfe STRASSE Wei\u00df gro\u00dfen "
+UNI_ZERO_WIDTH = "foo\u200dbar baz\u200bqux \ufeffbom nb\u00a0sp "
+UNI_ASTRAL = (
+    "\U0001f600 \U0001f680\U0001f4a5 "
+    "\U0001d518\U0001d52b\U0001d526 "
+    "\U0001f468\u200d\U0001f469\u200d\U0001f467 "
+)
+
+
+def _unicode_documents(tab: pa.Table) -> pa.Table:
+    """Plant normalization/casing/zero-width/astral hostility in
+    documents.text keyed on doc_id (precedence top-down, one class per
+    doc; NULLs stay NULL).  The % 23/% 29 classes form NFC-vs-NFD
+    near-dup PAIRS — same visible prefix, different bytes — so every
+    shingle/fingerprint/dedup signature must make the same
+    binary-vs-normalized choice on both engines."""
+    idx = tab.schema.get_field_index("text")
+    ids = tab.column("doc_id").to_pylist()
+    texts = tab.column("text").to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        if t is None:
+            out.append(None)
+        elif i % 23 == 0:
+            out.append(UNI_NFC + t)
+        elif i % 29 == 0:
+            out.append(UNI_NFD + t)
+        elif i % 31 == 0:
+            out.append(UNI_TURKISH + t)
+        elif i % 37 == 0:
+            out.append(UNI_SHARP_S + t)
+        elif i % 41 == 0:
+            out.append(UNI_ZERO_WIDTH + t)
+        elif i % 43 == 0:
+            out.append(UNI_ASTRAL + t)
+        else:
+            out.append(t)
+    return tab.set_column(
+        idx, tab.schema.field("text"), pa.array(out, pa.string())
+    )
+
+
+def _unicode_part(tab: pa.Table) -> pa.Table:
+    """Plant unicode hostility inside p_name KEY strings keyed on
+    p_partkey: a ZWJ hidden inside the name (visually identical to the
+    clean name -> two 'same-looking' keys that must group apart on
+    BOTH engines), NFC/NFD accent variants of the same letter, a
+    Turkish dotted capital, and an astral prefix."""
+    idx = tab.schema.get_field_index("p_name")
+    keys = tab.column("p_partkey").to_pylist()
+    names = tab.column("p_name").to_pylist()
+    out = []
+    for k, n in zip(keys, names):
+        if n is None:
+            out.append(None)
+        elif k % 29 == 0:
+            out.append(n.replace(" ", "\u200d ", 1))
+        elif k % 31 == 0:
+            out.append("\u00e1cme " + n)
+        elif k % 37 == 0:
+            out.append("a\u0301cme " + n)
+        elif k % 41 == 0:
+            out.append("\u0130" + n)
+        elif k % 43 == 0:
+            out.append("\U0001d4ab " + n)
+        else:
+            out.append(n)
+    return tab.set_column(
+        idx, tab.schema.field("p_name"), pa.array(out, pa.string())
+    )
+
+
+def _unicode_customer(tab: pa.Table) -> pa.Table:
+    """Plant case-mapping traps in c_name keyed on c_custkey.  The ß
+    class keeps the trailing '7' so rows still pass fn_string's
+    LIKE '%7' filter and the ß reaches upper() (full mapping 'SS' vs
+    simple 'ẞ'); the ZWJ class hides a joiner immediately before that
+    trailing digit (LIKE must still match); the İ class probes
+    full-vs-simple lower()."""
+    idx = tab.schema.get_field_index("c_name")
+    keys = tab.column("c_custkey").to_pylist()
+    names = tab.column("c_name").to_pylist()
+    out = []
+    for k, n in zip(keys, names):
+        if n is None:
+            out.append(None)
+        elif k % 29 == 0:
+            out.append(n + "\u00df7")
+        elif k % 31 == 0:
+            out.append(n[:-1] + "\u200d" + n[-1])
+        elif k % 37 == 0:
+            out.append("\u0130" + n)
+        else:
+            out.append(n)
+    return tab.set_column(
+        idx, tab.schema.field("c_name"), pa.array(out, pa.string())
+    )
+
+
+def _unicode_events(tab: pa.Table) -> pa.Table:
+    """Plant unicode STRING values inside events.props JSON keyed on
+    event_id, under a NEW "tag" key (the numeric $.k extraction the
+    other entries rely on is untouched).  The % 41 class writes the
+    value as JSON-ESCAPED surrogate pairs (\\ud83d\\ude00) — both
+    engines' JSON parsers must decode the pair to one astral code
+    point, not two lone surrogates."""
+    idx = tab.schema.get_field_index("props")
+    ids = tab.column("event_id").to_pylist()
+    props = tab.column("props").to_pylist()
+    out = []
+    for i, p in zip(ids, props):
+        if p is None or not p.endswith("}"):
+            out.append(p)
+        elif i % 29 == 0:
+            out.append(p[:-1] + ', "tag": "caf\u00e9"}')
+        elif i % 31 == 0:
+            out.append(p[:-1] + ', "tag": "café"}')
+        elif i % 41 == 0:
+            out.append(p[:-1] + ', "tag": "\\ud83d\\ude00"}')
+        elif i % 43 == 0:
+            out.append(p[:-1] + ', "tag": "stra\u00dfe\u200d"}')
+        else:
+            out.append(p)
+    return tab.set_column(
+        idx, tab.schema.field("props"), pa.array(out, pa.string())
+    )
+
+
 def _null_holes(tab: pa.Table, cols: list[str]) -> pa.Table:
     for col in cols:
         idx = tab.schema.get_field_index(col)
@@ -743,7 +919,7 @@ def main() -> None:
             "sf_empty", "sf_factsempty", "sf_onerow", "sf_nulls",
             "sf_ragged", "sf_nan", "sf_hostiletext", "sf_hostileevents",
             "sf_hostilerel", "sf_nullkeys", "sf_nullcats", "sf_ties",
-            "sf_extremes",
+            "sf_extremes", "sf_unicode",
         )
     }
     for d in dirs.values():
@@ -814,6 +990,16 @@ def main() -> None:
             _extreme_events(tab) if t == "events" else tab,
             os.path.join(dirs["sf_extremes"], f"{t}.parquet"),
         )
+        uni = tab
+        if t == "documents":
+            uni = _unicode_documents(tab)
+        elif t == "part":
+            uni = _unicode_part(tab)
+        elif t == "customer":
+            uni = _unicode_customer(tab)
+        elif t == "events":
+            uni = _unicode_events(tab)
+        pq.write_table(uni, os.path.join(dirs["sf_unicode"], f"{t}.parquet"))
         print(f"{t}: all degenerate axes written")
     print("fixture sets:", ", ".join(dirs.values()))
 
