@@ -60,13 +60,24 @@ def kmeans_lloyd(
     the behavior that keeps a pipeline alive when an upstream filter
     legitimately empties the training input.
 
-    Centroids ship as a broadcast k-row DataFrame, NOT as literal
-    arrays baked into the expression tree: k*d inline literals made
-    Catalyst re-analyze + Janino re-compile a fresh ~256-node tree
-    every iteration (measured 3.4-5.0 s PER ITERATION at sf0.1 for
-    2,000 rows of actual work); with an iteration-invariant plan shape
-    the whole-stage codegen cache hits and an iteration costs the data,
-    not the compiler."""
+    Centroids ship as a broadcast ONE-ROW DataFrame holding the whole
+    array<struct<cid,c>>, NOT as literal arrays baked into the
+    expression tree: k*d inline literals made Catalyst re-analyze +
+    Janino re-compile a fresh ~256-node tree every iteration (measured
+    3.4-5.0 s PER ITERATION at sf0.1 for 2,000 rows of actual work);
+    with an iteration-invariant plan shape the whole-stage codegen
+    cache hits and an iteration costs the data, not the compiler.
+
+    The assignment itself is a PER-ROW ``array_min`` over the
+    transform-built (distance, cid) structs — no row explosion, no
+    shuffle (r13 optimization, guide §2.4): the previous k-row-centroid
+    crossJoin fanned every point into k rows and then re-grouped them
+    by ``__id`` through a full Exchange (SortAggregate of min(struct) +
+    first(vector) — the point VECTORS crossed the wire every round just
+    to undo the fan-out). ``array_min`` picks the same lexicographic
+    (d, cid) minimum struct, so assignments are bit-identical; the only
+    remaining per-iteration Exchange is the k*d-group mean (map-side
+    combined, k*d doubles per task)."""
     spark = vecs.sparkSession
     x = F.col(vec_col).cast("array<double>")
     # NULL vectors have no position in space: excluded from seeding and
@@ -92,28 +103,7 @@ def kmeans_lloyd(
     if not cents:
         return cents
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            sorted(cents.items()), "cid int, c array<double>"
-        )
-        scored = data.crossJoin(F.broadcast(cent_df)).select(
-            "__id",
-            "__x",
-            F.struct(
-                _sq_dist(F.col("__x"), F.col("c")), F.col("cid")
-            ).cast("struct<d:double,cid:int>").alias("dc"),
-        )
-        # min over struct = (min dist, tie -> min cid); min_by carries
-        # the row's vector so no second join is needed.
-        assigned = scored.groupBy("__id").agg(
-            F.min(F.col("dc")).getField("cid").alias("cid"),
-            F.first("__x").alias("__x"),
-        )
-        rows = (
-            assigned.select("cid", F.posexplode("__x").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("val"), CENT_DECIMALS).alias("m"))
-            .collect()
-        )
+        rows = _iteration_df(data, cents).collect()
         new: dict[int, list[float]] = {}
         for r in rows:
             new.setdefault(int(r.cid), [0.0] * len(next(iter(cents.values()))))[
@@ -121,3 +111,35 @@ def kmeans_lloyd(
             ] = r.m
         cents = new
     return cents
+
+
+def _iteration_df(data: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """One Lloyd step as a DataFrame: (cid, pos, m) new-centroid means.
+
+    Shuffle-free assignment (see the docstring above): the centroid set
+    rides in as ONE broadcast row of array<struct<cid,c>>, each point
+    computes ``array_min`` over its (distance, cid) structs — the exact
+    lexicographic (min d, tie -> min cid) the old min-over-struct
+    aggregate produced — and only the posexploded (cid, pos, val)
+    triples reach the single mergeable k*d-group mean Exchange."""
+    spark = data.sparkSession
+    cent_df = spark.createDataFrame(
+        [(sorted(cents.items()),)], "cents array<struct<cid:int,c:array<double>>>"
+    )
+    dc = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                _sq_dist(F.col("__x"), ct["c"]).alias("d"),
+                ct["cid"].alias("cid"),
+            ),
+        )
+    )
+    assigned = data.crossJoin(F.broadcast(cent_df)).select(
+        dc.getField("cid").alias("cid"), F.col("__x")
+    )
+    return (
+        assigned.select("cid", F.posexplode("__x").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("val"), CENT_DECIMALS).alias("m"))
+    )

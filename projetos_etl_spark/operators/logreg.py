@@ -48,18 +48,37 @@ def logreg_gd(
     d = len(feature_cols)
     w = [0.0] * d
     for _ in range(iters):
-        z = sum(
-            (F.col(c) * float(w[j]) for j, c in enumerate(feature_cols)),
-            F.lit(0.0),
-        )
-        err = _sigmoid(z) - F.col(label_col)
-        grads = data.agg(
-            *[
-                F.round(F.avg(err * F.col(c)), GRAD_DECIMALS).alias(f"g{j}")
-                for j, c in enumerate(feature_cols)
-            ]
-        ).collect()[0]
+        grads = _grad_df(data, feature_cols, label_col, w).collect()[0]
         if grads[0] is None:
             return None
         w = [w[j] - lr * grads[j] for j in range(d)]
     return w
+
+
+def _grad_df(
+    data: DataFrame, feature_cols: list[str], label_col: str, w: list[float]
+) -> DataFrame:
+    """One gradient step as a 1-row DataFrame of the d rounded means.
+
+    The weights ride in as a broadcast ONE-ROW array<double> column
+    instead of inline literals (r13 optimization, the kmeans lesson):
+    literal weights changed the expression tree every iteration, so
+    Catalyst re-analyzed and Janino re-compiled a fresh plan per step —
+    ~25 codegen compiles to aggregate 3 doubles. With the weights as
+    column data the plan is iteration-invariant, the codegen cache
+    hits, and a step costs one mergeable aggregate job. Arithmetic is
+    unchanged (same left-to-right ``0.0 + x_j * w_j`` fold over the
+    same doubles), so the weight trajectory is bit-identical."""
+    spark = data.sparkSession
+    wdf = spark.createDataFrame([([float(v) for v in w],)], "w array<double>")
+    z = sum(
+        (F.col(c) * F.col("w").getItem(j) for j, c in enumerate(feature_cols)),
+        F.lit(0.0),
+    )
+    err = _sigmoid(z) - F.col(label_col)
+    return data.crossJoin(F.broadcast(wdf)).agg(
+        *[
+            F.round(F.avg(err * F.col(c)), GRAD_DECIMALS).alias(f"g{j}")
+            for j, c in enumerate(feature_cols)
+        ]
+    )

@@ -184,10 +184,28 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
             "va", "vb", lambda x, y: x + F.lit(float(PROBE_EPS)) * y
         ).alias("embedding"),
     )
-    # Bounded driver counts (<= N_PROBES rows / parquet metadata job),
-    # negligible beside quantizer training.
-    n_probes_built = probes.count()
-    if valid.count() < 2 * N_PROBES or n_probes_built < PROBE_FLOOR:
+    # Bounded driver gate in ONE aggregate job (r13: was two separate
+    # count() jobs — the corpus count and a probe-pair-join count): the
+    # corpus size plus the sorted id list below 2*N_PROBES (<= 40
+    # longs), from which the constructible-pair count is driver
+    # arithmetic — pair i exists iff ids i AND i+N_PROBES both survive
+    # well_formed, exactly what the probes join used to count.
+    gate = valid.agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.collect_list(
+            F.when(F.col("vec_id") < 2 * N_PROBES, F.col("vec_id"))
+        ).alias("low_ids"),
+    ).collect()[0]
+    from collections import Counter
+
+    # Multiset product, not set membership: the probes join (and the
+    # oracle's count(*) gate) MULTIPLIES on duplicate vec_ids, so the
+    # driver arithmetic must too.
+    low_ids = Counter(gate.low_ids)
+    n_probes_built = sum(
+        low_ids[i] * low_ids[i + N_PROBES] for i in range(N_PROBES)
+    )
+    if gate.n_valid < 2 * N_PROBES or n_probes_built < PROBE_FLOOR:
         # The planted-probe construction needs vec_ids [0, 2*N_PROBES);
         # below that — or when the probe id range is NULL-holed down to
         # fewer than PROBE_FLOOR constructible pairs — the audit abstains
@@ -208,7 +226,27 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
     # filter out the whole corpus inside the tier while the oracle pins
     # rows at the new length — a guaranteed spurious mismatch (r9
     # ADVICE).
-    res = tier_fn(queries, emb, k=TOP_K, dim=EMB_DIM)
+    #
+    # ONE tier call over the union of real queries and planted probes
+    # (r13 optimization, guide §1.2 "don't compute things twice"): the
+    # two id spaces are disjoint (probes sit at PROBE_ID_BASE+), and
+    # every tier is per-query row-independent — training reads only the
+    # candidate side, cell/LUT assignment is per row, the candidate
+    # join and the rank window partition by query_id — so the union
+    # call returns exactly the concatenation of the two separate calls,
+    # while training the quantizers and scanning/encoding the CORPUS
+    # side once instead of twice. The (<= (N_QUERIES + N_PROBES) * k)-row
+    # result is localCheckpoint-materialized because both the rerank
+    # audit and the recall aggregate consume it — without the pin the
+    # lazy tier pipeline would re-execute per consumer, which is the
+    # double-scan this change removes.
+    res_all = tier_fn(
+        queries.select("vec_id", "embedding").unionByName(probes),
+        emb,
+        k=TOP_K,
+        dim=EMB_DIM,
+    ).localCheckpoint(eager=True)
+    res = res_all.filter(F.col("query_id") < PROBE_ID_BASE)
     qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     cv = vecs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
@@ -248,7 +286,7 @@ def _ann_contract(spark: SparkSession, sf_dir: str, tier_fn) -> DataFrame:
     # actually CONSTRUCTED: on clean fixtures exactly N_PROBES; with
     # NULL holes it stays an honest recall over >= PROBE_FLOOR probes
     # (the abstention gate above guarantees the sample size).
-    hits = tier_fn(probes, emb, k=TOP_K, dim=EMB_DIM).agg(
+    hits = res_all.filter(F.col("query_id") >= PROBE_ID_BASE).agg(
         (
             F.coalesce(
                 F.sum(
