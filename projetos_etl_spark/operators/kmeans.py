@@ -60,13 +60,15 @@ def kmeans_lloyd(
     the behavior that keeps a pipeline alive when an upstream filter
     legitimately empties the training input.
 
-    Centroids ship as a broadcast ONE-ROW DataFrame holding the whole
-    array<struct<cid,c>>, NOT as literal arrays baked into the
-    expression tree: k*d inline literals made Catalyst re-analyze +
-    Janino re-compile a fresh ~256-node tree every iteration (measured
-    3.4-5.0 s PER ITERATION at sf0.1 for 2,000 rows of actual work);
-    with an iteration-invariant plan shape the whole-stage codegen
-    cache hits and an iteration costs the data, not the compiler.
+    Centroids ship as ONE constant-folded complex literal (see
+    ``_iteration_df``) — NOT as k separate per-centroid literal
+    expressions unrolled into the distance tree: that shape made
+    Catalyst re-analyze + Janino re-compile a fresh ~256-node tree
+    every iteration (measured 3.4-5.0 s PER ITERATION at sf0.1 for
+    2,000 rows of actual work). A single folded array<struct> literal
+    is passed to codegen BY REFERENCE, so the compiled source — and
+    hence the codegen cache key — is iteration-invariant, and an
+    iteration costs the data, not the compiler.
 
     The assignment itself is a PER-ROW ``array_min`` over the
     transform-built (distance, cid) structs — no row explosion, no
@@ -117,27 +119,40 @@ def _iteration_df(data: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     """One Lloyd step as a DataFrame: (cid, pos, m) new-centroid means.
 
     Shuffle-free assignment (see the docstring above): the centroid set
-    rides in as ONE broadcast row of array<struct<cid,c>>, each point
+    rides in as ONE folded literal array<struct<cid,c>>, each point
     computes ``array_min`` over its (distance, cid) structs — the exact
     lexicographic (min d, tie -> min cid) the old min-over-struct
     aggregate produced — and only the posexploded (cid, pos, val)
     triples reach the single mergeable k*d-group mean Exchange."""
-    spark = data.sparkSession
-    cent_df = spark.createDataFrame(
-        [(sorted(cents.items()),)], "cents array<struct<cid:int,c:array<double>>>"
+    # The centroid set is an IN-EXPRESSION literal array<struct<cid,c>>
+    # — no per-iteration createDataFrame (its Python-RDD conversion
+    # measured 0.4 s PER CALL, 2/3 of the whole iteration) and no
+    # broadcast-join stage either. ConstantFolding collapses the
+    # CreateArray(CreateStruct(literals...)) tree into ONE complex
+    # Literal that codegen passes by reference (references[n] in the
+    # generated source, NOT inlined the way primitive literals are), so
+    # the compiled stage source is identical every iteration and the
+    # codegen cache hits; the transform lambda references the row's
+    # ``__x``, which stops folding from reaching the distance math.
+    cents_struct = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for cid, c in sorted(cents.items())
+        ]
     )
     dc = F.array_min(
         F.transform(
-            F.col("cents"),
+            cents_struct,
             lambda ct: F.struct(
                 _sq_dist(F.col("__x"), ct["c"]).alias("d"),
                 ct["cid"].alias("cid"),
             ),
         )
     )
-    assigned = data.crossJoin(F.broadcast(cent_df)).select(
-        dc.getField("cid").alias("cid"), F.col("__x")
-    )
+    assigned = data.select(dc.getField("cid").alias("cid"), F.col("__x"))
     return (
         assigned.select("cid", F.posexplode("__x").alias("pos", "val"))
         .groupBy("cid", "pos")

@@ -64,13 +64,19 @@ def _grad_df(
     instead of inline literals (r13 optimization, the kmeans lesson):
     literal weights changed the expression tree every iteration, so
     Catalyst re-analyzed and Janino re-compiled a fresh plan per step —
-    ~25 codegen compiles to aggregate 3 doubles. With the weights as
-    column data the plan is iteration-invariant, the codegen cache
-    hits, and a step costs one mergeable aggregate job. Arithmetic is
-    unchanged (same left-to-right ``0.0 + x_j * w_j`` fold over the
-    same doubles), so the weight trajectory is bit-identical."""
+    ~25 codegen compiles to aggregate 3 doubles (~0.2 s/step measured).
+    With the weights as column data the aggregate stage's plan is
+    iteration-invariant, the codegen cache hits, and a step costs one
+    mergeable aggregate job. The one-row side is ``spark.range(1)``
+    plus an array literal — NOT ``spark.createDataFrame``, whose
+    Python-RDD conversion alone measured 0.4 s per call, dwarfing the
+    compile it was meant to save; the array literal constant-folds to
+    a single referenced object, so even the broadcast side's codegen
+    source is iteration-stable. Arithmetic is unchanged (same
+    left-to-right ``0.0 + x_j * w_j`` fold over the same doubles), so
+    the weight trajectory is bit-identical."""
     spark = data.sparkSession
-    wdf = spark.createDataFrame([([float(v) for v in w],)], "w array<double>")
+    wdf = spark.range(1).select(F.lit([float(v) for v in w]).alias("w"))
     z = sum(
         (F.col(c) * F.col("w").getItem(j) for j, c in enumerate(feature_cols)),
         F.lit(0.0),

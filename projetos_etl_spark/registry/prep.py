@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projetos_etl_spark.functions.finite import finite, sql_finite, sql_finite_pred
-from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry
+from projetos_etl_spark.registry._core import TS_FMT_DUCK, TS_FMT_SPARK, Registry, rows_df
 from projetos_etl_spark.sources.io import load_table
 
 #: Hard cap on the hourly spine a single series may densify to (ten
@@ -4008,8 +4008,8 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     w = logreg_gd(feats, ["x0", "x1", "x2"], "y")
     rows = [] if w is None else [(j + 1, round(w[j], 6)) for j in range(3)]
-    return spark.createDataFrame(
-        rows, "feature_idx int, weight double"
+    return rows_df(
+        spark, rows, "feature_idx int, weight double"
     ).orderBy("feature_idx")
 
 

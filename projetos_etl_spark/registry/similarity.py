@@ -14,7 +14,7 @@ from projetos_etl_spark.operators.cosine import (
     srp_lsh_topk,
     well_formed,
 )
-from projetos_etl_spark.registry._core import Registry
+from projetos_etl_spark.registry._core import Registry, rows_df
 from projetos_etl_spark.registry._sqlvec import (
     sql_cosine,
     sql_norm,
@@ -826,6 +826,10 @@ def ml_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cid, c in sorted(cents.items())
         for pos, v in enumerate(c)
     ]
+    # NOTE: createDataFrame, not _core.rows_df — at 256 rows the
+    # literal-inline form builds a fresh ~800-node plan whose codegen
+    # never caches (values differ per run): measured 3-5 s vs 0.3-0.5 s
+    # here. rows_df wins only for tiny (<~32-row) results.
     return spark.createDataFrame(
         rows, "cluster_id int, dim int, centroid double"
     ).orderBy("cluster_id", "dim")
