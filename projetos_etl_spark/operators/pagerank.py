@@ -52,21 +52,22 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    vertices = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = vertices.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # out-degree rides along with the rank row so the per-iteration join
-    # touches only (ranks x edges); dangling vertices carry deg = 0.
+    # Vertex set + out-degree in ONE aggregate over the endpoint union
+    # (r13: was vertices-distinct + deg-groupBy + left-join — three
+    # exchanges and an extra checkpoint for the same (id, deg) table):
+    # src endpoints vote 1 into the out-degree, dst endpoints vote 0,
+    # so dst-only (dangling) vertices fall out with deg = 0 exactly as
+    # the old coalesce produced. out-degree rides along with the rank
+    # row so the per-iteration join touches only (ranks x edges).
     ranks = (
-        vertices.join(deg, vertices.id == deg.src, "left")
-        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0).alias("rank"))
+        e.select(F.col("src").alias("id"), F.lit(1).alias("isout"))
+        .unionByName(e.select(F.col("dst").alias("id"), F.lit(0).alias("isout")))
+        .groupBy("id")
+        .agg(F.sum("isout").cast("long").alias("deg"))
+        .select("id", "deg", F.lit(1.0).alias("rank"))
         .localCheckpoint(eager=True)
     )
+    n = ranks.count()
     for _ in range(iters):
         dangling = ranks.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")

@@ -1359,12 +1359,15 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``count_min_sketch`` aggregate); only the kilobyte sketch binary
     and the {_CMS_TOP}-row probe set reach the driver."""
     li = _t(spark, sf_dir, "lineitem")
-    total = li.count()
-    sk = li.agg(
+    # One pass builds the sketch AND the row count (r13: was a separate
+    # count() job scanning lineitem a second time).
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
         F.expr(
             f"count_min_sketch(l_partkey, {_CMS_EPS}d, {_CMS_CONF}d, {_CMS_SEED})"
-        ).alias("s")
-    ).collect()[0].s
+        ).alias("s"),
+    ).collect()[0]
+    total, sk = stats.n, stats.s
     cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
     top = (
         li.groupBy("l_partkey")

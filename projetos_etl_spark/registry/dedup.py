@@ -1809,8 +1809,12 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.lit(True).alias("alive")
     ).localCheckpoint(eager=True)
     prev_alive_n = None
-    for _ in range(KCORE_ROUNDS):
-        prev_alive_n = alive.filter(F.col("alive")).count()
+    for rnd in range(KCORE_ROUNDS):
+        # ``converged`` needs only the LAST two rounds' survivor counts;
+        # counting every round spent a full count job per round on a
+        # value the next loop pass overwrote (r13: 6 count jobs -> 1).
+        if rnd == KCORE_ROUNDS - 1:
+            prev_alive_n = alive.filter(F.col("alive")).count()
         deg = (
             und.join(
                 alive.select(F.col("id").alias("dst"), F.col("alive").alias("da")),

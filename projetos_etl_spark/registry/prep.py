@@ -117,6 +117,14 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "h")
         .agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
+        # The hourly rollup feeds THREE consumers: the span guard's
+        # eager collect, the spine generator, and the fill join. Without
+        # materialization the guard's collect executes the whole
+        # events-scan + rollup once and the returned query re-executes
+        # it again (r13: one events pass instead of two; the
+        # materialized frame is one row per (user, hour) — span-bounded,
+        # small at any scale).
+        .localCheckpoint(eager=True)
     )
     spans = hourly.groupBy("user_id").agg(
         F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
@@ -285,6 +293,9 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "h")
         .agg(F.max_by("value", "pick").alias("v"))
+        # Materialized once for the guard collect + spine + join — see
+        # the ts_resample_ffill comment (one events pass instead of two).
+        .localCheckpoint(eager=True)
     )
     spans = hourly.groupBy("user_id").agg(
         F.min("h").alias("h_lo"), F.max("h").alias("h_hi")

@@ -1032,6 +1032,32 @@ _MAX_CONCURRENCY_ORACLE = f"""
     """
 
 
+def _peak_argmax(level: DataFrame) -> DataFrame:
+    """(max concurrency, first time it was reached) in ONE aggregate.
+
+    Replaces the two-pass scalar-crossJoin shape (peak agg + broadcast
+    + a second traversal of the level stream; r13 optimization): the
+    argmax rides a single ``max(struct(concurrent, -micros))`` — struct
+    ordering maximizes the level and, within the peak level, the most
+    NEGATIVE micros, i.e. the EARLIEST timestamp, exactly the
+    ``min(at_ts) FILTER (concurrent = max)`` the oracle computes.
+    ``at_ts`` is never NULL (sessionize drops NULL timestamps, spans
+    are min/max over non-null), and an empty stream yields a NULL
+    struct -> (NULL, NULL), identical to the old two-pass result."""
+    t = F.max(
+        F.struct(
+            F.col("concurrent").alias("c"),
+            (-F.unix_micros(F.col("at_ts"))).alias("nts"),
+        )
+    )
+    return level.agg(t.alias("t")).select(
+        F.col("t.c").alias("max_concurrent"),
+        F.date_format(
+            F.timestamp_micros(-F.col("t.nts")), TS_FMT_SPARK
+        ).alias("first_peak_ts"),
+    )
+
+
 @REG.add("win_max_concurrency", oracle=_MAX_CONCURRENCY_ORACLE)
 def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent user sessions — the interval-counting classic
@@ -1061,17 +1087,7 @@ def win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     level = deltas.select(
         "at_ts", F.sum("delta").over(w).alias("concurrent")
     )
-    peak = level.agg(F.max("concurrent").alias("m"))
-    return (
-        level.crossJoin(F.broadcast(peak))  # 1-row scalar
-        .agg(
-            F.max("concurrent").alias("max_concurrent"),
-            F.date_format(
-                F.min(F.when(F.col("concurrent") == F.col("m"), F.col("at_ts"))),
-                TS_FMT_SPARK,
-            ).alias("first_peak_ts"),
-        )
-    )
+    return _peak_argmax(level)
 
 
 @REG.add("win_max_concurrency_scale", oracle=_MAX_CONCURRENCY_ORACLE)
@@ -1126,14 +1142,4 @@ def win_max_concurrency_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(offsets), "pid")
         .select("at_ts", (F.col("offset") + F.col("run")).alias("concurrent"))
     )
-    peak = level.agg(F.max("concurrent").alias("m"))
-    return (
-        level.crossJoin(F.broadcast(peak))  # 1-row scalar
-        .agg(
-            F.max("concurrent").alias("max_concurrent"),
-            F.date_format(
-                F.min(F.when(F.col("concurrent") == F.col("m"), F.col("at_ts"))),
-                TS_FMT_SPARK,
-            ).alias("first_peak_ts"),
-        )
-    )
+    return _peak_argmax(level)
