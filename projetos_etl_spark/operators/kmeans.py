@@ -100,6 +100,19 @@ def kmeans_lloyd(
         .select(F.col(id_col).alias("__id"), x.alias("__x"))
         .localCheckpoint(eager=True)
     )
+    # PRECONDITION (shared with the SQL oracle twin): ids are unique.
+    # The per-row assignment weights every ROW in the centroid means,
+    # while the oracle's rn=1 window collapses duplicate ids to one
+    # assignment — and with differing vectors under one id BOTH engines
+    # would be nondeterministic (arbitrary row_number / arbitrary seed
+    # pick). Enforce loudly instead of diverging silently; one tiny
+    # aggregate over the checkpointed (id, vec) frame.
+    n_rows, n_ids = data.agg(F.count(F.lit(1)), F.count_distinct("__id")).first()
+    if n_rows != n_ids:
+        raise ValueError(
+            f"kmeans_lloyd requires unique {id_col!r} values: "
+            f"{n_rows} rows but {n_ids} distinct ids"
+        )
     init = data.orderBy("__id").limit(k).collect()
     cents: dict[int, list[float]] = {int(r["__id"]): list(r["__x"]) for r in init}
     if not cents:

@@ -76,9 +76,12 @@ def _grad_df(
     left-to-right ``0.0 + x_j * w_j`` fold over the same doubles), so
     the weight trajectory is bit-identical."""
     spark = data.sparkSession
-    wdf = spark.range(1).select(F.lit([float(v) for v in w]).alias("w"))
+    # "__w", not "w": a collision-proof internal name (the "__id"/"__x"
+    # convention) — a caller whose data already has a column "w" must
+    # not get an ambiguous reference out of this generic operator.
+    wdf = spark.range(1).select(F.lit([float(v) for v in w]).alias("__w"))
     z = sum(
-        (F.col(c) * F.col("w").getItem(j) for j, c in enumerate(feature_cols)),
+        (F.col(c) * F.col("__w").getItem(j) for j, c in enumerate(feature_cols)),
         F.lit(0.0),
     )
     err = _sigmoid(z) - F.col(label_col)

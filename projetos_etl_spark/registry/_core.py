@@ -85,6 +85,13 @@ class Registry:
         return self
 
 
+#: rows_df literal-plan cap: codegen of a fresh ~N*cols literal tree is
+#: fixed cost per CALL (values differ per run, so it never caches);
+#: measured 3-5 s at 256 rows vs ~0.4 s for createDataFrame — the
+#: crossover sits near a few dozen rows (docstring below).
+ROWS_DF_MAX = 48
+
+
 def rows_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """Small driver-assembled result set as a LITERAL DataFrame.
 
@@ -104,8 +111,12 @@ def rows_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if not rows:
-        return spark.createDataFrame([], schema)
+    if not rows or len(rows) > ROWS_DF_MAX:
+        # Self-enforcing contract: above the measured crossover the
+        # literal plan's one-off codegen is ~10x WORSE than the Python
+        # worker it avoids — fall back instead of trusting every future
+        # caller to re-read this docstring.
+        return spark.createDataFrame(rows, schema)
     st = T.StructType.fromDDL(schema)
     structs = [
         F.struct(

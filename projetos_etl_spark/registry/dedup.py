@@ -26,7 +26,7 @@ from projetos_etl_spark.operators.minhash import (
 )
 from projetos_etl_spark.operators.simhash import NUM_BITS, simhash_signatures
 from projetos_etl_spark.registry._core import Registry
-from projetos_etl_spark.sources.io import load_table
+from projetos_etl_spark.sources.io import checkpoint_partitioned, load_table
 
 REG = Registry()
 
@@ -1397,23 +1397,33 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_suppkey").isNotNull())
     )
     # The edge set is referenced by the degree filter AND both self-join
-    # sides; the static plan duplicates the scan+join+distinct subtree
-    # per reference (measured: 8 FileScans, 0 ReusedExchange). Locally
-    # AQE's runtime shuffle reuse makes warm timings a wash (~3.2 s at
-    # sf0.1 either way), but one eager checkpoint of the (small,
-    # distinct) edge set guarantees the 100 TB fact tables are scanned
-    # ONCE regardless of reuse heuristics — same call operators/
-    # pagerank.py makes for its per-iteration edge scan.
-    edges = (
+    # sides; the static plan duplicated the scan+join+distinct subtree
+    # per reference (r13 plan: 8 FileScans, 10 Exchanges, 0
+    # ReusedExchange — and the quiet-host swing the r13 VERDICT flagged
+    # tracks exactly which duplicates AQE's runtime reuse happened to
+    # catch). r14: materialize the HUB-CAPPED edge set ONCE,
+    # hash-partitioned on the customer key (checkpoint_partitioned) —
+    # the degree filter is computed once against the c-partitioned edge
+    # checkpoint (one node-scale aggregate, no extra exchange; its
+    # output partitioning already matches the join), and the C(d,2)
+    # pair self-join then runs on two CO-PARTITIONED scans of one
+    # in-memory table: zero exchanges ahead of the pair aggregate, and
+    # the 100 TB fact tables are scanned once regardless of reuse
+    # heuristics.
+    edges = checkpoint_partitioned(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "c",
     )
     deg_ok = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d")).filter(
         F.col("d") <= PROJ_HUB_CAP
     )
-    kept = edges.join(deg_ok.select("c"), "c")
+    # ``edges`` is already c-partitioned, the degree aggregate and the
+    # cap join both reuse that layout — so this checkpoint passes NO key:
+    # it materializes the kept set without adding an exchange, keeping
+    # the join's c-partitioning for the self-join below.
+    kept = checkpoint_partitioned(edges.join(deg_ok.select("c"), "c"))
     a = kept.select("c", F.col("s").alias("supp_a"))
     b = kept.select("c", F.col("s").alias("supp_b"))
     return (
@@ -1515,6 +1525,50 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 4
 LPA_SUPP_BASE = 1_000_000
 
+#: Packed (count, label) argmax base: cnt*2^32 + (2^32-1-label) orders a
+#: LONG exactly like struct(cnt, -label) — max count first, ties to the
+#: SMALLEST label — while staying hash-aggregable (max over struct falls
+#: back to SortAggregate: sort per partition + no mutable agg buffer).
+#: Safe while 0 <= label < 2^32 and cnt < 2^31: labels are TPC-H customer
+#: keys and {LPA_SUPP_BASE}+suppkey (< 2^32 at any published SF), counts
+#: are bounded by the node count.
+_LPA_PACK = 4294967296  # 2^32
+
+
+def _lpa_step(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: each node adopts its neighbors'
+    most-frequent label (count DESC, label ASC).
+
+    Shuffle shape (guide §2.4 — share one exchange between operations
+    keyed the same way): ``und`` arrives hash-partitioned on ``src``
+    (checkpoint_partitioned, built once before the loop), so the label
+    join only ever shuffles the node-scale ``labels`` side — the
+    shuffled-hash hint skips the edge-side sort a sort-merge join would
+    add per round. The vote stream then takes ONE explicit edge-scale
+    exchange on ``nid``; hashpartitioning(nid) satisfies the clustering
+    of BOTH downstream aggregates (keys (nid,label) then (nid)), so the
+    histogram and the argmax run exchange-free in the same stage, and
+    the packed-long argmax keeps them HashAggregates."""
+    votes = und.join(
+        labels.hint("shuffle_hash"), und.src == labels.id
+    ).select(F.col("dst").alias("nid"), "label")
+    packed = F.max(
+        F.col("cnt") * F.lit(_LPA_PACK) + (F.lit(_LPA_PACK - 1) - F.col("label"))
+    )
+    return (
+        votes.repartition(F.col("nid"))
+        .groupBy("nid", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("nid")
+        .agg(packed.alias("p"))
+        .select(
+            F.col("nid").alias("id"),
+            (F.lit(_LPA_PACK - 1) - F.pmod(F.col("p"), F.lit(_LPA_PACK))).alias(
+                "label"
+            ),
+        )
+    )
+
 
 @REG.add(
     "graph_label_propagation",
@@ -1587,26 +1641,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    und = bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # The edge table is joined on ``src`` EVERY round: shuffle it onto
+    # that key ONCE (r14, guide §2.4) — the plain checkpoint used to be
+    # re-exchanged edge-scale per iteration.
+    und = checkpoint_partitioned(
+        bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+            bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        ),
+        "src",
+    )
     labels = und.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
     for _ in range(LPA_ITERS):
-        labels = (
-            und.join(labels, und.src == labels.id)
-            .groupBy(F.col("dst").alias("nid"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy("nid")
-            .agg(
-                F.max(
-                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
-                ).alias("top")
-            )
-            .select(F.col("nid").alias("id"), (-F.col("top.neg")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        labels = _lpa_step(und, labels).localCheckpoint(eager=True)
     w = Window.partitionBy("label")
     return labels.select(
         F.col("id").alias("node_id"),
@@ -1712,6 +1760,37 @@ KCORE_K = 8
 KCORE_ROUNDS = 6
 
 
+def _kcore_degrees(und: DataFrame, alive: DataFrame) -> DataFrame:
+    """(id, deg) = per-node count of ALIVE neighbors. ``und`` arrives
+    hash-partitioned on ``dst`` (checkpoint_partitioned, built once), so
+    the join only shuffles the node-scale alive side — hinted
+    shuffled-hash so the edge side is never sorted either; the single
+    remaining edge-scale exchange is the mergeable groupBy(src)."""
+    return (
+        und.join(
+            alive.select(F.col("id").alias("dst"), F.col("alive").alias("da")).hint(
+                "shuffle_hash"
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.col("da").cast("int")).alias("deg"))
+    )
+
+
+def _kcore_step(und: DataFrame, alive: DataFrame) -> DataFrame:
+    """One synchronous peel round: drop nodes whose alive-degree is
+    under k. Same exchange economics as :func:`_kcore_degrees` plus a
+    node-scale left join back onto the alive table."""
+    deg = _kcore_degrees(und, alive)
+    return alive.join(deg, "id", "left").select(
+        "id",
+        (F.col("alive") & (F.coalesce(F.col("deg"), F.lit(0)) >= KCORE_K)).alias(
+            "alive"
+        ),
+    )
+
+
 @REG.add(
     "graph_kcore_decomposition",
     # Iterative peeling is pure integer arithmetic (alive flags +
@@ -1802,9 +1881,16 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    und = bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
-        bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # The edge table is joined on ``dst`` EVERY round (and once more for
+    # the final core-degree pass): shuffle it onto that key ONCE (r14,
+    # guide §2.4) — the plain checkpoint used to be re-exchanged
+    # edge-scale per round.
+    und = checkpoint_partitioned(
+        bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+            bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+        ),
+        "dst",
+    )
     alive = und.select(F.col("src").alias("id")).distinct().select(
         "id", F.lit(True).alias("alive")
     ).localCheckpoint(eager=True)
@@ -1815,33 +1901,10 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         # value the next loop pass overwrote (r13: 6 count jobs -> 1).
         if rnd == KCORE_ROUNDS - 1:
             prev_alive_n = alive.filter(F.col("alive")).count()
-        deg = (
-            und.join(
-                alive.select(F.col("id").alias("dst"), F.col("alive").alias("da")),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum(F.col("da").cast("int")).alias("deg"))
-        )
-        alive = (
-            alive.join(deg, "id", "left")
-            .select(
-                "id",
-                (
-                    F.col("alive")
-                    & (F.coalesce(F.col("deg"), F.lit(0)) >= KCORE_K)
-                ).alias("alive"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        alive = _kcore_step(und, alive).localCheckpoint(eager=True)
     final_alive_n = alive.filter(F.col("alive")).count()
-    deg_fin = (
-        und.join(
-            alive.select(F.col("id").alias("dst"), F.col("alive").alias("da")),
-            "dst",
-        )
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.sum(F.col("da").cast("int")).cast("long").alias("d"))
+    deg_fin = _kcore_degrees(und, alive).select(
+        "id", F.col("deg").cast("long").alias("d")
     )
     return (
         alive.join(deg_fin, "id", "left")

@@ -223,6 +223,92 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(target)
 
 
+#: Minimum useful bytes per partition of an iteratively re-joined
+#: checkpoint. Empirical (kcore loop, sf0.1, quiet local[32]): 1 MB-ish
+#: partitions (AQE's parallelism-first floor -> 32 tasks) cost 4.5 s,
+#: one partition costs 4.2-6.4 s (serialized compute), ~8 MB partitions
+#: cost 2.6-2.9 s — per-task fixed cost dominates below this, lost
+#: parallelism above it. Env-overridable for cluster tuning; the width
+#: cap below, not this floor, is what governs at real scale.
+CKPT_MIN_PARTITION_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CKPT_MIN_PART_BYTES", str(8 << 20))
+)
+
+
+def _field_bytes(dt: T.DataType) -> int:
+    """Rough in-memory width of one column value (UnsafeRow-ish): fixed
+    8 for numerics/temporals, a small flat estimate for variable-width
+    and nested types — this feeds a partition-COUNT heuristic, so being
+    within 2-3x is plenty."""
+    if isinstance(dt, (T.ArrayType,)):
+        return 24 + 16 * 8  # assume ~16 elements
+    if isinstance(dt, T.MapType):
+        return 24 + 16 * 16
+    if isinstance(dt, T.StructType):
+        return 16 + sum(_field_bytes(f.dataType) for f in dt.fields)
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        return 24
+    return 8
+
+
+def checkpoint_partitioned(df: DataFrame, *key_cols: str, sort: bool = False) -> DataFrame:
+    """Eager localCheckpoint that PRESERVES hash partitioning on
+    ``key_cols`` (optionally also the within-partition sort order).
+
+    The point: an iterative operator that joins or aggregates the same
+    table on the same key every round should shuffle it ONCE.  A
+    checkpoint normally keeps its physical plan's output partitioning —
+    but with AQE enabled the plan is an AdaptiveSparkPlanExec whose
+    partitioning is unresolved at checkpoint-creation time, so the
+    resulting ``LogicalRDD`` degrades to UnknownPartitioning and every
+    downstream join re-shuffles the checkpointed side (probed on this
+    Spark: AQE on -> Exchange per iteration; AQE off -> none).  Building
+    the final shuffle non-adaptively keeps the layout; consumers still
+    run with whatever session config the caller has.
+
+    Partition count is SIZE-DERIVED, never a constant (guide §2): the
+    input is materialized once (plain eager checkpoint — also the only
+    full computation of ``df``), its byte size estimated from the
+    materialized row count x schema row width, and the keyed shuffle
+    sized to ``CKPT_MIN_PARTITION_BYTES``-or-larger partitions, capped
+    at 2x ``defaultParallelism`` so a genuinely large table still lands
+    at cluster width (a few hundred MB per partition at 100 TB inputs)
+    rather than at a tiny-partition floor.
+
+    With NO ``key_cols`` this adds no exchange at all: it preserves
+    whatever layout ``df``'s plan already has (e.g. the join-key
+    partitioning a preceding co-partitioned join established) — the
+    AQE-off build is still what keeps that layout on the checkpoint."""
+    spark = df.sparkSession
+    conf = spark.conf
+    old = conf.get("spark.sql.adaptive.enabled", "true")
+    if not key_cols:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = df.sortWithinPartitions(*key_cols) if sort else df
+            return out.localCheckpoint(eager=True)
+        finally:
+            conf.set("spark.sql.adaptive.enabled", old)
+    tmp = df.localCheckpoint(eager=True)
+    row_bytes = 16 + sum(_field_bytes(f.dataType) for f in tmp.schema.fields)
+    n_rows = tmp.count()  # cheap: counts the materialized blocks
+    n = max(
+        1,
+        min(
+            -(-n_rows * row_bytes // CKPT_MIN_PARTITION_BYTES),
+            2 * spark.sparkContext.defaultParallelism,
+        ),
+    )
+    out = tmp.repartition(int(n), *[F.col(c) for c in key_cols])
+    if sort:
+        out = out.sortWithinPartitions(*key_cols)
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
+
+
 def retention_sweep(spark: SparkSession, base: str, ts_col: str, cutoff: str) -> None:
     """Enforce a retention cutoff on a day-partitioned parquet layer
     (``d=YYYY-MM-DD`` directories) the partition-aligned way:
