@@ -170,7 +170,13 @@ def run_pipeline(
     # no-op (see sources/io.py).
     sink_parquet(spread(raw), f"{base_dir}/bronze")
     write_secs = time.perf_counter() - t0
-    bronze = spread(spark.read.parquet(f"{base_dir}/bronze"))
+    # No spread() on the read-back (r14): the partitioned sink below
+    # repartitions on (partition_cols, salt) anyway, so widening here
+    # was a SECOND full exchange of the bronze strings for nothing —
+    # the conform expressions run map-side of the sink's own shuffle
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange; here the second keying was round-robin noise).
+    bronze = spark.read.parquet(f"{base_dir}/bronze")
     silver = require_nonempty(silver_conform(bronze, with_ingestion_ts=False))
     t1 = time.perf_counter()
     # file_groups=4: ~4 writers/files per partition value instead of one

@@ -74,7 +74,15 @@ def _grad_df(
     a single referenced object, so even the broadcast side's codegen
     source is iteration-stable. Arithmetic is unchanged (same
     left-to-right ``0.0 + x_j * w_j`` fold over the same doubles), so
-    the weight trajectory is bit-identical."""
+    the weight trajectory is bit-identical.
+
+    r14 NOTE (attempted, reverted): folding the weights into a
+    constant array literal consumed via ``aggregate(zip_with(...))``
+    removes the per-step BroadcastExchange job, but higher-order
+    functions are CodegenFallback — the z fold then evaluates
+    INTERPRETED per row, which measured ~1.5 s SLOWER over 25 steps
+    than the broadcast it saved. The broadcast-column shape keeps the
+    dot product in whole-stage codegen; at 150k rows/step that wins."""
     spark = data.sparkSession
     # "__w", not "w": a collision-proof internal name (the "__id"/"__x"
     # convention) — a caller whose data already has a column "w" must

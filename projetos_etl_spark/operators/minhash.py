@@ -150,9 +150,17 @@ def lsh_candidate_ids(
             .drop("__rk")
         )
     # Both sides of the self-join read the bucket table; materializing it
-    # computes the explode+cap once and preserves the window's
-    # (band_id, band_key) partitioning for the join.
-    buckets = buckets.localCheckpoint(eager=True)
+    # computes the explode+cap once, and the LAYOUT-KEEPING checkpoint
+    # (r14) hands the window's (band_id, band_key) hash partitioning to
+    # the planner — a plain checkpoint degrades to UnknownPartitioning
+    # under AQE, so the self-join re-exchanged BOTH sides of data the
+    # cap window had already shuffled onto exactly the join keys. The
+    # keyed (size-derived-count) form also RIGHT-SIZES the bucket table's
+    # partitions — the window's exchange count is tuned for the corpus
+    # pass, not for the small post-cap bucket table.
+    from projetos_etl_spark.sources.io import checkpoint_partitioned
+
+    buckets = checkpoint_partitioned(buckets, "band_id", "band_key")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -188,8 +196,13 @@ def lsh_candidate_pairs(
     # localCheckpoint computes it once. Measured at sf0.1/local[32]:
     # wall-clock NEUTRAL (the duplicate subtrees ran concurrently on
     # idle cores) but ~4x less signature CPU — on a busy cluster, where
-    # cores aren't free, the CPU saving is the real resource.
-    sigs = sigs.localCheckpoint(eager=True)
+    # cores aren't free, the CPU saving is the real resource. The
+    # keyed checkpoint (r14) additionally hands a right-sized doc-id
+    # hash partitioning to the planner, so the two est-jaccard joins
+    # below never re-exchange the signature side.
+    from projetos_etl_spark.sources.io import checkpoint_partitioned
+
+    sigs = checkpoint_partitioned(sigs, id_col)
     pairs = lsh_candidate_ids(sigs, id_col, num_hashes, band_size, max_bucket)
     sa = sigs.select(
         F.col(id_col).alias("doc_a"),
