@@ -41,73 +41,77 @@ _FAMILIES = [
 # Rotate this list (plus the pin in tests/test_registry_window.py and
 # COVERAGE.md's ledger) in ONE commit at each round boundary.
 #
-# Round-13 window — derived by tools/freshness.py::plan_window(
-# TOUCHED_R13, through=12) per the COVERAGE.md freshness policy and
-# asserted by tests/test_freshness.py. Touched this round (4): the r12
-# ADVICE MAG_CAP-interpolation closure edited the hand-written oracle
-# WHERE clauses of ts_autocorr_lag and udaf_grouped (now built from
-# functions/finite.py::sql_finite_pred; the generated SQL is
-# byte-identical — MAG_CAP_SQL normalizes 1e+75 back to 1e75 — so the
-# OTHER sql_finite consumers are NOT semantics-touched this time,
-# unlike r12 when the gate itself changed), and fn_string /
-# ts_resample_ffill ride as conservative suggester-attribution touches
-# (the new module-top sql_finite_pred imports land in each file's
-# first entry block — the scan_parquet precedent). 4 <= 50, so the
-# remaining 46 slots take the stalest rows by artifact-derived age:
-# exactly the r3-vintage setops/fn/stream tails and r4-vintage
-# text/corpus/dedup families the r12 VERDICT prescribed (its suggested
-# 50 minus the four rows the touched entries displace).
+# Round-14 window — derived by tools/freshness.py::plan_window(
+# TOUCHED_R14, through=13) per the COVERAGE.md freshness policy and
+# asserted by tests/test_freshness.py. Touched this round (20) =
+# the r13 VERDICT's item-1 LEDGER DEBT (the 11 entries the r13
+# optimization commits behaviorally edited AFTER that round's window
+# was planned, so their official driver rows predate their code:
+# ml_kmeans_lloyd, ml_logreg_gd, graph_pagerank,
+# graph_kcore_decomposition, the three sim_search tiers, the
+# win_max_concurrency pair, ts_interpolate_linear,
+# agg_count_min_sketch) plus the r14 optimization touches (the
+# pre-partitioned-checkpoint graph fixpoints graph_label_propagation /
+# graph_kcore_decomposition / graph_pagerank, the co-partitioned
+# graph_bipartite_projection, the distributed-rank
+# feat_quantile_bucketize, medallion_gold_profit_mart's write path,
+# and the five lsh_candidate_* consumers re-planned by the keyed
+# minhash checkpoints: dedup_near_minhash, dedup_minhash_verified,
+# pipeline_training_corpus, pipeline_dedup_clustered,
+# dedup_lsh_recall_eval). 20 <= 50, so the remaining 30 slots take the
+# stalest rows by artifact-derived age: the r5-vintage er/dedup/graph
+# tails and r5/r6-vintage quality/corpus/text rows.
 _WINDOW_HEAD = [
-    "fn_string",
-    "ts_autocorr_lag",
-    "ts_resample_ffill",
-    "udaf_grouped",
-    "set_except",
-    "set_distinct",
-    "dedup_exact",
-    "fn_date",
-    "fn_math",
-    "fn_array_map",
-    "clean_currency",
-    "fn_fuzzy_match",
-    "fn_url_parse",
-    "stream_dedup_keys",
-    "stream_late_data",
-    "stream_dedup_within_watermark",
-    "stream_foreach_batch_sink",
-    "stream_stream_interval_join",
-    "stream_append_finalized_windows",
-    "emb_centroid_per_label",
-    "text_tokens_stats",
-    "text_lang_filter",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "sample_stratified_hash",
-    "text_tfidf_topk",
-    "text_chunk_overlap",
-    "text_pii_redact",
-    "text_contamination_ngram",
-    "text_repetition_ngram",
-    "corpus_mix_weights",
-    "text_unigram_logprob",
-    "text_vocab_topk",
-    "sample_topk_per_stratum",
-    "corpus_pack_bins",
-    "multimodal_bundle",
-    "multimodal_frame_sample",
-    "multimodal_arrow_batches",
-    "scan_binary_files",
+    "agg_count_min_sketch",
+    "dedup_lsh_recall_eval",
+    "dedup_minhash_verified",
     "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "pipeline_training_corpus",
-    "dedup_connected_components",
+    "feat_quantile_bucketize",
+    "graph_bipartite_projection",
+    "graph_kcore_decomposition",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "medallion_gold_profit_mart",
+    "ml_kmeans_lloyd",
+    "ml_logreg_gd",
     "pipeline_dedup_clustered",
-    "funnel_conversion",
-    "cohort_retention",
-    "udf_pandas_vec",
-    "dedup_minhash_incremental",
-    "dedup_lsh_bucket_stats",
+    "pipeline_training_corpus",
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "sim_search_pq_adc",
+    "ts_interpolate_linear",
+    "win_max_concurrency",
+    "win_max_concurrency_scale",
+    "er_blocking_join",
+    "dedup_ngram_containment",
+    "er_blocking_multipass",
+    "dedup_simhash_hamming",
+    "graph_triangle_count",
+    "er_golden_record",
+    "quality_schema_profile",
+    "split_train_test_hash",
+    "join_spatial_grid_radius",
+    "quality_outlier_iqr",
+    "ts_gap_detect",
+    "agg_heavy_hitters",
+    "corpus_resample_to_mix",
+    "text_perplexity_bigram",
+    "quality_psi_drift",
+    "text_normalize_dedup",
+    "corpus_shuffle_shards",
+    "feat_onehot_topn",
+    "text_langid",
+    "text_bigram_pmi",
+    "text_bpe_merge_step",
+    "corpus_temperature_mix",
+    "pipeline_span_dedup",
+    "dedup_exact_keep_best",
+    "quality_expectation_suite",
+    "join_interval_overlap",
+    "quality_benford_audit",
+    "corpus_domain_cap",
+    "quality_outlier_mad",
+    "sample_weighted_reservoir",
 ]
 
 def build() -> Registry:

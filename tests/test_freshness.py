@@ -93,9 +93,9 @@ REGISTRY_TOUCHED_R11 = [
 # and fills the remaining 17 slots with the stalest r2-vintage rows.
 TOUCHED_R11 = sorted(OVERFLOW_FROM_R10 + REGISTRY_TOUCHED_R11)
 
-# The window was planned from artifacts r1..r12; CORRECTNESS_r13.json
+# The window was planned from artifacts r1..r13; CORRECTNESS_r14.json
 # landing must not change what the plan derives to.
-PLANNED_THROUGH = 12
+PLANNED_THROUGH = 13
 
 # Entries whose registry code or oracle r12 ITSELF touched (grown as
 # the round proceeds; the suggest-touched pin below keeps it honest):
@@ -201,12 +201,77 @@ REGISTRY_TOUCHED_R13 = [
     "udaf_grouped",
 ]
 
-# This round's touched list (r12 left no overflow debt).  4 <= 50, so
-# the window seats all touched entries and fills the remaining 46
-# slots with the stalest rows by artifact-derived age: the r3-vintage
-# setops/fn/stream tails and the r4-vintage text/corpus/dedup
-# families — exactly the rotation the r12 VERDICT prescribed.
+# The r13 touched list (r12 left no overflow debt).  4 <= 50, so
+# the r13 window seated all touched entries and filled the remaining
+# 46 slots with the stalest rows by artifact-derived age: the
+# r3-vintage setops/fn/stream tails and the r4-vintage
+# text/corpus/dedup families — exactly the rotation the r12 VERDICT
+# prescribed.  Kept verbatim for the r13-diff recovery pin below.
 TOUCHED_R13 = sorted(REGISTRY_TOUCHED_R13)
+
+# The r13 VERDICT's item-1 LEDGER DEBT: the r13 optimization commits
+# (1adb1f7, 84b2878, fb6e6a4) behaviorally edited these entries AFTER
+# the r13 window was planned, so their official driver rows predate
+# their code (only ts_resample_ffill, seated in the r13 window, got a
+# post-change row).  MANDATORY members of the r14 touched list.
+DEBT_FROM_R13 = [
+    "agg_count_min_sketch",
+    "graph_kcore_decomposition",
+    "graph_pagerank",
+    "ml_kmeans_lloyd",
+    "ml_logreg_gd",
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "sim_search_pq_adc",
+    "ts_interpolate_linear",
+    "win_max_concurrency",
+    "win_max_concurrency_scale",
+]
+
+# Entries whose registry-module source blocks the r14 diff touches
+# (``tools/freshness.py --suggest-touched`` recovers exactly this set;
+# pinned below): the pre-partitioned-checkpoint LPA and k-core loops
+# and their helpers, the co-partitioned bipartite projection, the
+# distributed-rank quantile cuts, and dedup_near_minhash via the
+# module-top checkpoint_partitioned import landing in dedup.py's first
+# entry block (the scan_parquet precedent).
+REGISTRY_TOUCHED_R14 = [
+    "dedup_near_minhash",
+    "feat_quantile_bucketize",
+    "graph_bipartite_projection",
+    "graph_kcore_decomposition",
+    "graph_label_propagation",
+]
+
+# Engine-module (operators/sources/medallion) r14 edits whose entry
+# impact is judgment, per the suggester's "review" convention:
+# operators/pagerank.py (graph_pagerank), operators/kmeans.py (the
+# uniqueness-assert, ml_kmeans_lloyd), operators/logreg.py (the __w
+# rename, ml_logreg_gd), operators/minhash.py's keyed checkpoints
+# (every lsh_candidate_* consumer: dedup_near_minhash,
+# dedup_minhash_verified, pipeline_training_corpus,
+# pipeline_dedup_clustered, dedup_lsh_recall_eval — NOT the two
+# band_buckets-only consumers dedup_minhash_incremental /
+# dedup_lsh_bucket_stats, whose plans are unchanged), and
+# medallion.py's run_pipeline (medallion_gold_profit_mart).
+ENGINE_TOUCHED_R14 = [
+    "dedup_lsh_recall_eval",
+    "dedup_minhash_verified",
+    "graph_pagerank",
+    "medallion_gold_profit_mart",
+    "ml_kmeans_lloyd",
+    "ml_logreg_gd",
+    "pipeline_dedup_clustered",
+    "pipeline_training_corpus",
+]
+
+# This round's touched list = r13 ledger debt + r14 registry edits +
+# r14 engine-impact judgment.  20 <= 50, so the window seats ALL
+# touched entries and fills the remaining 30 slots with the stalest
+# rows by artifact-derived age.
+TOUCHED_R14 = sorted(
+    set(DEBT_FROM_R13) | set(REGISTRY_TOUCHED_R14) | set(ENGINE_TOUCHED_R14)
+)
 
 
 def test_ledger_is_closed():
@@ -216,7 +281,7 @@ def test_ledger_is_closed():
 
 
 def test_window_derives_from_artifacts():
-    derived = plan_window(TOUCHED_R13, through=PLANNED_THROUGH)
+    derived = plan_window(TOUCHED_R14, through=PLANNED_THROUGH)
     assert _WINDOW_HEAD == derived, (
         "_WINDOW_HEAD drifted from the artifact-derived policy window "
         "(touched-first, then stalest by last-green round / artifact "
@@ -225,13 +290,14 @@ def test_window_derives_from_artifacts():
 
 
 def test_overflow_debt_is_flushed():
-    # 4 touched <= 50 slots: no overflow this round, and the ledger
+    # 20 touched <= 50 slots: no overflow this round, and the ledger
     # keeps ZERO entries whose official row predates their code once
-    # CORRECTNESS_r13 lands.
+    # CORRECTNESS_r14 lands — including the 11-entry r13 debt.
     from tools.freshness import plan_overflow
 
-    assert plan_overflow(TOUCHED_R13, through=PLANNED_THROUGH) == []
-    assert set(TOUCHED_R13) <= set(_WINDOW_HEAD)
+    assert plan_overflow(TOUCHED_R14, through=PLANNED_THROUGH) == []
+    assert set(TOUCHED_R14) <= set(_WINDOW_HEAD)
+    assert set(DEBT_FROM_R13) <= set(_WINDOW_HEAD)
 
 
 def test_overflow_list_matches_r10_artifacts():
@@ -249,26 +315,26 @@ def test_touched_entries_were_green_before():
     # have a green row (a never-green entry would be a ledger hole, not
     # a freshness item).
     lg = last_green(through=PLANNED_THROUGH)
-    assert all(n in lg for n in TOUCHED_R13)
+    assert all(n in lg for n in TOUCHED_R14)
 
 
 def test_staleness_facts_match_judged_ledger():
-    # Anchor the parser against facts the r12 judge verified by hand:
+    # Anchor the parser against facts the r13 judge verified by hand:
     # the per-round last-green counts partition all 326 entries (the
-    # r12 window re-greened 50 — the r2-vintage rows are now all
-    # refreshed, so the oldest vintage is r3), and the stalest entries
-    # are the r3-vintage setops tails.
+    # r13 window re-greened 50 — the r3/r4-vintage tails are now all
+    # refreshed, so the oldest vintage is r5), and the stalest entries
+    # are the r5-vintage er/dedup tails.
     lg = last_green(through=PLANNED_THROUGH)
     assert len(lg) == 326
     by_round: dict[int, int] = {}
     for rn in lg.values():
         by_round[rn] = by_round.get(rn, 0) + 1
     assert by_round == {
-        3: 10, 4: 32, 5: 26, 6: 23, 7: 32, 8: 37, 9: 36, 10: 35, 11: 45,
-        12: 50,
+        5: 21, 6: 23, 7: 32, 8: 37, 9: 36, 10: 35, 11: 45, 12: 47,
+        13: 50,
     }
     order = staleness_order(through=PLANNED_THROUGH)
-    assert order[:2] == ["set_except", "set_distinct"]
+    assert order[:2] == ["er_blocking_join", "dedup_ngram_containment"]
     assert len(order) == 326
 
 
@@ -283,11 +349,11 @@ def test_window_names_all_in_coverage_ledger_row():
                      "COVERAGE.md")
     ).read()
     row = next(
-        (ln for ln in md.splitlines() if ln.startswith("| **r13 window**")), None
+        (ln for ln in md.splitlines() if ln.startswith("| **r14 window**")), None
     )
-    assert row is not None, "COVERAGE.md lacks the r13 window ledger row"
+    assert row is not None, "COVERAGE.md lacks the r14 window ledger row"
     for name in _WINDOW_HEAD:
-        assert f"`{name}`" in row, f"{name} missing from COVERAGE.md r13 row"
+        assert f"`{name}`" in row, f"{name} missing from COVERAGE.md r14 row"
 
 
 def test_entry_blocks_attribute_helpers_to_following_entry():
@@ -347,6 +413,42 @@ def test_suggest_touched_recovers_r13_registry_entries():
         _pytest.skip("r13 diff base has moved on")
     s = suggest_touched()
     assert set(s["entries"]) == set(REGISTRY_TOUCHED_R13)
+
+
+def test_suggest_touched_recovers_r14_registry_entries():
+    # Against the r14 diff itself (last CORRECTNESS commit — the r13
+    # artifact landing — .. HEAD) the suggester must recover exactly the
+    # registry-module entries r14 touched (REGISTRY_TOUCHED_R14).  If a
+    # later r14 edit touches more registry blocks, this pin fails on
+    # purpose: grow REGISTRY_TOUCHED_R14 and re-derive the rotation
+    # (freshness beats window stability).  Skipped once the r14
+    # artifacts land and the diff base moves past them — BUT the r13
+    # lesson stands: this skip is NOT permission to ship
+    # behaviorally-edited entries unseated; the r15 rotation must fold
+    # any post-window r14 edits into ITS touched list.
+    import os
+    import subprocess
+
+    from tools.freshness import suggest_touched
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r14_landed = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", "CORRECTNESS_r14.json"],
+        capture_output=True, text=True, cwd=repo,
+    ).stdout.strip()
+    if r14_landed:
+        import pytest as _pytest
+
+        _pytest.skip("r14 diff base has moved on")
+    s = suggest_touched()
+    assert set(s["entries"]) == set(REGISTRY_TOUCHED_R14)
+    # The engine-module judgment calls must at least be FLAGGED for
+    # review by the suggester (their paths appear in the diff).
+    # (medallion.py sits outside the suggester's review globs; its
+    # entry impact is pinned via ENGINE_TOUCHED_R14 directly.)
+    review = "\n".join(s["review"])
+    for frag in ("operators/minhash.py", "operators/pagerank.py", "sources/io.py"):
+        assert frag in review
 
 
 # The r10 touched list (69 entries, pinned in r10's vintage of this

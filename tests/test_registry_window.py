@@ -22,72 +22,72 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r13 window: the 4 touched entries first — the r12 ADVICE
-# MAG_CAP-interpolation closure (ts_autocorr_lag and udaf_grouped's
-# hand-written oracle WHERE clauses now interpolate
-# functions/finite.py::sql_finite_pred; generated SQL byte-identical)
-# plus fn_string / ts_resample_ffill as conservative
-# suggester-attribution touches (module-top imports land in each
-# file's first entry block) — then the 46 stalest remaining entries by
-# artifact-derived age: the r3-vintage setops/fn/stream tails and the
-# r4-vintage text/corpus/dedup families (last re-verified rounds 3-4).
-R13_WINDOW = [
-    "fn_string",
-    "ts_autocorr_lag",
-    "ts_resample_ffill",
-    "udaf_grouped",
-    "set_except",
-    "set_distinct",
-    "dedup_exact",
-    "fn_date",
-    "fn_math",
-    "fn_array_map",
-    "clean_currency",
-    "fn_fuzzy_match",
-    "fn_url_parse",
-    "stream_dedup_keys",
-    "stream_late_data",
-    "stream_dedup_within_watermark",
-    "stream_foreach_batch_sink",
-    "stream_stream_interval_join",
-    "stream_append_finalized_windows",
-    "emb_centroid_per_label",
-    "text_tokens_stats",
-    "text_lang_filter",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "sample_stratified_hash",
-    "text_tfidf_topk",
-    "text_chunk_overlap",
-    "text_pii_redact",
-    "text_contamination_ngram",
-    "text_repetition_ngram",
-    "corpus_mix_weights",
-    "text_unigram_logprob",
-    "text_vocab_topk",
-    "sample_topk_per_stratum",
-    "corpus_pack_bins",
-    "multimodal_bundle",
-    "multimodal_frame_sample",
-    "multimodal_arrow_batches",
-    "scan_binary_files",
+# The r14 window: the 20 touched entries first — the r13 VERDICT's
+# item-1 ledger debt (11 entries whose r13 optimization edits landed
+# AFTER that round's window was planned) plus the r14 optimization
+# touches (pre-partitioned-checkpoint graph fixpoints, co-partitioned
+# bipartite projection, distributed-rank quantile cuts, the medallion
+# write path, and the five lsh_candidate_* consumers re-planned by the
+# keyed minhash checkpoints) — then the 30 stalest remaining entries by
+# artifact-derived age (the r5-vintage er/dedup/graph tails and the
+# r5/r6-vintage quality/corpus/text rows).
+R14_WINDOW = [
+    "agg_count_min_sketch",
+    "dedup_lsh_recall_eval",
+    "dedup_minhash_verified",
     "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "pipeline_training_corpus",
-    "dedup_connected_components",
+    "feat_quantile_bucketize",
+    "graph_bipartite_projection",
+    "graph_kcore_decomposition",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "medallion_gold_profit_mart",
+    "ml_kmeans_lloyd",
+    "ml_logreg_gd",
     "pipeline_dedup_clustered",
-    "funnel_conversion",
-    "cohort_retention",
-    "udf_pandas_vec",
-    "dedup_minhash_incremental",
-    "dedup_lsh_bucket_stats",
+    "pipeline_training_corpus",
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "sim_search_pq_adc",
+    "ts_interpolate_linear",
+    "win_max_concurrency",
+    "win_max_concurrency_scale",
+    "er_blocking_join",
+    "dedup_ngram_containment",
+    "er_blocking_multipass",
+    "dedup_simhash_hamming",
+    "graph_triangle_count",
+    "er_golden_record",
+    "quality_schema_profile",
+    "split_train_test_hash",
+    "join_spatial_grid_radius",
+    "quality_outlier_iqr",
+    "ts_gap_detect",
+    "agg_heavy_hitters",
+    "corpus_resample_to_mix",
+    "text_perplexity_bigram",
+    "quality_psi_drift",
+    "text_normalize_dedup",
+    "corpus_shuffle_shards",
+    "feat_onehot_topn",
+    "text_langid",
+    "text_bigram_pmi",
+    "text_bpe_merge_step",
+    "corpus_temperature_mix",
+    "pipeline_span_dedup",
+    "dedup_exact_keep_best",
+    "quality_expectation_suite",
+    "join_interval_overlap",
+    "quality_benford_audit",
+    "corpus_domain_cap",
+    "quality_outlier_mad",
+    "sample_weighted_reservoir",
 ]
 
 def test_driver_window_matches_coverage_plan():
-    assert len(R13_WINDOW) == 50
-    got = list(all_queries())[: len(R13_WINDOW)]
-    assert got == R13_WINDOW, (
+    assert len(R14_WINDOW) == 50
+    got = list(all_queries())[: len(R14_WINDOW)]
+    assert got == R14_WINDOW, (
         "The first-50 verification window shifted. The window is the "
         "explicit registry.__init__._WINDOW_HEAD list; if you changed it, "
         "update this pin AND COVERAGE.md's ledger deliberately."
@@ -97,7 +97,7 @@ def test_driver_window_matches_coverage_plan():
 def test_window_head_is_the_pin():
     # _WINDOW_HEAD and this pin must be the same list; divergence means a
     # half-finished rotation commit.
-    assert _WINDOW_HEAD == R13_WINDOW
+    assert _WINDOW_HEAD == R14_WINDOW
 
 
 def test_no_window_name_collisions():
