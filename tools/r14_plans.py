@@ -86,9 +86,12 @@ def _lpa_iteration(spark):
     und = bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    und = dd._edge_checkpoint(und, "src") if hasattr(dd, "_edge_checkpoint") else (
-        und.localCheckpoint(eager=True)
-    )
+    if hasattr(dd, "_lpa_step"):  # optimized: pre-partitioned edge table
+        from projetos_etl_spark.sources.io import checkpoint_partitioned
+
+        und = checkpoint_partitioned(und, "src")
+    else:
+        und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("id"))
         .distinct()
@@ -114,9 +117,12 @@ def _kcore_iteration(spark):
     und = bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    und = dd._edge_checkpoint(und, "dst") if hasattr(dd, "_edge_checkpoint") else (
-        und.localCheckpoint(eager=True)
-    )
+    if hasattr(dd, "_kcore_step"):  # optimized: pre-partitioned edge table
+        from projetos_etl_spark.sources.io import checkpoint_partitioned
+
+        und = checkpoint_partitioned(und, "dst")
+    else:
+        und = und.localCheckpoint(eager=True)
     alive = (
         und.select(F.col("src").alias("id"))
         .distinct()
