@@ -447,8 +447,20 @@ def _delta_vs_previous(
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     prev_name, prev = None, None
+    # Measurement-bug fix (r14): the driver also records LOW-CORE-COUNT
+    # artifacts (BENCH_r13_c8.json) for the scaling block; the round-int
+    # sort tie-broke toward them, so this 32-core run's delta (and its
+    # `regressions` flags) compared against 8-core minimums — which at
+    # this sf are FASTER (fixed-cost bound), i.e. phantom regressions
+    # waiting to fire. Core-count-suffixed artifacts are excluded from
+    # the baseline pick; the comparison series stays main-run-to-main-run.
+    candidates = [
+        p
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if not re.search(r"_c\d+\.json$", os.path.basename(p))
+    ]
     for path in sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        candidates,
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
         reverse=True,
     ):
