@@ -301,6 +301,11 @@ def main() -> None:
         for name, splits in split_runs.items()
     }
     delta = _delta_vs_previous(timings, timings_min)
+    # Capture the headline run's end load BEFORE the optional scale
+    # probe: minutes of probe work would otherwise sit between the
+    # timed runs and the reading, making the contention-adjudication
+    # fields describe the probe, not the bench (r14 review finding).
+    load_end = _loadavg()
     scale_probe = _run_scale_probe(spark, registry)
     # Full per-run detail goes to a LOCAL file, committed as round
     # evidence; the stdout line stays COMPACT. The recording harness
@@ -319,7 +324,7 @@ def main() -> None:
         "errors": errors,
         "delta": delta,
         "load_avg_start": load_start,
-        "load_avg_end": _loadavg(),
+        "load_avg_end": load_end,
         "ncpus": os.cpu_count(),
         "sf": sf,
     }

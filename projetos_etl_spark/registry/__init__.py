@@ -43,7 +43,7 @@ _FAMILIES = [
 #
 # Round-14 window — derived by tools/freshness.py::plan_window(
 # TOUCHED_R14, through=13) per the COVERAGE.md freshness policy and
-# asserted by tests/test_freshness.py. Touched this round (20) =
+# asserted by tests/test_freshness.py. Touched this round (21) =
 # the r13 VERDICT's item-1 LEDGER DEBT (the 11 entries the r13
 # optimization commits behaviorally edited AFTER that round's window
 # was planned, so their official driver rows predate their code:
@@ -58,7 +58,9 @@ _FAMILIES = [
 # and the five lsh_candidate_* consumers re-planned by the keyed
 # minhash checkpoints: dedup_near_minhash, dedup_minhash_verified,
 # pipeline_training_corpus, pipeline_dedup_clustered,
-# dedup_lsh_recall_eval). 20 <= 50, so the remaining 30 slots take the
+# dedup_lsh_recall_eval; plus win_ntile_scale, whose range-partitioned
+# rank pass got the same materialize-before-fan-out hardening as the
+# r14 quantile cuts). 21 <= 50, so the remaining 29 slots take the
 # stalest rows by artifact-derived age: the r5-vintage er/dedup/graph
 # tails and r5/r6-vintage quality/corpus/text rows.
 _WINDOW_HEAD = [
@@ -82,6 +84,7 @@ _WINDOW_HEAD = [
     "ts_interpolate_linear",
     "win_max_concurrency",
     "win_max_concurrency_scale",
+    "win_ntile_scale",
     "er_blocking_join",
     "dedup_ngram_containment",
     "er_blocking_multipass",
@@ -111,7 +114,6 @@ _WINDOW_HEAD = [
     "quality_benford_audit",
     "corpus_domain_cap",
     "quality_outlier_mad",
-    "sample_weighted_reservoir",
 ]
 
 def build() -> Registry:

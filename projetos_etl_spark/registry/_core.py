@@ -115,7 +115,11 @@ def rows_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
         # Self-enforcing contract: above the measured crossover the
         # literal plan's one-off codegen is ~10x WORSE than the Python
         # worker it avoids — fall back instead of trusting every future
-        # caller to re-read this docstring.
+        # caller to re-read this docstring. NOTE the fallback is
+        # type-STRICTER than the literal path: lit(v).cast(type)
+        # coerces (an int into a double field), createDataFrame
+        # verifies and raises — pass values already of the schema's
+        # Python types (every current caller does).
         return spark.createDataFrame(rows, schema)
     st = T.StructType.fromDDL(schema)
     structs = [

@@ -1219,10 +1219,24 @@ def feat_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding keeps the strict ``>`` comparison engine-stable."""
     import math
 
+    from projetos_etl_spark.sources.io import checkpoint_partitioned
+
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     nn = li.filter(F.col("l_extendedprice").isNotNull())
-    ranged = nn.repartitionByRange(32, F.col("l_extendedprice")).withColumn(
-        "pid", F.spark_partition_id()
+    # MATERIALIZED before fan-out: the offsets subtree and the ranked
+    # subtree below both read `ranged`, and two INDEPENDENT executions
+    # of a repartitionByRange re-sample range bounds with different
+    # seeds — the pid->offset map would then describe a different
+    # partitioning than the ranked rows (reproduced under
+    # spark.sql.exchange.reuse=false: silently wrong cut points).
+    # Exchange reuse happens to deduplicate the subtrees under default
+    # config, but partition consistency must be a GUARANTEE, not an
+    # optimizer side effect; the keyless layout-keeping checkpoint
+    # freezes both the physical partitions and the pid column.
+    ranged = checkpoint_partitioned(
+        nn.repartitionByRange(32, F.col("l_extendedprice")).withColumn(
+            "pid", F.spark_partition_id()
+        )
     )
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

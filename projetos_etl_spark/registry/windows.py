@@ -239,13 +239,26 @@ def win_ntile_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     here ~ local cores; thousands on a cluster) bounds both sort width
     and window parallelism. The exact-variant oracle pins that the
     assignments are identical, not merely approximate."""
+    from projetos_etl_spark.sources.io import checkpoint_partitioned
+
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     # asc_nulls_last in BOTH the range partitioner and the local sort
     # (they must agree or a row's global rank is wrong): unpriced
     # orders rank last, matching DuckDB's default and the exact twin.
-    ranged = orders.repartitionByRange(
-        32, F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey")
-    ).withColumn("pid", F.spark_partition_id())
+    # MATERIALIZED before fan-out (r14): the counts subtree and the
+    # ranked subtree both read `ranged`, and two independent executions
+    # of a repartitionByRange re-sample bounds with different seeds —
+    # the pid->offset map must describe the SAME physical partitioning
+    # the ranked rows carry. Default-config exchange reuse happened to
+    # guarantee that here for seven rounds (the sampler key is unique,
+    # so even a re-sample only moves rows, never ranks — but the
+    # pid<->offset pairing itself is the invariant at stake); the
+    # keyless layout-keeping checkpoint makes it structural.
+    ranged = checkpoint_partitioned(
+        orders.repartitionByRange(
+            32, F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey")
+        ).withColumn("pid", F.spark_partition_id())
+    )
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     # Cumulative offsets over <=32 rows: the single-partition window here
     # runs on the COUNTS, not the data — constant-size driver-side state.

@@ -283,10 +283,14 @@ def checkpoint_partitioned(df: DataFrame, *key_cols: str, sort: bool = False) ->
     conf = spark.conf
     old = conf.get("spark.sql.adaptive.enabled", "true")
     if not key_cols:
+        if sort:  # sortWithinPartitions needs columns; keyless has none
+            raise ValueError(
+                "checkpoint_partitioned(sort=True) requires key_cols — "
+                "the keyless form only preserves the existing layout"
+            )
         conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            out = df.sortWithinPartitions(*key_cols) if sort else df
-            return out.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=True)
         finally:
             conf.set("spark.sql.adaptive.enabled", old)
     tmp = df.localCheckpoint(eager=True)

@@ -234,9 +234,12 @@ DEBT_FROM_R13 = [
 # and their helpers, the co-partitioned bipartite projection, the
 # distributed-rank quantile cuts, and dedup_near_minhash via the
 # module-top checkpoint_partitioned import landing in dedup.py's first
-# entry block (the scan_parquet precedent).
+# entry block (the scan_parquet precedent); win_ntile_scale joined
+# when the r14 review hardened its range-partitioned rank pass with
+# the same materialize-before-fan-out checkpoint as the quantile cuts.
 REGISTRY_TOUCHED_R14 = [
     "dedup_near_minhash",
+    "win_ntile_scale",
     "feat_quantile_bucketize",
     "graph_bipartite_projection",
     "graph_kcore_decomposition",
@@ -266,7 +269,7 @@ ENGINE_TOUCHED_R14 = [
 ]
 
 # This round's touched list = r13 ledger debt + r14 registry edits +
-# r14 engine-impact judgment.  20 <= 50, so the window seats ALL
+# r14 engine-impact judgment.  21 <= 50, so the window seats ALL
 # touched entries and fills the remaining 30 slots with the stalest
 # rows by artifact-derived age.
 TOUCHED_R14 = sorted(
@@ -290,7 +293,7 @@ def test_window_derives_from_artifacts():
 
 
 def test_overflow_debt_is_flushed():
-    # 20 touched <= 50 slots: no overflow this round, and the ledger
+    # 21 touched <= 50 slots: no overflow this round, and the ledger
     # keeps ZERO entries whose official row predates their code once
     # CORRECTNESS_r14 lands — including the 11-entry r13 debt.
     from tools.freshness import plan_overflow

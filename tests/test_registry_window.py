@@ -22,13 +22,13 @@ from __future__ import annotations
 
 from projetos_etl_spark.registry import _WINDOW_HEAD, all_queries
 
-# The r14 window: the 20 touched entries first — the r13 VERDICT's
+# The r14 window: the 21 touched entries first — the r13 VERDICT's
 # item-1 ledger debt (11 entries whose r13 optimization edits landed
 # AFTER that round's window was planned) plus the r14 optimization
 # touches (pre-partitioned-checkpoint graph fixpoints, co-partitioned
 # bipartite projection, distributed-rank quantile cuts, the medallion
 # write path, and the five lsh_candidate_* consumers re-planned by the
-# keyed minhash checkpoints) — then the 30 stalest remaining entries by
+# keyed minhash checkpoints) — then the 29 stalest remaining entries by
 # artifact-derived age (the r5-vintage er/dedup/graph tails and the
 # r5/r6-vintage quality/corpus/text rows).
 R14_WINDOW = [
@@ -52,6 +52,7 @@ R14_WINDOW = [
     "ts_interpolate_linear",
     "win_max_concurrency",
     "win_max_concurrency_scale",
+    "win_ntile_scale",
     "er_blocking_join",
     "dedup_ngram_containment",
     "er_blocking_multipass",
@@ -81,7 +82,6 @@ R14_WINDOW = [
     "quality_benford_audit",
     "corpus_domain_cap",
     "quality_outlier_mad",
-    "sample_weighted_reservoir",
 ]
 
 def test_driver_window_matches_coverage_plan():

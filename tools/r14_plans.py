@@ -52,10 +52,8 @@ def explain_str(df) -> str:
     return buf.getvalue()
 
 
-def _graph_edges(spark, key_cast=True):
-    """The shared orders x lineitem bipartite edge prep (exactly as the
-    registry entries build it)."""
-    from projetos_etl_spark.registry.dedup import LPA_SUPP_BASE
+def _graph_tables(spark):
+    """The filtered orders/lineitem pair every graph entry starts from."""
     from projetos_etl_spark.sources.io import load_table
 
     o = (
@@ -68,6 +66,15 @@ def _graph_edges(spark, key_cast=True):
         .select("l_orderkey", "l_suppkey")
         .filter(F.col("l_suppkey").isNotNull())
     )
+    return o, li
+
+
+def _graph_edges(spark):
+    """The integer-keyed bipartite edge set exactly as the LPA / k-core
+    entries build it (supplier ids offset into the shared space)."""
+    from projetos_etl_spark.registry.dedup import LPA_SUPP_BASE
+
+    o, li = _graph_tables(spark)
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -153,10 +160,16 @@ def _pagerank_iteration(spark):
     builds it."""
     from projetos_etl_spark.operators import pagerank as pr
 
-    bip = _graph_edges(spark)
-    edges = bip.select(
-        F.concat(F.lit("c"), F.col("c")).alias("src"),
-        F.concat(F.lit("s"), F.col("s")).alias("dst"),
+    # String-keyed edges exactly as dedup.py::graph_pagerank builds them
+    # (plain suppkey in the "s" concat — NOT the LPA_SUPP_BASE offset).
+    o, li = _graph_tables(spark)
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
     )
     if hasattr(pr, "_pr_prep") and hasattr(pr, "_pr_step"):  # optimized shape
         e, ranks = pr._pr_prep(edges, "src", "dst")
